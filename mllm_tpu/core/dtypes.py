@@ -1,0 +1,431 @@
+"""Data types of the `.mllm` weight container, including ggml-style quantized
+block formats, plus NumPy/JAX dequantization.
+
+Parity notes (reference: yirongjie/mllm):
+  - DataType enum values mirror /root/reference/mllm/Types.hpp:63-97 so `.mllm`
+    files written by the reference toolchain load unchanged.
+  - Block layouts mirror the ggml definitions vendored by the reference at
+    /root/reference/mllm/backends/cpu/third_party/ggml/ (block_q4_0 et al.).
+
+TPU-native design: quantized weights are kept as packed uint8 arrays (the raw
+bytes from the container) and either (a) dequantized once at load time into
+bf16/f32 device arrays, or (b) fed directly to Pallas quantized-matmul kernels
+(mllm_tpu/ops/quant_matmul.py) that unpack in-register next to the MXU.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass
+
+import numpy as np
+
+
+class DataType(enum.IntEnum):
+    """Matches the reference's C enum numerically (Types.hpp:63-97)."""
+
+    F32 = 0
+    F16 = 1
+    Q4_0 = 2
+    Q4_1 = 3
+    Q8_0 = 8
+    Q8_1 = 9
+    Q8_PER_TENSOR = 10
+    Q4_K = 12
+    Q6_K = 14
+    Q8_K = 15
+    I8 = 16
+    I16 = 17
+    I32 = 18
+    Q4_0_4_4 = 19
+    Q4_0_4_8 = 20
+    Q4_0_8_8 = 21
+    Q8_0_4_4 = 22
+    Q3_K = 23
+    Q2_K = 24
+    Q1_K = 25
+    IQ2_XXS = 26
+    IQ2_XS = 27
+    IQ1_S = 28
+    IQ1_M = 29
+    IQ2_S = 30
+    KLEIDIAI_Q4_0 = 31
+    Q8_0F = 32
+    Q2_0 = 33
+
+
+# Block sizes: (elements_per_block, bytes_per_block).
+QK4_0 = 32
+QK8_0 = 32
+QK_K = 256  # k-quant super-block
+
+_BLOCK_INFO: dict[DataType, tuple[int, int]] = {
+    DataType.F32: (1, 4),
+    DataType.F16: (1, 2),
+    DataType.I8: (1, 1),
+    DataType.I16: (1, 2),
+    DataType.I32: (1, 4),
+    DataType.Q4_0: (QK4_0, 2 + QK4_0 // 2),  # fp16 d + 16B nibbles = 18
+    DataType.Q4_1: (QK4_0, 4 + QK4_0 // 2),  # fp16 d + fp16 m + 16B = 20
+    DataType.Q8_0: (QK8_0, 2 + QK8_0),  # fp16 d + 32 int8 = 34
+    DataType.Q8_0F: (QK8_0, 4 + QK8_0),  # fp32 d + 32 int8 = 36
+    DataType.Q4_K: (QK_K, 2 + 2 + 12 + QK_K // 2),  # d, dmin, scales, qs = 144
+    DataType.Q6_K: (QK_K, QK_K // 2 + QK_K // 4 + QK_K // 16 + 2),  # = 210
+    DataType.Q8_K: (QK_K, 4 + QK_K + QK_K // 16 * 2),  # fp32 d, 256 q, 16 bsums
+    DataType.Q2_K: (QK_K, QK_K // 16 + QK_K // 4 + 2 + 2),  # scales, qs, d, dmin = 84
+    DataType.Q3_K: (QK_K, QK_K // 8 + QK_K // 4 + 12 + 2),  # hmask, qs, scales, d = 110
+    DataType.Q2_0: (32, 2 + 8),  # fp16 d + 8B (32 x 2-bit)
+}
+
+
+@dataclass(frozen=True)
+class BlockSpec:
+    elems: int
+    nbytes: int
+
+
+def block_spec(dt: DataType) -> BlockSpec:
+    if dt not in _BLOCK_INFO:
+        raise NotImplementedError(f"no block spec for {dt!r}")
+    e, b = _BLOCK_INFO[dt]
+    return BlockSpec(e, b)
+
+
+def nbytes_for(dt: DataType, n_elems: int) -> int:
+    """Byte size of `n_elems` elements stored as dtype `dt` (row-major blocks)."""
+    spec = block_spec(dt)
+    if n_elems % spec.elems != 0:
+        raise ValueError(f"{n_elems} not a multiple of block size {spec.elems} for {dt!r}")
+    return n_elems // spec.elems * spec.nbytes
+
+
+def is_quantized(dt: DataType) -> bool:
+    return dt not in (
+        DataType.F32,
+        DataType.F16,
+        DataType.I8,
+        DataType.I16,
+        DataType.I32,
+    )
+
+
+# ---------------------------------------------------------------------------
+# NumPy dequantization (load-time path). Vectorized; used for the
+# "dequant-to-bf16 then XLA dot" correctness path and as golden reference for
+# the Pallas in-kernel unpack.
+# ---------------------------------------------------------------------------
+
+
+def _f16(buf: np.ndarray) -> np.ndarray:
+    return buf.view(np.float16).astype(np.float32)
+
+
+def dequant_q4_0(raw: np.ndarray, n_elems: int) -> np.ndarray:
+    blocks = raw.reshape(-1, 18)
+    d = _f16(blocks[:, :2].copy())[:, 0]  # [nb]
+    qs = blocks[:, 2:]  # [nb, 16]
+    lo = (qs & 0x0F).astype(np.int8) - 8
+    hi = (qs >> 4).astype(np.int8) - 8
+    # ggml layout: x[i] = lo[i], x[i+16] = hi[i]
+    vals = np.concatenate([lo, hi], axis=1).astype(np.float32)  # [nb, 32]
+    return (vals * d[:, None]).reshape(-1)[:n_elems]
+
+
+def dequant_q8_0(raw: np.ndarray, n_elems: int) -> np.ndarray:
+    blocks = raw.reshape(-1, 34)
+    d = _f16(blocks[:, :2].copy())[:, 0]
+    qs = blocks[:, 2:].view(np.int8).astype(np.float32)
+    return (qs * d[:, None]).reshape(-1)[:n_elems]
+
+
+def dequant_q8_0f(raw: np.ndarray, n_elems: int) -> np.ndarray:
+    blocks = raw.reshape(-1, 36)
+    d = blocks[:, :4].copy().view(np.float32)[:, 0]
+    qs = blocks[:, 4:].view(np.int8).astype(np.float32)
+    return (qs * d[:, None]).reshape(-1)[:n_elems]
+
+
+def _unpack_q4k_scales(sc: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Unpack the 12-byte 6-bit scale/min fields of a Q4_K/Q5_K super-block.
+
+    sc: [nb, 12] uint8 -> (scales [nb, 8], mins [nb, 8]) uint8 (6-bit values).
+    Mirrors ggml get_scale_min_k4.
+    """
+    nb = sc.shape[0]
+    scales = np.empty((nb, 8), dtype=np.uint8)
+    mins = np.empty((nb, 8), dtype=np.uint8)
+    for j in range(8):
+        if j < 4:
+            scales[:, j] = sc[:, j] & 63
+            mins[:, j] = sc[:, j + 4] & 63
+        else:
+            scales[:, j] = (sc[:, j + 4] & 0x0F) | ((sc[:, j - 4] >> 6) << 4)
+            mins[:, j] = (sc[:, j + 4] >> 4) | ((sc[:, j] >> 6) << 4)
+    return scales, mins
+
+
+def dequant_q4_k(raw: np.ndarray, n_elems: int) -> np.ndarray:
+    blocks = raw.reshape(-1, 144)
+    nb = blocks.shape[0]
+    d = _f16(blocks[:, 0:2].copy())[:, 0]  # super scale
+    dmin = _f16(blocks[:, 2:4].copy())[:, 0]  # super min
+    scales, mins = _unpack_q4k_scales(blocks[:, 4:16])
+    qs = blocks[:, 16:]  # [nb, 128]
+    out = np.empty((nb, 256), dtype=np.float32)
+    # 4 chunks of 32 bytes; each yields two 32-elem halves (lo, hi nibbles)
+    for chunk in range(4):
+        q = qs[:, chunk * 32 : (chunk + 1) * 32]
+        lo = (q & 0x0F).astype(np.float32)
+        hi = (q >> 4).astype(np.float32)
+        s_lo = (d * scales[:, 2 * chunk].astype(np.float32))[:, None]
+        m_lo = (dmin * mins[:, 2 * chunk].astype(np.float32))[:, None]
+        s_hi = (d * scales[:, 2 * chunk + 1].astype(np.float32))[:, None]
+        m_hi = (dmin * mins[:, 2 * chunk + 1].astype(np.float32))[:, None]
+        out[:, chunk * 64 : chunk * 64 + 32] = lo * s_lo - m_lo
+        out[:, chunk * 64 + 32 : chunk * 64 + 64] = hi * s_hi - m_hi
+    return out.reshape(-1)[:n_elems]
+
+
+def dequant_q6_k(raw: np.ndarray, n_elems: int) -> np.ndarray:
+    blocks = raw.reshape(-1, 210)
+    nb = blocks.shape[0]
+    ql = blocks[:, 0:128]
+    qh = blocks[:, 128:192]
+    sc = blocks[:, 192:208].view(np.int8)
+    d = _f16(blocks[:, 208:210].copy())[:, 0]
+    out = np.empty((nb, 256), dtype=np.float32)
+    # ggml dequantize_row_q6_K: two 128-elem halves per super-block
+    for half in range(2):
+        ql_h = ql[:, half * 64 : half * 64 + 64]
+        qh_h = qh[:, half * 32 : half * 32 + 32]
+        sc_h = sc[:, half * 8 : half * 8 + 8].astype(np.float32)
+        for l in range(32):
+            is_ = l // 16
+            q1 = ((ql_h[:, l] & 0xF) | (((qh_h[:, l] >> 0) & 3) << 4)).astype(np.int8) - 32
+            q2 = ((ql_h[:, l + 32] & 0xF) | (((qh_h[:, l] >> 2) & 3) << 4)).astype(np.int8) - 32
+            q3 = ((ql_h[:, l] >> 4) | (((qh_h[:, l] >> 4) & 3) << 4)).astype(np.int8) - 32
+            q4 = ((ql_h[:, l + 32] >> 4) | (((qh_h[:, l] >> 6) & 3) << 4)).astype(np.int8) - 32
+            base = half * 128
+            out[:, base + l] = d * sc_h[:, is_] * q1
+            out[:, base + l + 32] = d * sc_h[:, is_ + 2] * q2
+            out[:, base + l + 64] = d * sc_h[:, is_ + 4] * q3
+            out[:, base + l + 96] = d * sc_h[:, is_ + 6] * q4
+    return out.reshape(-1)[:n_elems]
+
+
+def dequant_q8_k(raw: np.ndarray, n_elems: int) -> np.ndarray:
+    spec = block_spec(DataType.Q8_K)
+    blocks = raw.reshape(-1, spec.nbytes)
+    d = blocks[:, 0:4].copy().view(np.float32)[:, 0]
+    qs = blocks[:, 4 : 4 + 256].view(np.int8).astype(np.float32)
+    return (qs * d[:, None]).reshape(-1)[:n_elems]
+
+
+def dequant_q2_k(raw: np.ndarray, n_elems: int) -> np.ndarray:
+    blocks = raw.reshape(-1, 84)
+    nb = blocks.shape[0]
+    scales = blocks[:, 0:16]
+    qs = blocks[:, 16:80]
+    d = _f16(blocks[:, 80:82].copy())[:, 0]
+    dmin = _f16(blocks[:, 82:84].copy())[:, 0]
+    out = np.empty((nb, 256), dtype=np.float32)
+    # 2 halves of 128; within each: 4 shifts x 32 elems, 2 sub-scales per 32
+    for half in range(2):
+        q = qs[:, half * 32 : half * 32 + 32]
+        for shift in range(4):
+            qv = ((q >> (2 * shift)) & 3).astype(np.float32)  # [nb, 32]
+            for sub in range(2):
+                isc = half * 8 + shift * 2 + sub
+                sc = scales[:, isc]
+                dl = (d * (sc & 0xF).astype(np.float32))[:, None]
+                ml = (dmin * (sc >> 4).astype(np.float32))[:, None]
+                idx = half * 128 + shift * 32 + sub * 16
+                out[:, idx : idx + 16] = qv[:, sub * 16 : sub * 16 + 16] * dl - ml
+    return out.reshape(-1)[:n_elems]
+
+
+def dequant_q3_k(raw: np.ndarray, n_elems: int) -> np.ndarray:
+    blocks = raw.reshape(-1, 110)
+    nb = blocks.shape[0]
+    hmask = blocks[:, 0:32]
+    qs = blocks[:, 32:96]
+    scales_raw = blocks[:, 96:108]
+    d = _f16(blocks[:, 108:110].copy())[:, 0]
+    # unpack 16 6-bit scales from 12 bytes (ggml kmask scheme)
+    aux = np.empty((nb, 16), dtype=np.int8)
+    a = scales_raw[:, 0:8]
+    b = scales_raw[:, 8:12]
+    # ggml: scales[i] for i<8 from low nibbles, i>=8 high nibbles; high 2 bits from b
+    for j in range(8):
+        aux[:, j] = ((a[:, j] & 0xF) | (((b[:, j % 4] >> (2 * (j // 4))) & 3) << 4)).astype(np.int8) - 32
+        aux[:, j + 8] = ((a[:, j] >> 4) | (((b[:, j % 4] >> (2 * (j // 4 + 2))) & 3) << 4)).astype(np.int8) - 32
+    out = np.empty((nb, 256), dtype=np.float32)
+    for half in range(2):
+        q = qs[:, half * 32 : half * 32 + 32]
+        for shift in range(4):
+            qv = ((q >> (2 * shift)) & 3).astype(np.int8)
+            hbit = half * 4 + shift
+            hm = ((hmask >> hbit) & 1).astype(np.int8)
+            qv = qv - ((1 - hm) << 2)  # subtract 4 where high bit NOT set
+            for sub in range(2):
+                isc = half * 8 + shift * 2 + sub
+                dl = (d * aux[:, isc].astype(np.float32))[:, None]
+                idx = half * 128 + shift * 32 + sub * 16
+                out[:, idx : idx + 16] = qv[:, sub * 16 : sub * 16 + 16].astype(np.float32) * dl
+    return out.reshape(-1)[:n_elems]
+
+
+_DEQUANT = {
+    DataType.Q4_0: dequant_q4_0,
+    DataType.Q8_0: dequant_q8_0,
+    DataType.Q8_0F: dequant_q8_0f,
+    DataType.Q4_K: dequant_q4_k,
+    DataType.Q6_K: dequant_q6_k,
+    DataType.Q8_K: dequant_q8_k,
+    DataType.Q2_K: dequant_q2_k,
+    DataType.Q3_K: dequant_q3_k,
+}
+
+
+def decode(raw: bytes | np.ndarray, dt: DataType, n_elems: int) -> np.ndarray:
+    """Decode raw container bytes into a float32/int numpy array of n_elems."""
+    buf = np.frombuffer(raw, dtype=np.uint8) if isinstance(raw, (bytes, bytearray, memoryview)) else raw
+    if dt == DataType.F32:
+        return buf.view(np.float32)[:n_elems].copy()
+    if dt == DataType.F16:
+        return buf.view(np.float16)[:n_elems].astype(np.float32)
+    if dt == DataType.I8:
+        return buf.view(np.int8)[:n_elems].copy()
+    if dt == DataType.I16:
+        return buf.view(np.int16)[:n_elems].copy()
+    if dt == DataType.I32:
+        return buf.view(np.int32)[:n_elems].copy()
+    fn = _DEQUANT.get(dt)
+    if fn is None:
+        raise NotImplementedError(f"dequant for {dt!r} not implemented")
+    return fn(buf, n_elems)
+
+
+# ---------------------------------------------------------------------------
+# Quantization (numpy): used by tools/quantizer and tests.
+# ---------------------------------------------------------------------------
+
+
+def quant_q4_0(x: np.ndarray) -> np.ndarray:
+    """Quantize float array (multiple of 32) to ggml Q4_0 bytes."""
+    x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, QK4_0)
+    amax_idx = np.argmax(np.abs(x), axis=1)
+    maxv = x[np.arange(x.shape[0]), amax_idx]
+    d = maxv / -8.0
+    inv_d = np.where(d != 0.0, 1.0 / np.where(d == 0.0, 1.0, d), 0.0)
+    q = np.clip((x * inv_d[:, None]) + 8.5, 0.0, 15.0).astype(np.uint8)
+    lo, hi = q[:, :16], q[:, 16:]
+    packed = (lo | (hi << 4)).astype(np.uint8)
+    out = np.empty((x.shape[0], 18), dtype=np.uint8)
+    out[:, :2] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:] = packed
+    return out.reshape(-1)
+
+
+def quant_q8_0(x: np.ndarray) -> np.ndarray:
+    x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, QK8_0)
+    amax = np.max(np.abs(x), axis=1)
+    d = amax / 127.0
+    inv_d = np.where(d != 0.0, 1.0 / np.where(d == 0.0, 1.0, d), 0.0)
+    q = np.round(x * inv_d[:, None]).astype(np.int8)
+    out = np.empty((x.shape[0], 34), dtype=np.uint8)
+    out[:, :2] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:] = q.view(np.uint8)
+    return out.reshape(-1)
+
+
+def quant_q4_k(x: np.ndarray) -> np.ndarray:
+    """Quantize float array (multiple of 256) to ggml Q4_K super-blocks.
+
+    Simplified (no ggml's iterative scale search): per 32-group affine
+    quantization with 6-bit sub-scales/mins — same container layout, slightly
+    lower SNR than ggml's optimizer.
+    """
+    x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, QK_K)
+    nb = x.shape[0]
+    g = x.reshape(nb, 8, 32)
+    gmin = np.minimum(g.min(axis=2), 0.0)  # [nb, 8]
+    gmax = np.maximum(g.max(axis=2), 0.0)
+    scale = (gmax - gmin) / 15.0  # per-group scale
+    neg_min = -gmin  # >= 0
+    d = scale.max(axis=1) / 63.0  # super scale for 6-bit sub-scales
+    dmin = neg_min.max(axis=1) / 63.0
+    d_safe = np.where(d > 0, d, 1.0)
+    dmin_safe = np.where(dmin > 0, dmin, 1.0)
+    ls = np.clip(np.round(scale / d_safe[:, None]), 0, 63).astype(np.uint8)  # [nb, 8]
+    lm = np.clip(np.round(neg_min / dmin_safe[:, None]), 0, 63).astype(np.uint8)
+    # effective dequant params
+    eff_scale = d[:, None] * ls.astype(np.float32)
+    eff_min = dmin[:, None] * lm.astype(np.float32)
+    es = np.where(eff_scale > 0, eff_scale, 1.0)
+    q = np.clip(np.round((g + eff_min[:, :, None]) / es[:, :, None]), 0, 15).astype(np.uint8)
+
+    out = np.zeros((nb, 144), dtype=np.uint8)
+    out[:, 0:2] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:4] = dmin.astype(np.float16)[:, None].view(np.uint8)
+    # pack 6-bit scales/mins (ggml get_scale_min_k4 inverse)
+    sc_bytes = np.zeros((nb, 12), dtype=np.uint8)
+    for j in range(4):
+        sc_bytes[:, j] = ls[:, j] | ((ls[:, j + 4] >> 4) << 6)
+        sc_bytes[:, j + 4] = lm[:, j] | ((lm[:, j + 4] >> 4) << 6)
+        sc_bytes[:, j + 8] = (ls[:, j + 4] & 0x0F) | ((lm[:, j + 4] & 0x0F) << 4)
+    out[:, 4:16] = sc_bytes
+    # pack quants: 4 chunks of 32 bytes; chunk c = groups 2c (lo) and 2c+1 (hi)
+    for chunk in range(4):
+        lo = q[:, 2 * chunk]  # [nb, 32]
+        hi = q[:, 2 * chunk + 1]
+        out[:, 16 + chunk * 32 : 16 + (chunk + 1) * 32] = lo | (hi << 4)
+    return out.reshape(-1)
+
+
+def quant_q6_k(x: np.ndarray) -> np.ndarray:
+    """Quantize float array (multiple of 256) to ggml Q6_K super-blocks.
+
+    Per-16-group symmetric int6 with int8 sub-scales (simplified search).
+    """
+    x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, QK_K)
+    nb = x.shape[0]
+    g = x.reshape(nb, 16, 16)
+    amax = np.abs(g).max(axis=2)  # [nb, 16]
+    gscale = amax / 31.0
+    d = gscale.max(axis=1) / 127.0  # fp16 super scale
+    d_safe = np.where(d > 0, d, 1.0)
+    sc = np.clip(np.round(gscale / d_safe[:, None]), -128, 127).astype(np.int8)
+    eff = d[:, None] * sc.astype(np.float32)
+    es = np.where(eff != 0, eff, 1.0)
+    q = np.clip(np.round(g / es[:, :, None]), -32, 31).astype(np.int8) + 32  # 0..63
+    q = q.reshape(nb, 256).astype(np.uint8)
+
+    out = np.zeros((nb, 210), dtype=np.uint8)
+    # layout per dequant_q6_k: two halves of 128; ql 64B/half, qh 32B/half
+    for half in range(2):
+        qh_ = q[:, half * 128 : (half + 1) * 128]  # [nb, 128]
+        q1, q2, q3, q4 = qh_[:, 0:32], qh_[:, 32:64], qh_[:, 64:96], qh_[:, 96:128]
+        ql_lo = (q1 & 0xF) | ((q3 & 0xF) << 4)
+        ql_hi = (q2 & 0xF) | ((q4 & 0xF) << 4)
+        out[:, half * 64 : half * 64 + 32] = ql_lo
+        out[:, half * 64 + 32 : half * 64 + 64] = ql_hi
+        qh = (q1 >> 4) | ((q2 >> 4) << 2) | ((q3 >> 4) << 4) | ((q4 >> 4) << 6)
+        out[:, 128 + half * 32 : 128 + (half + 1) * 32] = qh
+    out[:, 192:208] = sc.view(np.uint8)
+    out[:, 208:210] = d.astype(np.float16)[:, None].view(np.uint8)
+    return out.reshape(-1)
+
+
+def quant_q8_per_row_int8(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-row int8 quant used by the TPU int8 matmul kernel.
+
+    Returns (int8 values [R, C], float32 scales [R]).  This is our TPU-native
+    int8 layout (not a ggml format): plain int8 + per-row scale feeds the MXU
+    int8 path directly.
+    """
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    amax = np.max(np.abs(x), axis=-1)
+    scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+    q = np.clip(np.round(x / scale[..., None]), -127, 127).astype(np.int8)
+    return q, scale

@@ -1,0 +1,257 @@
+"""Shared decoder-only transformer: the TPU-native twin of the reference's
+models/transformer/modeling_transformer.hpp (MultiHeadAttention :35-219,
+FeedForward :221-239) and the per-family modeling_*.hpp built on it.
+
+One parameterized `CausalLM` covers most text families (qwen/llama/mistral/
+gemma/smollm/...) — family differences are config + weight-name maps, exactly
+as in the reference where families share `MultiHeadAttention`.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import TextConfig
+from ..kv.cache import KVCache
+from ..nn.attention import attend
+from ..nn.layers import (
+    ACT_FN,
+    Embedding,
+    LayerNorm,
+    Linear,
+    RMSNorm,
+    RotaryEmbedding,
+)
+from ..nn.module import Module, ModuleList
+
+
+def _make_norm(cfg: TextConfig, dim: int):
+    if cfg.norm_type == "layernorm":
+        return LayerNorm.init(dim, eps=cfg.rms_norm_eps)
+    return RMSNorm.init(dim, eps=cfg.rms_norm_eps, add_unit_offset=cfg.model_type.startswith("gemma"))
+
+
+class Attention(Module):
+    """MHA/GQA with RoPE and functional KV cache.
+
+    Mirrors reference MultiHeadAttention (modeling_transformer.hpp:35-219):
+    split QKV projections, optional QK-norm, RoPE, cache append, SDPA/flash.
+    """
+
+    def __init__(self, q_proj, k_proj, v_proj, o_proj, q_norm, k_norm, cfg: TextConfig, layer_idx: int):
+        self.q_proj = q_proj
+        self.k_proj = k_proj
+        self.v_proj = v_proj
+        self.o_proj = o_proj
+        self.q_norm = q_norm
+        self.k_norm = k_norm
+        self.cfg = cfg
+        self.layer_idx = layer_idx
+
+    @staticmethod
+    def init(key, cfg: TextConfig, layer_idx: int, dtype=jnp.float32):
+        ks = jax.random.split(key, 4)
+        h, hd = cfg.num_attention_heads, cfg.head_dim_
+        hkv = cfg.num_key_value_heads
+        d = cfg.hidden_size
+        qn = kn = None
+        if cfg.qk_norm:
+            qn = RMSNorm.init(hd, cfg.rms_norm_eps)
+            kn = RMSNorm.init(hd, cfg.rms_norm_eps)
+        return Attention(
+            Linear.init(ks[0], d, h * hd, cfg.attention_bias, dtype),
+            Linear.init(ks[1], d, hkv * hd, cfg.attention_bias, dtype),
+            Linear.init(ks[2], d, hkv * hd, cfg.attention_bias, dtype),
+            Linear.init(ks[3], h * hd, d, cfg.o_proj_bias, dtype),
+            qn, kn, cfg, layer_idx,
+        )
+
+    def _window(self):
+        cfg = self.cfg
+        if cfg.sliding_window is not None:
+            # every `pattern`-th layer is global (gemma2/gemma3 convention);
+            # pattern==1 -> all layers sliding (mistral)
+            if cfg.sliding_window_pattern <= 1 or (self.layer_idx + 1) % cfg.sliding_window_pattern != 0:
+                return cfg.sliding_window
+        return None
+
+    def __call__(self, x, rope: RotaryEmbedding, cache: Optional[KVCache], positions):
+        cfg = self.cfg
+        b, s, _ = x.shape
+        h, hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
+
+        q = self.q_proj(x).reshape(b, s, h, hd)
+        k = self.k_proj(x).reshape(b, s, hkv, hd)
+        v = self.v_proj(x).reshape(b, s, hkv, hd)
+        if self.q_norm is not None:
+            q = self.q_norm(q)
+            k = self.k_norm(k)
+        q = rope(q, positions)
+        k = rope(k, positions)
+
+        if cache is not None:
+            cache = cache.update_layer(self.layer_idx, k, v)
+            k_full, v_full = cache.layer(self.layer_idx)
+            q_offset, kv_valid = cache.pos, cache.pos + s
+        else:  # cacheless (training / scoring) path
+            k_full = jnp.transpose(k, (0, 2, 1, 3))
+            v_full = jnp.transpose(v, (0, 2, 1, 3))
+            q_offset, kv_valid = 0, None
+
+        out = attend(
+            q, k_full, v_full,
+            q_offset=q_offset,
+            kv_valid_len=kv_valid,
+            causal=True,
+            window=self._window(),
+            logit_softcap=cfg.attn_logit_softcap,
+        )
+        out = out.reshape(b, s, h * hd)
+        return self.o_proj(out), cache
+
+
+class MLP(Module):
+    """Gated FFN (reference FeedForward, modeling_transformer.hpp:221-239)."""
+
+    def __init__(self, gate_proj, up_proj, down_proj, act: str):
+        self.gate_proj = gate_proj
+        self.up_proj = up_proj
+        self.down_proj = down_proj
+        self.act = act
+
+    @staticmethod
+    def init(key, cfg: TextConfig, dtype=jnp.float32):
+        ks = jax.random.split(key, 3)
+        d, i = cfg.hidden_size, cfg.intermediate_size
+        return MLP(
+            Linear.init(ks[0], d, i, cfg.mlp_bias, dtype),
+            Linear.init(ks[1], d, i, cfg.mlp_bias, dtype),
+            Linear.init(ks[2], i, d, cfg.mlp_bias, dtype),
+            cfg.hidden_act,
+        )
+
+    def __call__(self, x):
+        return self.down_proj(ACT_FN[self.act](self.gate_proj(x)) * self.up_proj(x))
+
+
+class DecoderBlock(Module):
+    def __init__(self, input_norm, attn, post_attn_norm, mlp,
+                 pre_ffn_norm=None, post_ffn_norm=None):
+        self.input_norm = input_norm
+        self.attn = attn
+        self.post_attn_norm = post_attn_norm  # pre-FFN norm in standard pre-LN
+        self.mlp = mlp
+        self.pre_ffn_norm = pre_ffn_norm  # gemma2 extra norms
+        self.post_ffn_norm = post_ffn_norm
+
+    @staticmethod
+    def init(key, cfg: TextConfig, layer_idx: int, dtype=jnp.float32):
+        k1, k2 = jax.random.split(key)
+        pre_ffn = post_ffn = None
+        if cfg.post_norm:  # gemma2: post_attention + post_ffn norms
+            pre_ffn = _make_norm(cfg, cfg.hidden_size)
+            post_ffn = _make_norm(cfg, cfg.hidden_size)
+        return DecoderBlock(
+            _make_norm(cfg, cfg.hidden_size),
+            Attention.init(k1, cfg, layer_idx, dtype),
+            _make_norm(cfg, cfg.hidden_size),
+            MLP.init(k2, cfg, dtype),
+            pre_ffn, post_ffn,
+        )
+
+    def __call__(self, x, rope, cache, positions):
+        h = self.input_norm(x)
+        h, cache = self.attn(h, rope, cache, positions)
+        if self.pre_ffn_norm is not None:  # gemma2 ordering
+            h = self.pre_ffn_norm(h)
+        x = x + h
+        h = self.post_attn_norm(x)
+        h = self.mlp(h)
+        if self.post_ffn_norm is not None:
+            h = self.post_ffn_norm(h)
+        x = x + h
+        return x, cache
+
+
+class CausalLM(Module):
+    """Decoder-only LM with functional KV cache.
+
+    Equivalent surface to reference `XForCausalLM` model classes
+    (e.g. models/qwen/modeling_qwen.hpp:131-179).
+    """
+
+    def __init__(self, embed_tokens, blocks: ModuleList, norm, lm_head, rope, cfg: TextConfig):
+        self.embed_tokens = embed_tokens
+        self.blocks = blocks
+        self.norm = norm
+        self.lm_head = lm_head  # None => tied embeddings
+        self.rope = rope
+        self.cfg = cfg
+
+    @staticmethod
+    def init(key, cfg: TextConfig, dtype=jnp.float32):
+        keys = jax.random.split(key, cfg.num_hidden_layers + 2)
+        embed = Embedding.init(keys[0], cfg.vocab_size, cfg.hidden_size, dtype)
+        blocks = ModuleList(
+            [DecoderBlock.init(keys[i + 1], cfg, i, dtype) for i in range(cfg.num_hidden_layers)]
+        )
+        norm = _make_norm(cfg, cfg.hidden_size)
+        lm_head = None
+        if not cfg.tie_word_embeddings:
+            lm_head = Linear.init(keys[-1], cfg.hidden_size, cfg.vocab_size, False, dtype)
+        rope = RotaryEmbedding.make(
+            cfg.head_dim_, cfg.max_position_embeddings, cfg.rope_theta,
+            cfg.rope_style, cfg.rope_partial, cfg.rope_scaling_dict(),
+        )
+        return CausalLM(embed, blocks, norm, lm_head, rope, cfg)
+
+    def init_cache(self, batch: int, max_len: int, dtype=jnp.bfloat16) -> KVCache:
+        cfg = self.cfg
+        return KVCache.init(
+            cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.head_dim_, dtype
+        )
+
+    def hidden_states(self, input_ids, cache: Optional[KVCache], inputs_embeds=None):
+        """Run the trunk; returns (hidden [B,S,D], cache with pos advanced)."""
+        x = inputs_embeds if inputs_embeds is not None else self.embed_tokens(input_ids)
+        if self.cfg.embedding_multiplier != 1.0:
+            x = x * jnp.asarray(self.cfg.embedding_multiplier, x.dtype)
+        s = x.shape[1]
+        pos0 = cache.pos if cache is not None else jnp.zeros((), jnp.int32)
+        positions = pos0 + jnp.arange(s, dtype=jnp.int32)[None, :]  # [1, S]
+        for blk in self.blocks:
+            x, cache = blk(x, self.rope, cache, positions)
+        x = self.norm(x)
+        return x, (cache.advance(s) if cache is not None else None)
+
+    def loss(self, input_ids, targets, mask=None):
+        """Next-token cross-entropy (cacheless forward) — the training path."""
+        hidden, _ = self.hidden_states(input_ids, None)
+        logits = self.logits(hidden)  # [B, S, V] f32
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        if mask is not None:
+            return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+        return jnp.mean(nll)
+
+    def logits(self, hidden):
+        if self.lm_head is not None:
+            out = self.lm_head(hidden).astype(jnp.float32)
+        else:
+            out = self.embed_tokens.as_lm_head(hidden)
+        if self.cfg.logit_softcap:
+            out = jnp.tanh(out / self.cfg.logit_softcap) * self.cfg.logit_softcap
+        return out
+
+    def __call__(self, input_ids, cache: KVCache, last_only: bool = True, inputs_embeds=None):
+        """Returns (logits, cache). last_only clips to the final position
+        (reference modeling_qwen.hpp:157-159)."""
+        hidden, cache = self.hidden_states(input_ids, cache, inputs_embeds)
+        if last_only:
+            hidden = hidden[:, -1:, :]
+        return self.logits(hidden), cache

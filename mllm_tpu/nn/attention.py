@@ -1,0 +1,118 @@
+"""Attention: the TPU-native replacement for the reference's eager-softmax
+path and its CPU FlashAttention-2 / SageAttention kernels
+(/root/reference/mllm/models/transformer/modeling_transformer.hpp:132-212,
+ backends/cpu/compute/FlashAttention2.hpp).
+
+Layouts: q is [B, Sq, H, D]; k/v are in *cache layout* [B, H_kv, Skv, D]
+(see kv/cache.py — sequence inner for contiguous HBM streaming).
+
+Three tiers:
+  - `sdpa`            : plain XLA attention (einsum + softmax); always correct,
+                        used for tests, odd shapes and CPU runs.
+  - Pallas flash      : mllm_tpu/ops/flash_attention.py — tiled online-softmax
+                        prefill kernel (causal / sliding-window).
+  - Pallas decode     : mllm_tpu/ops/decode_attention.py — fused single-token
+                        attention over the KV cache.
+`attend` dispatches between them based on shapes/platform/config.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .layers import NEG_INF
+
+
+def repeat_kv_cache_layout(x: jax.Array, n_rep: int) -> jax.Array:
+    """[B, H_kv, S, D] -> [B, H_kv*n_rep, S, D] (GQA broadcast)."""
+    if n_rep == 1:
+        return x
+    b, h, s, d = x.shape
+    return jnp.broadcast_to(x[:, :, None], (b, h, n_rep, s, d)).reshape(b, h * n_rep, s, d)
+
+
+def sdpa(
+    q: jax.Array,  # [B, Sq, H, D]
+    k: jax.Array,  # [B, H_kv, Skv, D]
+    v: jax.Array,  # [B, H_kv, Skv, D]
+    *,
+    q_offset=0,  # absolute position of q[0] (traced ok)
+    kv_valid_len=None,  # number of valid kv entries (traced ok); None = all
+    causal: bool = True,
+    window: Optional[int] = None,
+    bias: Optional[jax.Array] = None,  # additive bias [..., Sq, Skv] (tree mask etc.)
+    scale: Optional[float] = None,
+    logit_softcap: Optional[float] = None,
+) -> jax.Array:
+    """Masked scaled-dot-product attention with f32 softmax statistics."""
+    b, sq, h, d = q.shape
+    hkv = k.shape[1]
+    n_rep = h // hkv
+    k = repeat_kv_cache_layout(k, n_rep)
+    v = repeat_kv_cache_layout(v, n_rep)
+    if scale is None:
+        scale = d**-0.5
+
+    logits = jnp.einsum("bqhd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if logit_softcap is not None:
+        logits = jnp.tanh(logits / logit_softcap) * logit_softcap
+
+    skv = k.shape[2]
+    k_pos = jnp.arange(skv)[None, :]
+    ok = jnp.ones((sq, skv), dtype=bool)
+    if causal:
+        q_pos = q_offset + jnp.arange(sq)[:, None]
+        ok = k_pos <= q_pos
+        if window is not None:
+            ok = ok & (k_pos > q_pos - window)
+    if kv_valid_len is not None:
+        ok = ok & (k_pos < kv_valid_len)
+    logits = jnp.where(ok[None, None], logits, NEG_INF)
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bhkd->bqhd", probs, v, preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def attend(
+    q, k, v, *, q_offset=0, kv_valid_len=None, causal=True, window=None,
+    bias=None, scale=None, logit_softcap=None, impl: str = "auto",
+):
+    """Dispatch between XLA sdpa and the Pallas kernels.
+
+    impl: 'auto' | 'xla' | 'flash' | 'decode'
+    """
+    from ..utils.runtime import on_tpu as _on_tpu
+
+    sq, d = q.shape[1], q.shape[3]
+    if impl == "auto":
+        on_tpu = _on_tpu()
+        if not on_tpu or bias is not None or logit_softcap is not None or d % 128 != 0:
+            impl = "xla"
+        elif sq == 1:
+            impl = "decode"
+        elif sq % 128 == 0:
+            impl = "flash"
+        else:
+            impl = "xla"
+    if impl == "flash":
+        from ..ops.flash_attention import flash_attention
+
+        return flash_attention(
+            q, k, v, q_offset=q_offset, kv_valid_len=kv_valid_len,
+            causal=causal, window=window, scale=scale,
+        )
+    if impl == "decode":
+        from ..ops.decode_attention import decode_attention
+
+        return decode_attention(q, k, v, kv_valid_len=kv_valid_len, scale=scale, window=window)
+    return sdpa(
+        q, k, v, q_offset=q_offset, kv_valid_len=kv_valid_len, causal=causal,
+        window=window, bias=bias, scale=scale, logit_softcap=logit_softcap,
+    )

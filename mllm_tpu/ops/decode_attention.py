@@ -1,0 +1,163 @@
+"""Pallas TPU fused decode attention (single-token query over the KV cache).
+
+This is the hot decode-path kernel: the TPU-native answer to the reference's
+eager decode attention (GEMV + softmax over the ring cache) and its fp16-KV
+FlashAttention decode path (/root/reference/mllm/backends/cpu/compute/
+FlashAttention2.hpp, op/CPUKVCache.cpp).
+
+Decode attention is HBM-bandwidth-bound.  Design:
+  - K/V stay in HBM; the kernel streams them in double-buffered DMA chunks of
+    `block_k` tokens and early-exits at the *actual* sequence length
+    (`kv_valid_len`, a traced scalar) — so a 128-token context doesn't pay for
+    a `max_len`-sized cache sweep, while everything stays a static shape for
+    XLA (no recompiles as the sequence grows).
+  - grid = (B, H_kv); each program handles one kv head's query group (GQA:
+    the G = H/H_kv grouped queries ride along as matmul rows).
+  - online softmax in f32; K/V can be bf16 or f32.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _decode_kernel(
+    scalars_ref,  # SMEM (1,) int32: [kv_valid_len]
+    q_ref,  # VMEM (1, 1, G, D)
+    k_hbm,  # ANY  (B, H_kv, S, D) — full cache, DMA'd manually
+    v_hbm,  # ANY  (B, H_kv, S, D)
+    o_ref,  # VMEM (1, 1, G, D)
+    k_buf,  # scratch VMEM (2, BK, D)
+    v_buf,  # scratch VMEM (2, BK, D)
+    sems,  # DMA semaphores (2, 2)
+    *,
+    scale: float,
+    window: Optional[int],
+    bk: int,
+    s_max: int,
+):
+    bb = pl.program_id(0)
+    hh = pl.program_id(1)
+    kv_valid = scalars_ref[0]
+    n_blocks = pl.cdiv(kv_valid, bk)  # traced trip count
+    g, d = q_ref.shape[2], q_ref.shape[3]
+    q = q_ref[0, 0] * scale  # (G, D) — fold scale into q
+
+    def k_dma(slot, blk):
+        return pltpu.make_async_copy(
+            k_hbm.at[bb, hh, pl.ds(blk * bk, bk), :], k_buf.at[slot], sems.at[0, slot]
+        )
+
+    def v_dma(slot, blk):
+        return pltpu.make_async_copy(
+            v_hbm.at[bb, hh, pl.ds(blk * bk, bk), :], v_buf.at[slot], sems.at[1, slot]
+        )
+
+    k_dma(0, 0).start()
+    v_dma(0, 0).start()
+
+    def body(i, carry):
+        m_prev, l_prev, acc = carry
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < n_blocks)
+        def _prefetch():
+            k_dma(nxt, i + 1).start()
+            v_dma(nxt, i + 1).start()
+
+        k_dma(slot, i).wait()
+        v_dma(slot, i).wait()
+
+        kb = k_buf[slot]  # (BK, D)
+        vb = v_buf[slot]
+        s = jax.lax.dot_general(
+            q.astype(kb.dtype), kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (G, BK)
+        k_pos = i * bk + jax.lax.broadcasted_iota(jnp.int32, (g, bk), 1)
+        ok = k_pos < kv_valid
+        if window is not None:
+            ok = jnp.logical_and(ok, k_pos > kv_valid - 1 - window)
+        s = jnp.where(ok, s, NEG_INF)
+
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc
+
+    m0 = jnp.full((g, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((g, 1), jnp.float32)
+    acc0 = jnp.zeros((g, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
+    l = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "window", "block_k", "interpret")
+)
+def decode_attention(
+    q: jax.Array,  # [B, 1, H, D]
+    k: jax.Array,  # [B, H_kv, S, D]
+    v: jax.Array,
+    *,
+    kv_valid_len=None,
+    scale: Optional[float] = None,
+    window: Optional[int] = None,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    b, sq, h, d = q.shape
+    assert sq == 1, "decode_attention is single-token; use flash_attention for prefill"
+    hkv, s_max = k.shape[1], k.shape[2]
+    g = h // hkv
+    if scale is None:
+        scale = d**-0.5
+    bk = min(block_k, s_max)
+    if kv_valid_len is None:
+        kv_valid_len = s_max
+    scalars = jnp.asarray(kv_valid_len, jnp.int32).reshape(1)
+
+    qg = q.reshape(b, hkv, g, d)  # group-major query heads
+
+    kernel = functools.partial(
+        _decode_kernel, scale=scale, window=window, bk=bk, s_max=s_max
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, hkv),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, g, d), lambda bb, hh: (bb, hh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, g, d), lambda bb, hh: (bb, hh, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, bk, d), k.dtype),
+            pltpu.VMEM((2, bk, d), v.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )(scalars, qg, k, v)
+
+    return out.reshape(b, 1, h, d)

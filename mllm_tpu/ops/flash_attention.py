@@ -1,0 +1,173 @@
+"""Pallas TPU flash-attention (prefill path).
+
+TPU-native replacement for the reference's CPU FlashAttention-2 kernel
+(/root/reference/mllm/backends/cpu/compute/FlashAttention2.hpp, namespace
+mobi_attn): tiled online-softmax attention, computed block-by-block so the
+[Sq, Skv] score matrix never materializes in HBM.
+
+Kernel shape notes:
+  - q: [B, Sq, H, D] (model layout), k/v: [B, H_kv, Skv, D] (cache layout).
+    GQA is handled in the k/v BlockSpec index maps (h -> h // n_rep), so
+    grouped heads are never materialized.
+  - grid = (B, H, nq, nk); nk is innermost so the (m, l, acc) running softmax
+    state lives in VMEM scratch across the kv sweep.
+  - q_offset / kv_valid_len are SMEM scalars (traced), so chunked prefill at
+    any cache position reuses one compiled kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(
+    scalars_ref,  # SMEM (2,) int32: [q_offset, kv_valid_len]
+    q_ref,  # (1, 1, BQ, D)
+    k_ref,  # (1, 1, BK, D)
+    v_ref,  # (1, 1, BK, D)
+    o_ref,  # (1, 1, BQ, D)
+    m_ref,  # scratch (BQ, 128) f32
+    l_ref,  # scratch (BQ, 128) f32
+    acc_ref,  # scratch (BQ, D) f32
+    *,
+    scale: float,
+    causal: bool,
+    window: Optional[int],
+    bq: int,
+    bk: int,
+):
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    q_offset = scalars_ref[0]
+    kv_valid = scalars_ref[1]
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    k_start = ik * bk
+    # block-level skip: causal => skip blocks entirely above the diagonal;
+    # always skip blocks entirely beyond the valid kv length.
+    q_block_max = q_offset + (iq + 1) * bq - 1  # largest q position in block
+    run = k_start < kv_valid
+    if causal:
+        run = jnp.logical_and(run, k_start <= q_block_max)
+        if window is not None:
+            # skip blocks entirely left of every q row's window
+            q_block_min = q_offset + iq * bq
+            run = jnp.logical_and(run, k_start + bk - 1 > q_block_min - window)
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0]  # (BQ, D)
+        k = k_ref[0, 0]  # (BK, D)
+        v = v_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * scale
+
+        q_pos = q_offset + iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        ok = k_pos < kv_valid
+        if causal:
+            ok = jnp.logical_and(ok, k_pos <= q_pos)
+            if window is not None:
+                ok = jnp.logical_and(ok, k_pos > q_pos - window)
+        s = jnp.where(ok, s, NEG_INF)
+
+        m_prev = m_ref[:, :1]  # (BQ, 1)
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)  # (BQ, BK)
+        alpha = jnp.exp(m_prev - m_new)  # (BQ, 1)
+        l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        l = l_ref[:, :1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_ref[:] / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "window", "scale", "block_q", "block_k", "interpret"),
+)
+def flash_attention(
+    q: jax.Array,  # [B, Sq, H, D]
+    k: jax.Array,  # [B, H_kv, Skv, D]
+    v: jax.Array,
+    *,
+    q_offset=0,
+    kv_valid_len=None,
+    causal: bool = True,
+    window: Optional[int] = None,
+    scale: Optional[float] = None,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    b, sq, h, d = q.shape
+    hkv, skv = k.shape[1], k.shape[2]
+    n_rep = h // hkv
+    if scale is None:
+        scale = d**-0.5
+    bq = min(block_q, sq)
+    bk = min(block_k, skv)
+
+    if kv_valid_len is None:
+        kv_valid_len = skv
+    scalars = jnp.stack(
+        [jnp.asarray(q_offset, jnp.int32), jnp.asarray(kv_valid_len, jnp.int32)]
+    )
+
+    qt = jnp.transpose(q, (0, 2, 1, 3))  # [B, H, Sq, D]
+    grid = (b, h, pl.cdiv(sq, bq), pl.cdiv(skv, bk))
+
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, causal=causal, window=window, bq=bq, bk=bk
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, bq, d), lambda bb, hh, iq, ik: (bb, hh, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, d), lambda bb, hh, iq, ik: (bb, hh // n_rep, ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, d), lambda bb, hh, iq, ik: (bb, hh // n_rep, ik, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, d), lambda bb, hh, iq, ik: (bb, hh, iq, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(scalars, qt, k, v)
+
+    return jnp.transpose(out, (0, 2, 1, 3))  # back to [B, Sq, H, D]

@@ -1,0 +1,120 @@
+"""Attention + KV-cache semantics: sdpa vs torch, GQA, sliding window,
+incremental decode parity, speculative rollback."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+
+from mllm_tpu.kv.cache import KVCache
+from mllm_tpu.nn.attention import sdpa
+
+
+def _np_attn(q, k, v, causal_offset=None, valid=None, window=None):
+    """Oracle via torch sdpa with explicit mask. q:[B,Sq,H,D], k/v:[B,H,Skv,D]."""
+    B, Sq, H, D = q.shape
+    Skv = k.shape[2]
+    qt = torch.from_numpy(q).permute(0, 2, 1, 3)  # B H Sq D
+    kt = torch.from_numpy(k)
+    vt = torch.from_numpy(v)
+    mask = torch.zeros(Sq, Skv)
+    kpos = torch.arange(Skv)[None, :]
+    ok = torch.ones(Sq, Skv, dtype=torch.bool)
+    if causal_offset is not None:
+        qpos = causal_offset + torch.arange(Sq)[:, None]
+        ok &= kpos <= qpos
+        if window is not None:
+            ok &= kpos > qpos - window
+    if valid is not None:
+        ok &= kpos < valid
+    mask = torch.where(ok, 0.0, float("-inf"))
+    out = torch.nn.functional.scaled_dot_product_attention(qt, kt, vt, attn_mask=mask)
+    return out.permute(0, 2, 1, 3).numpy()
+
+
+def test_sdpa_vs_torch_causal():
+    rng = np.random.default_rng(0)
+    B, Sq, H, D, Skv = 2, 5, 4, 16, 9
+    q = rng.standard_normal((B, Sq, H, D)).astype(np.float32)
+    k = rng.standard_normal((B, H, Skv, D)).astype(np.float32)
+    v = rng.standard_normal((B, H, Skv, D)).astype(np.float32)
+    ours = np.asarray(sdpa(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                           q_offset=4, kv_valid_len=9, causal=True))
+    ref = _np_attn(q, k, v, causal_offset=4, valid=9)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_sdpa_gqa_and_window():
+    rng = np.random.default_rng(1)
+    B, Sq, H, HKV, D, Skv = 1, 6, 8, 2, 16, 12
+    q = rng.standard_normal((B, Sq, H, D)).astype(np.float32)
+    k = rng.standard_normal((B, HKV, Skv, D)).astype(np.float32)
+    v = rng.standard_normal((B, HKV, Skv, D)).astype(np.float32)
+    ours = np.asarray(sdpa(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                           q_offset=6, kv_valid_len=12, causal=True, window=4))
+    k_rep = np.repeat(k, H // HKV, axis=1)
+    v_rep = np.repeat(v, H // HKV, axis=1)
+    ref = _np_attn(q, k_rep, v_rep, causal_offset=6, valid=12, window=4)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_cache_append_and_layout():
+    cache = KVCache.init(2, 1, 8, 2, 4, jnp.float32)
+    k_new = jnp.arange(1 * 3 * 2 * 4, dtype=jnp.float32).reshape(1, 3, 2, 4)
+    cache = cache.update_layer(0, k_new, k_new * 2)
+    cache = cache.advance(3)
+    k0, v0 = cache.layer(0)
+    assert k0.shape == (1, 2, 8, 4)
+    # [B,S,H,D] -> [B,H,S,D]
+    np.testing.assert_array_equal(np.asarray(k0[0, :, :3]), np.asarray(k_new[0]).transpose(1, 0, 2))
+    assert int(cache.pos) == 3
+    # second append lands at pos 3
+    k2 = jnp.ones((1, 1, 2, 4)) * 7
+    cache = cache.update_layer(0, k2, k2).advance(1)
+    np.testing.assert_array_equal(np.asarray(cache.layer(0)[0][0, :, 3]), np.full((2, 4), 7.0))
+
+
+def test_rollback_accept():
+    cache = KVCache.init(1, 1, 16, 1, 4, jnp.float32)
+    # "prefill" 4 tokens: values = position index
+    base = jnp.arange(4, dtype=jnp.float32)[None, :, None, None] * jnp.ones((1, 4, 1, 4))
+    cache = cache.update_layer(0, base, base).advance(4)
+    # append 4 draft tokens at pos 4..7 with values 10+i
+    draft = (10 + jnp.arange(4, dtype=jnp.float32))[None, :, None, None] * jnp.ones((1, 4, 1, 4))
+    cache = cache.update_layer(0, draft, draft)
+    # accept drafts 0 and 2
+    cache = cache.rollback_accept(4, jnp.asarray([0, 2, 0, 0], jnp.int32), 2)
+    assert int(cache.pos) == 6
+    k0 = np.asarray(cache.layer(0)[0])[0, 0]  # [S, D]
+    assert k0[4, 0] == 10.0
+    assert k0[5, 0] == 12.0
+
+
+def test_incremental_matches_full():
+    """Prefill+decode over the cache == one full forward (reference
+    token-parity gate, SURVEY.md §4)."""
+    import jax.random as jr
+    from mllm_tpu.core.config import TextConfig
+    from mllm_tpu.models.transformer import CausalLM
+
+    cfg = TextConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=64,
+        eos_token_id=63, rope_theta=10000.0,
+    )
+    model = CausalLM.init(jr.PRNGKey(0), cfg)
+    ids = jnp.asarray(np.arange(1, 11)[None], jnp.int32)  # 10 tokens
+
+    # full forward
+    cache_a = model.init_cache(1, 32, jnp.float32)
+    logits_full, _ = model(ids, cache_a, last_only=False)
+
+    # prefill 6 then decode 4
+    cache_b = model.init_cache(1, 32, jnp.float32)
+    lg6, cache_b = model(ids[:, :6], cache_b, last_only=False)
+    outs = [np.asarray(lg6)[0]]
+    for i in range(6, 10):
+        lg, cache_b = model(ids[:, i : i + 1], cache_b, last_only=False)
+        outs.append(np.asarray(lg)[0])
+    inc = np.concatenate(outs, axis=0)
+    np.testing.assert_allclose(np.asarray(logits_full)[0], inc, rtol=2e-3, atol=2e-4)

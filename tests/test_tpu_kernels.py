@@ -1,0 +1,79 @@
+"""Pallas kernels vs XLA oracle — require real TPU hardware.
+
+Run with: MLLM_RUN_TPU_TESTS=1 pytest tests/test_tpu_kernels.py
+(remote compiles take ~30 s per new kernel shape).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mllm_tpu.core import dtypes as dt
+from mllm_tpu.nn.attention import sdpa
+
+pytestmark = pytest.mark.tpu
+
+
+def test_flash_attention_causal():
+    from mllm_tpu.ops.flash_attention import flash_attention
+
+    key = jax.random.PRNGKey(0)
+    B, SQ, H, HKV, D, SKV = 1, 256, 8, 2, 128, 512
+    q = jax.random.normal(key, (B, SQ, H, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, HKV, SKV, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, HKV, SKV, D), jnp.float32)
+    ref = sdpa(q, k, v, q_offset=0, kv_valid_len=256, causal=True)
+    out = flash_attention(q, k, v, q_offset=0, kv_valid_len=256, causal=True)
+    assert float(jnp.max(jnp.abs(ref - out))) < 2e-2
+
+    # chunked prefill offset + sliding window
+    ref2 = sdpa(q[:, :128], k, v, q_offset=128, kv_valid_len=256, causal=True, window=64)
+    out2 = flash_attention(q[:, :128], k, v, q_offset=128, kv_valid_len=256, causal=True, window=64)
+    assert float(jnp.max(jnp.abs(ref2 - out2))) < 2e-2
+
+
+def test_decode_attention():
+    from mllm_tpu.ops.decode_attention import decode_attention
+
+    B, H, HKV, D, SKV = 1, 8, 2, 128, 512
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, 1, H, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, HKV, SKV, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, HKV, SKV, D), jnp.float32)
+    ref = sdpa(q, k, v, q_offset=300, kv_valid_len=301, causal=False)
+    out = decode_attention(q, k, v, kv_valid_len=301)
+    assert float(jnp.max(jnp.abs(ref - out))) < 1e-2
+
+
+def test_int8_matmul_kernel():
+    from mllm_tpu.ops.quant_matmul import int8_matmul, repack_float_to_int8
+
+    M, K, N = 8, 1024, 512
+    x = np.random.default_rng(0).standard_normal((M, K)).astype(np.float32)
+    qt, sc = repack_float_to_int8(np.random.default_rng(1).standard_normal((N, K)).astype(np.float32))
+    ref = x @ (qt.astype(np.float32) * sc[None, :])
+    out = np.asarray(int8_matmul(jnp.asarray(x), jnp.asarray(qt), jnp.asarray(sc)))
+    rel = np.max(np.abs(ref - out)) / np.max(np.abs(ref))
+    assert rel < 1e-2
+
+
+def test_int4_matmul_kernel():
+    from mllm_tpu.ops.quant_matmul import int4_matmul, repack_q4_0, repack_q4_k
+
+    M, K, N = 8, 1024, 512
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((M, K)).astype(np.float32)
+    w = rng.standard_normal((N, K)).astype(np.float32)
+    raw = dt.quant_q4_0(w)
+    packed, scales = repack_q4_0(raw.reshape(N, -1), N, K)
+    wd = dt.dequant_q4_0(raw, N * K).reshape(N, K)
+    out = np.asarray(int4_matmul(jnp.asarray(x), jnp.asarray(packed), jnp.asarray(scales), 32))
+    rel = np.max(np.abs(x @ wd.T - out)) / np.max(np.abs(x @ wd.T))
+    assert rel < 1e-2
+
+    raw_k = dt.quant_q4_k(w)
+    p4, s4, z4 = repack_q4_k(raw_k.reshape(N, -1), N, K)
+    wd_k = dt.dequant_q4_k(raw_k, N * K).reshape(N, K)
+    out4k = np.asarray(int4_matmul(jnp.asarray(x), jnp.asarray(p4), jnp.asarray(s4), 32, jnp.asarray(z4)))
+    rel = np.max(np.abs(x @ wd_k.T - out4k)) / np.max(np.abs(x @ wd_k.T))
+    assert rel < 1e-2
