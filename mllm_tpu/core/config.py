@@ -48,6 +48,7 @@ class TextConfig:
     logit_softcap: Optional[float] = None  # gemma2
     attn_logit_softcap: Optional[float] = None  # gemma2
     embedding_multiplier: float = 1.0  # gemma sqrt(hidden) input scaling
+    query_pre_attn_scalar: float = 0.0  # gemma2: attn scale = this**-0.5 (0 -> head_dim)
     bos_token_id: int = 151643
     eos_token_id: int | tuple = 151645
     model_type: str = "qwen2"
@@ -122,5 +123,17 @@ def from_hf_config(path_or_dict, **overrides) -> TextConfig:
     if mt == "qwen3":
         kw["attention_bias"] = False
         kw["qk_norm"] = True
+    if mt in ("gemma", "gemma2"):
+        kw["embedding_multiplier"] = float(kw.get("hidden_size", 2048)) ** 0.5
+        kw["hidden_act"] = cfg.get("hidden_activation", cfg.get("hidden_act", "gelu_pytorch_tanh"))
+    if mt == "gemma2":
+        kw["post_norm"] = True
+        kw["sliding_window_pattern"] = 2
+        if cfg.get("query_pre_attn_scalar"):
+            kw["query_pre_attn_scalar"] = float(cfg["query_pre_attn_scalar"])
+        if cfg.get("final_logit_softcapping"):
+            kw["logit_softcap"] = float(cfg["final_logit_softcapping"])
+        if cfg.get("attn_logit_softcapping"):
+            kw["attn_logit_softcap"] = float(cfg["attn_logit_softcapping"])
     kw.update(overrides)
     return TextConfig(**kw)

@@ -103,12 +103,16 @@ class Attention(Module):
             v_full = jnp.transpose(v, (0, 2, 1, 3))
             q_offset, kv_valid = 0, None
 
+        scale = None
+        if cfg.query_pre_attn_scalar:
+            scale = cfg.query_pre_attn_scalar**-0.5
         out = attend(
             q, k_full, v_full,
             q_offset=q_offset,
             kv_valid_len=kv_valid,
             causal=True,
             window=self._window(),
+            scale=scale,
             logit_softcap=cfg.attn_logit_softcap,
         )
         out = out.reshape(b, s, h * hd)

@@ -1,0 +1,200 @@
+"""Byte-level and sentencepiece-style BPE.
+
+Counterpart of /root/reference/mllm/tokenizers/BPE/ (Bpe.cpp): merge-rank BPE
+with GPT-2 bytes-to-unicode and byte-fallback, plus regex pre-tokenization
+(the reference's Tiktoken pattern path).  Pure Python; `regex` module for
+\\p unicode classes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterable, Optional
+
+import regex
+
+from .base import (
+    BYTE_TO_UNICODE,
+    Tokenizer,
+    byte_units_to_text,
+    text_to_byte_units,
+)
+
+# Common pre-tokenization patterns (model cards / HF tokenizer.json)
+GPT2_PATTERN = r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+QWEN2_PATTERN = r"""(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+"""
+LLAMA3_PATTERN = r"""(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}{1,3}| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+"""
+
+PATTERNS = {
+    "gpt2": GPT2_PATTERN,
+    "qwen2": QWEN2_PATTERN,
+    "llama3": LLAMA3_PATTERN,
+}
+
+
+def bpe_merge(word: tuple[str, ...], merge_rank: dict[tuple[str, str], int]) -> tuple[str, ...]:
+    """Standard rank-based BPE merge loop over a symbol tuple."""
+    if len(word) < 2:
+        return word
+    word = list(word)
+    while True:
+        best_pair = None
+        best_rank = None
+        for i in range(len(word) - 1):
+            r = merge_rank.get((word[i], word[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                best_pair = (word[i], word[i + 1])
+        if best_pair is None:
+            return tuple(word)
+        a, b = best_pair
+        # merge ALL occurrences of this pair (classic GPT-2 bpe())
+        out = []
+        i = 0
+        while i < len(word):
+            if i < len(word) - 1 and word[i] == a and word[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(word[i])
+                i += 1
+        word = out
+        if len(word) == 1:
+            return tuple(word)
+
+
+class ByteLevelBPE(Tokenizer):
+    """GPT-2-family byte-level BPE (qwen/gpt2/llama3 and most modern LLMs)."""
+
+    def __init__(self, token_to_id, id_to_token, merge_rank: dict[tuple[str, str], int],
+                 pattern: str = QWEN2_PATTERN, special_tokens=None,
+                 add_prefix_space: bool = False):
+        super().__init__(token_to_id, id_to_token, special_tokens)
+        self.merge_rank = merge_rank
+        self.pattern = regex.compile(pattern)
+        self.add_prefix_space = add_prefix_space
+        self._cache: dict[str, tuple[str, ...]] = {}
+
+    def _bpe(self, unit_word: str) -> tuple[str, ...]:
+        hit = self._cache.get(unit_word)
+        if hit is not None:
+            return hit
+        toks = bpe_merge(tuple(unit_word), self.merge_rank)
+        if len(self._cache) < 65536:
+            self._cache[unit_word] = toks
+        return toks
+
+    def encode_ordinary(self, text: str) -> list[int]:
+        if self.add_prefix_space and text and not text[0].isspace():
+            text = " " + text
+        ids: list[int] = []
+        for m in self.pattern.finditer(text):
+            units = text_to_byte_units(m.group())
+            for tok in self._bpe(units):
+                tid = self.token_to_id.get(tok)
+                if tid is None:  # split to single byte-units as fallback
+                    for ch in tok:
+                        tid2 = self.token_to_id.get(ch)
+                        if tid2 is not None:
+                            ids.append(tid2)
+                else:
+                    ids.append(tid)
+        return ids
+
+    def decode_ordinary(self, ids: Iterable[int]) -> str:
+        units = []
+        for i in ids:
+            if 0 <= i < len(self.id_to_token):
+                tok = self.id_to_token[i]
+                if tok in self.special_tokens_set:
+                    units.append(("special", tok))
+                else:
+                    units.append(("units", tok))
+        out = []
+        buf = ""
+        for kind, tok in units:
+            if kind == "special":
+                if buf:
+                    out.append(byte_units_to_text(buf))
+                    buf = ""
+                out.append(tok)
+            else:
+                buf += tok
+        if buf:
+            out.append(byte_units_to_text(buf))
+        return "".join(out)
+
+    @property
+    def special_tokens_set(self):
+        return self.special_tokens
+
+
+class SentencePieceBPE(Tokenizer):
+    """SentencePiece-style BPE (llama1/2, mistral): '▁' word marker,
+    byte-fallback <0xXX> tokens, merges implied by vocab scores.
+
+    Counterpart of the reference BPE byte_fallback path (Bpe.cpp).
+    """
+
+    SPACE = "▁"
+
+    def __init__(self, token_to_id, id_to_token, scores: list[float],
+                 special_tokens=None, add_bos: bool = True, add_prefix_space: bool = True):
+        super().__init__(token_to_id, id_to_token, special_tokens)
+        self.scores = scores
+        self.add_prefix_space = add_prefix_space
+        # build merge ranks from vocab: pair (a,b) mergeable if a+b in vocab;
+        # rank by score of merged token (higher score = earlier merge)
+        self._merge_score = {}
+        for tok, tid in token_to_id.items():
+            if len(tok) > 1:
+                self._merge_score[tok] = scores[tid] if tid < len(scores) else 0.0
+
+    def encode_ordinary(self, text: str) -> list[int]:
+        if not text:
+            return []
+        if self.add_prefix_space and not text.startswith(" "):
+            text = " " + text
+        text = text.replace(" ", self.SPACE)
+        # greedy best-pair merge by score (sentencepiece BPE semantics)
+        symbols = list(text)
+        while True:
+            best_i, best_s = None, None
+            for i in range(len(symbols) - 1):
+                merged = symbols[i] + symbols[i + 1]
+                s = self._merge_score.get(merged)
+                if s is not None and (best_s is None or s > best_s):
+                    best_s, best_i = s, i
+            if best_i is None:
+                break
+            symbols[best_i : best_i + 2] = [symbols[best_i] + symbols[best_i + 1]]
+        ids = []
+        for sym in symbols:
+            tid = self.token_to_id.get(sym)
+            if tid is not None:
+                ids.append(tid)
+            else:  # byte fallback
+                for b in sym.encode("utf-8"):
+                    bt = self.token_to_id.get(f"<0x{b:02X}>")
+                    if bt is not None:
+                        ids.append(bt)
+        return ids
+
+    def decode_ordinary(self, ids: Iterable[int]) -> str:
+        out = []
+        byte_buf = []
+
+        def flush_bytes():
+            if byte_buf:
+                out.append(bytes(byte_buf).decode("utf-8", errors="replace"))
+                byte_buf.clear()
+
+        for i in ids:
+            tok = self.id_to_token[i] if 0 <= i < len(self.id_to_token) else ""
+            if len(tok) == 6 and tok.startswith("<0x") and tok.endswith(">"):
+                byte_buf.append(int(tok[3:5], 16))
+                continue
+            flush_bytes()
+            out.append(tok.replace(self.SPACE, " "))
+        flush_bytes()
+        return "".join(out)
