@@ -1,0 +1,479 @@
+"""Qwen2-VL — the flagship multimodal model.
+
+Counterpart of /root/reference/mllm/models/qwen2_vl/modeling_qwen2_vl.hpp:
+  - Conv3D patch embed as a matmul over pre-patchified pixels (:21-36)
+  - ViT blocks with vision rotary over the (h, w) grid (:38-137)
+  - PatchMerger (:139-160)
+  - M-RoPE decoder (:221-301) with 3-axis get_rope_index (:436-595)
+  - image-token splice into the text embedding stream (:381-404)
+
+Loads HF Qwen2-VL checkpoints (visual.* + model.* names) from safetensors.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import TextConfig
+from ..kv.cache import KVCache
+from ..nn.attention import sdpa
+from ..nn.layers import (
+    ACT_FN,
+    Embedding,
+    LayerNorm,
+    Linear,
+    MultimodalRotaryEmbedding,
+    RMSNorm,
+)
+from ..nn.module import Module, ModuleList
+from .loading import NameMap, load_causal_lm
+from .transformer import CausalLM
+
+
+@dataclass(frozen=True)
+class Qwen2VLVisionConfig:
+    depth: int = 32
+    embed_dim: int = 1280
+    hidden_size: int = 1536  # output dim (LM hidden)
+    intermediate_size: int = 0  # mlp hidden = embed_dim * mlp_ratio
+    mlp_ratio: float = 4.0
+    num_heads: int = 16
+    in_channels: int = 3
+    patch_size: int = 14
+    temporal_patch_size: int = 2
+    spatial_merge_size: int = 2
+    hidden_act: str = "quick_gelu"
+
+    @property
+    def mlp_hidden(self) -> int:
+        return self.intermediate_size or int(self.embed_dim * self.mlp_ratio)
+
+
+@dataclass(frozen=True)
+class Qwen2VLConfig:
+    text: TextConfig = TextConfig()
+    vision: Qwen2VLVisionConfig = Qwen2VLVisionConfig()
+    image_token_id: int = 151655
+    video_token_id: int = 151656
+    vision_start_token_id: int = 151652
+    mrope_section: tuple = (16, 24, 24)
+
+
+# ---------------------------------------------------------------------------
+# Vision tower
+# ---------------------------------------------------------------------------
+
+
+class PatchEmbed(Module):
+    """Conv3D patch embed as matmul (reference modeling_qwen2_vl.hpp:21-36)."""
+
+    def __init__(self, weight):
+        self.weight = weight  # [D, C*tps*ps*ps]
+
+    def __call__(self, patches):  # [S, C*tps*ps*ps]
+        return jax.lax.dot_general(
+            patches, self.weight, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(patches.dtype)
+
+
+class VisionSdpaBlock(Module):
+    """Qwen2-VL vision block: fused-qkv attention with 2D rotary."""
+
+    def __init__(self, norm1, qkv, proj, norm2, fc1, fc2, n_heads: int, act: str):
+        self.norm1 = norm1
+        self.qkv = qkv
+        self.proj = proj
+        self.norm2 = norm2
+        self.fc1 = fc1
+        self.fc2 = fc2
+        self.n_heads = n_heads
+        self.act = act
+
+    def _attn(self, x, cos, sin):
+        s, d = x.shape
+        hd = d // self.n_heads
+        qkv = self.qkv(x).reshape(s, 3, self.n_heads, hd)
+        q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]  # [S, H, hd]
+        q = _apply_vision_rotary(q, cos, sin)
+        k = _apply_vision_rotary(k, cos, sin)
+        out = sdpa(
+            q[None], jnp.transpose(k, (1, 0, 2))[None], jnp.transpose(v, (1, 0, 2))[None],
+            causal=False,
+        )[0]
+        return self.proj(out.reshape(s, d))
+
+    def __call__(self, x, cos, sin):
+        x = x + self._attn(self.norm1(x), cos, sin)
+        x = x + self.fc2(ACT_FN[self.act](self.fc1(self.norm2(x))))
+        return x
+
+
+def _apply_vision_rotary(x, cos, sin):
+    """x: [S, H, D]; cos/sin: [S, D] (already duplicated halves)."""
+    xf = x.astype(jnp.float32)
+    half = x.shape[-1] // 2
+    rot = jnp.concatenate([-xf[..., half:], xf[..., :half]], axis=-1)
+    out = xf * cos[:, None, :] + rot * sin[:, None, :]
+    return out.astype(x.dtype)
+
+
+class PatchMerger(Module):
+    """ln_q + 2-layer MLP over merge_size^2 concatenated patches
+    (reference modeling_qwen2_vl.hpp:139-160)."""
+
+    def __init__(self, ln_q, fc1, fc2, merge_dim: int):
+        self.ln_q = ln_q
+        self.fc1 = fc1
+        self.fc2 = fc2
+        self.merge_dim = merge_dim
+
+    def __call__(self, x):  # [S, D]
+        x = self.ln_q(x).reshape(-1, self.merge_dim)
+        return self.fc2(jax.nn.gelu(self.fc1(x), approximate=False))
+
+
+class Qwen2VLVisionTower(Module):
+    def __init__(self, patch_embed, blocks: ModuleList, merger, inv_freq, cfg: Qwen2VLVisionConfig):
+        self.patch_embed = patch_embed
+        self.blocks = blocks
+        self.merger = merger
+        self.inv_freq = inv_freq  # [head_dim/4]
+        self.cfg = cfg
+
+    def rot_pos_emb(self, grid_thw: tuple[int, int, int]) -> tuple[np.ndarray, np.ndarray]:
+        """cos/sin [S, head_dim/2*2] for the merged-patch ordering."""
+        t, h, w = grid_thw
+        ms = self.cfg.spatial_merge_size
+        hpos = np.arange(h)[:, None].repeat(w, axis=1)
+        hpos = hpos.reshape(h // ms, ms, w // ms, ms).transpose(0, 2, 1, 3).reshape(-1)
+        wpos = np.arange(w)[None, :].repeat(h, axis=0)
+        wpos = wpos.reshape(h // ms, ms, w // ms, ms).transpose(0, 2, 1, 3).reshape(-1)
+        pos = np.stack([hpos, wpos], axis=-1)  # [h*w, 2]
+        pos = jnp.asarray(np.tile(pos, (t, 1)), jnp.float32)
+        freqs = pos[:, :, None] * self.inv_freq[None, None, :]  # [S, 2, hd/4]
+        freqs = freqs.reshape(pos.shape[0], -1)  # [S, hd/2]
+        emb = jnp.concatenate([freqs, freqs], axis=-1)  # [S, hd]
+        return jnp.cos(emb), jnp.sin(emb)
+
+    def __call__(self, patches, grid_thw: tuple[int, int, int]):
+        """patches: [S, C*tps*ps*ps] -> merged embeds [S/ms^2, hidden_size]."""
+        cos, sin = self.rot_pos_emb(grid_thw)
+        x = self.patch_embed(patches)
+        for blk in self.blocks:
+            x = blk(x, cos, sin)
+        return self.merger(x)
+
+
+# ---------------------------------------------------------------------------
+# M-RoPE position computation (reference get_rope_index, :436-595)
+# ---------------------------------------------------------------------------
+
+
+def get_rope_index(
+    input_ids: np.ndarray,  # [S] int
+    image_grid_thw: list[tuple[int, int, int]],
+    image_token_id: int,
+    video_token_id: int,
+    spatial_merge_size: int = 2,
+) -> tuple[np.ndarray, int]:
+    """Returns (position_ids [3, S], mrope_position_delta).
+
+    Text tokens advance all 3 axes together; each vision span uses
+    (t, h, w) grid indices offset by the running position.
+    """
+    s = len(input_ids)
+    pos = np.zeros((3, s), dtype=np.int64)
+    img_idx = 0
+    st = 0  # index into sequence
+    current = 0  # running position offset
+    ids = np.asarray(input_ids)
+    while st < s:
+        if ids[st] in (image_token_id, video_token_id):
+            t, h, w = image_grid_thw[img_idx]
+            img_idx += 1
+            lh, lw = h // spatial_merge_size, w // spatial_merge_size
+            n = t * lh * lw
+            t_idx = np.repeat(np.arange(t), lh * lw)
+            h_idx = np.tile(np.repeat(np.arange(lh), lw), t)
+            w_idx = np.tile(np.arange(lw), t * lh)
+            pos[0, st : st + n] = current + t_idx
+            pos[1, st : st + n] = current + h_idx
+            pos[2, st : st + n] = current + w_idx
+            current = int(pos[:, st : st + n].max()) + 1
+            st += n
+        else:
+            pos[:, st] = current
+            current += 1
+            st += 1
+    delta = current - s
+    return pos, delta
+
+
+# ---------------------------------------------------------------------------
+# Full model
+# ---------------------------------------------------------------------------
+
+
+class Qwen2VLForConditionalGeneration(Module):
+    def __init__(self, visual: Qwen2VLVisionTower, lm: CausalLM, cfg: Qwen2VLConfig):
+        self.visual = visual
+        self.lm = lm
+        self.cfg = cfg
+        # swap the LM's rope for M-RoPE
+        tc = cfg.text
+        self.mrope = MultimodalRotaryEmbedding.make(
+            tc.head_dim_, tc.max_position_embeddings, tc.rope_theta, cfg.mrope_section
+        )
+
+    def init_cache(self, batch: int, max_len: int, dtype=jnp.bfloat16) -> KVCache:
+        return self.lm.init_cache(batch, max_len, dtype)
+
+    def embed(self, input_ids: jnp.ndarray, image_embeds: Optional[jnp.ndarray]):
+        """Token embeddings with image embeds spliced at image-pad positions
+        (reference index_put/where splice, modeling_qwen2_vl.hpp:381-404)."""
+        x = self.lm.embed_tokens(input_ids)
+        if image_embeds is not None:
+            is_img = (input_ids == self.cfg.image_token_id) | (input_ids == self.cfg.video_token_id)
+            # scatter image embeds into the image-token slots, in order
+            idx = jnp.cumsum(is_img.astype(jnp.int32), axis=-1) - 1  # per-pos image row
+            idx = jnp.clip(idx, 0, image_embeds.shape[0] - 1)
+            img_at = image_embeds[idx]  # [B, S, D]
+            x = jnp.where(is_img[..., None], img_at.astype(x.dtype), x)
+        return x
+
+    def forward_text(self, x, positions, cache: Optional[KVCache], last_only=True):
+        """Decoder trunk with M-RoPE positions [3, B, S]."""
+        lm = self.lm
+        for blk in lm.blocks:
+            h = blk.input_norm(x)
+            h, cache = _mrope_attn(blk.attn, h, self.mrope, cache, positions)
+            x = x + h
+            x = x + blk.mlp(blk.post_attn_norm(x))
+        x = lm.norm(x)
+        if cache is not None:
+            cache = cache.advance(x.shape[1])
+        if last_only:
+            x = x[:, -1:, :]
+        return lm.logits(x), cache
+
+    def __call__(self, input_ids, cache, patches=None, grid_thw=None, positions=None,
+                 last_only=True):
+        """input_ids [B, S]; patches [Sp, C*tps*ps*ps]; positions [3, B, S]."""
+        image_embeds = None
+        if patches is not None:
+            image_embeds = self.visual(patches, grid_thw)
+        x = self.embed(input_ids, image_embeds)
+        if positions is None:
+            pos0 = cache.pos if cache is not None else jnp.zeros((), jnp.int32)
+            p = pos0 + jnp.arange(x.shape[1], dtype=jnp.int32)[None, :]
+            positions = jnp.broadcast_to(p[None], (3,) + p.shape)
+        return self.forward_text(x, positions, cache, last_only)
+
+
+def _mrope_attn(attn, x, mrope, cache, positions):
+    """Attention using M-RoPE instead of the standard rope."""
+    cfg = attn.cfg
+    b, s, _ = x.shape
+    h, hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
+    q = attn.q_proj(x).reshape(b, s, h, hd)
+    k = attn.k_proj(x).reshape(b, s, hkv, hd)
+    v = attn.v_proj(x).reshape(b, s, hkv, hd)
+    q = mrope(q, positions)
+    k = mrope(k, positions)
+    if cache is not None:
+        cache = cache.update_layer(attn.layer_idx, k, v)
+        k_full, v_full = cache.layer(attn.layer_idx)
+        q_offset, kv_valid = cache.pos, cache.pos + s
+    else:
+        k_full = jnp.transpose(k, (0, 2, 1, 3))
+        v_full = jnp.transpose(v, (0, 2, 1, 3))
+        q_offset, kv_valid = 0, None
+    from ..nn.attention import attend
+
+    out = attend(q, k_full, v_full, q_offset=q_offset, kv_valid_len=kv_valid, causal=True)
+    return attn.o_proj(out.reshape(b, s, h * hd)), cache
+
+
+# ---------------------------------------------------------------------------
+# Generation (prefill with vision -> compiled decode loop)
+# ---------------------------------------------------------------------------
+
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnames=("true_len", "grid_thw"), donate_argnames=("cache",))
+def _vl_prefill(model, cache, input_ids, patches, grid_thw, positions, true_len: int):
+    logits, cache = model(input_ids, cache, patches=patches, grid_thw=grid_thw,
+                          positions=positions, last_only=False)
+    last = logits[:, true_len - 1, :]
+    cache = KVCache(cache.k, cache.v, jnp.asarray(true_len, jnp.int32))
+    return last, cache
+
+
+@_functools.partial(jax.jit, donate_argnames=("cache",))
+def _vl_decode_step(model, cache, token, pos_scalar):
+    p = jnp.broadcast_to(pos_scalar.reshape(1, 1, 1), (3, 1, 1)).astype(jnp.int32)
+    logits, cache = model(token[:, None], cache, positions=p, last_only=True)
+    return logits[:, 0, :], cache
+
+
+@_functools.partial(
+    jax.jit, static_argnames=("true_len", "max_new_tokens", "grid_thw"),
+    donate_argnames=("cache",),
+)
+def vl_generate_compiled(model, input_ids, patches, grid_thw, positions, cache,
+                         true_len: int, max_new_tokens: int, eos_token_id: int = -1,
+                         mrope_delta: int = 0):
+    """Whole VL generation (vision encode + prefill + greedy decode) as ONE
+    device program."""
+    logits, cache = model(input_ids, cache, patches=patches, grid_thw=grid_thw,
+                          positions=positions, last_only=False)
+    last = logits[:, true_len - 1, :]
+    cache = KVCache(cache.k, cache.v, jnp.asarray(true_len, jnp.int32))
+    tok0 = jnp.argmax(last, axis=-1).astype(jnp.int32)
+    tokens = jnp.full((max_new_tokens,), -1, jnp.int32).at[0].set(tok0[0])
+    pos0 = jnp.asarray(true_len + mrope_delta, jnp.int32)
+
+    def cond(state):
+        i, tok, cache, tokens, done = state
+        return (i < max_new_tokens) & (~done)
+
+    def body(state):
+        i, tok, cache, tokens, done = state
+        p = jnp.broadcast_to((pos0 + i - 1).reshape(1, 1, 1), (3, 1, 1)).astype(jnp.int32)
+        logits, cache = model(tok[:, None], cache, positions=p, last_only=True)
+        nxt = jnp.argmax(logits[:, 0, :], axis=-1).astype(jnp.int32)
+        tokens = tokens.at[i].set(nxt[0])
+        return i + 1, nxt, cache, tokens, nxt[0] == eos_token_id
+
+    state = (jnp.asarray(1), tok0, cache, tokens, tok0[0] == eos_token_id)
+    i, tok, cache, tokens, done = jax.lax.while_loop(cond, body, state)
+    return tokens, i
+
+
+def vl_generate(model, proc_out, cache, max_new_tokens: int = 128,
+                eos_token_id: Optional[int] = None, callback=None):
+    """Streaming host loop (reference demo_qwen2_vl callback pattern)."""
+    ids = proc_out.input_ids
+    true_len = ids.shape[1]
+    eos = eos_token_id if eos_token_id is not None else -1
+    logits, cache = _vl_prefill(
+        model, cache, jnp.asarray(ids),
+        jnp.asarray(proc_out.patches) if proc_out.patches is not None else None,
+        proc_out.grid_thw, jnp.asarray(proc_out.position_ids), true_len,
+    )
+    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    out = [int(tok[0])]
+    if callback:
+        callback(out[-1])
+    pos = true_len + proc_out.mrope_delta
+    for i in range(max_new_tokens - 1):
+        if out[-1] == eos:
+            break
+        logits, cache = _vl_decode_step(model, cache, tok, jnp.asarray(pos + i, jnp.int32))
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        out.append(int(tok[0]))
+        if callback:
+            callback(out[-1])
+    return out, cache
+
+
+# ---------------------------------------------------------------------------
+# Loading (HF checkpoint names: visual.* / model.* / lm_head)
+# ---------------------------------------------------------------------------
+
+
+def _lin(loader, prefix, out_f, in_f, dtype):
+    w = jnp.asarray(loader.load(prefix + ".weight", (out_f, in_f)), dtype)
+    b = None
+    if prefix + ".bias" in loader:
+        b = jnp.asarray(loader.load(prefix + ".bias", (out_f,)), dtype)
+    return Linear(w, b)
+
+
+def _ln(loader, prefix, dim, dtype, eps=1e-6):
+    b = None
+    if prefix + ".bias" in loader:
+        b = jnp.asarray(loader.load(prefix + ".bias", (dim,)), dtype)
+    return LayerNorm(jnp.asarray(loader.load(prefix + ".weight", (dim,)), dtype), b, eps)
+
+
+def load_qwen2_vl(loader, cfg: Qwen2VLConfig, dtype=jnp.bfloat16, quant=None):
+    vc = cfg.vision
+    d = vc.embed_dim
+    patch_in = vc.in_channels * vc.temporal_patch_size * vc.patch_size**2
+    pw = jnp.asarray(
+        loader.load("visual.patch_embed.proj.weight", (d, patch_in)), dtype
+    )
+    blocks = []
+    for i in range(vc.depth):
+        p = f"visual.blocks.{i}."
+        blocks.append(VisionSdpaBlock(
+            _ln(loader, p + "norm1", d, dtype),
+            _lin(loader, p + "attn.qkv", 3 * d, d, dtype),
+            _lin(loader, p + "attn.proj", d, d, dtype),
+            _ln(loader, p + "norm2", d, dtype),
+            _lin(loader, p + "mlp.fc1", vc.mlp_hidden, d, dtype),
+            _lin(loader, p + "mlp.fc2", d, vc.mlp_hidden, dtype),
+            vc.num_heads, vc.hidden_act,
+        ))
+    merge_dim = d * vc.spatial_merge_size**2
+    merger = PatchMerger(
+        _ln(loader, "visual.merger.ln_q", d, dtype),
+        _lin(loader, "visual.merger.mlp.0", merge_dim, merge_dim, dtype),
+        _lin(loader, "visual.merger.mlp.2", vc.hidden_size, merge_dim, dtype),
+        merge_dim,
+    )
+    head_quarter = (d // vc.num_heads) // 4
+    inv_freq = 1.0 / (10000.0 ** (np.arange(0, head_quarter * 2, 2, dtype=np.float64) / (head_quarter * 2)))
+    visual = Qwen2VLVisionTower(PatchEmbed(pw), ModuleList(blocks), merger,
+                                jnp.asarray(inv_freq, jnp.float32), vc)
+
+    lm = load_causal_lm(loader, cfg.text, dtype, quant)
+    return Qwen2VLForConditionalGeneration(visual, lm, cfg)
+
+
+def qwen2_vl_config_from_hf(path_or_dict) -> Qwen2VLConfig:
+    import json, os
+
+    if not isinstance(path_or_dict, dict):
+        p = os.fspath(path_or_dict)
+        if os.path.isdir(p):
+            p = os.path.join(p, "config.json")
+        with open(p) as f:
+            c = json.load(f)
+    else:
+        c = dict(path_or_dict)
+    from ..core.config import from_hf_config
+
+    # newer transformers nests LM hyperparams under "text_config"
+    flat = {k: v for k, v in c.items() if k not in ("vision_config", "text_config")}
+    flat.update(c.get("text_config", {}))
+    text = from_hf_config(flat, model_type="qwen2")
+    v = c.get("vision_config", {})
+    vis = Qwen2VLVisionConfig(
+        depth=v.get("depth", 32),
+        embed_dim=v.get("embed_dim", 1280),
+        hidden_size=v.get("hidden_size", c.get("hidden_size", 1536)),
+        mlp_ratio=v.get("mlp_ratio", 4.0),
+        num_heads=v.get("num_heads", 16),
+        in_channels=v.get("in_channels", 3),
+        patch_size=v.get("patch_size", 14),
+        temporal_patch_size=v.get("temporal_patch_size", 2),
+        spatial_merge_size=v.get("spatial_merge_size", 2),
+    )
+    rs = c.get("rope_scaling") or {}
+    mrope = tuple(rs.get("mrope_section", (16, 24, 24)))
+    return Qwen2VLConfig(
+        text=text, vision=vis,
+        image_token_id=c.get("image_token_id", 151655),
+        video_token_id=c.get("video_token_id", 151656),
+        vision_start_token_id=c.get("vision_start_token_id", 151652),
+        mrope_section=mrope,
+    )

@@ -1,0 +1,183 @@
+"""Image preprocessing.
+
+Counterpart of /root/reference/mllm/processor/PreProcess.{hpp,cpp} (rescale /
+resize / normalize / center-crop over float buffers, stb_image decode) and the
+model-specific processors (ClipPreProcess.cpp, Qwen2-VL smart_resize +
+patchify, processing_qwen2_vl.hpp:84-179).
+
+Decode/resize run on host (PIL — bicubic matches the reference/HF behavior);
+normalize/patchify are pure numpy and can optionally be fused into the encoder
+graph as jnp ops.
+"""
+
+from __future__ import annotations
+
+import io
+import math
+from dataclasses import dataclass
+from typing import Iterable, Optional, Sequence
+
+import numpy as np
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+# OpenAI CLIP normalization constants (reference ClipPreProcess / HF)
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def load_image(src) -> np.ndarray:
+    """Path/bytes/PIL/array -> RGB uint8 [H, W, 3]."""
+    if isinstance(src, np.ndarray):
+        return src
+    if Image is None:
+        raise RuntimeError("PIL not available")
+    if isinstance(src, (bytes, bytearray)):
+        img = Image.open(io.BytesIO(src))
+    elif hasattr(src, "convert"):
+        img = src
+    else:
+        img = Image.open(src)
+    return np.asarray(img.convert("RGB"))
+
+
+def resize(img: np.ndarray, height: int, width: int, resample: str = "bicubic") -> np.ndarray:
+    """uint8/float [H, W, C] -> resized, same dtype semantics as PIL."""
+    rs = {"bicubic": Image.BICUBIC, "bilinear": Image.BILINEAR, "nearest": Image.NEAREST}[resample]
+    pil = Image.fromarray(img.astype(np.uint8) if img.dtype != np.uint8 else img)
+    return np.asarray(pil.resize((width, height), rs))
+
+
+def resize_shortest_edge(img: np.ndarray, size: int, resample: str = "bicubic") -> np.ndarray:
+    h, w = img.shape[:2]
+    if h < w:
+        nh, nw = size, max(1, round(w * size / h))
+    else:
+        nh, nw = max(1, round(h * size / w)), size
+    return resize(img, nh, nw, resample)
+
+
+def center_crop(img: np.ndarray, height: int, width: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    top = (h - height) // 2
+    left = (w - width) // 2
+    if top < 0 or left < 0:  # pad then crop (HF semantics)
+        out = np.zeros((max(h, height), max(w, width), img.shape[2]), img.dtype)
+        t0 = (out.shape[0] - h) // 2
+        l0 = (out.shape[1] - w) // 2
+        out[t0 : t0 + h, l0 : l0 + w] = img
+        img, (h, w) = out, out.shape[:2]
+        top = (h - height) // 2
+        left = (w - width) // 2
+    return img[top : top + height, left : left + width]
+
+
+def rescale_normalize(img: np.ndarray, mean: Sequence[float], std: Sequence[float],
+                      scale: float = 1 / 255.0) -> np.ndarray:
+    x = img.astype(np.float32) * scale
+    return (x - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+
+
+@dataclass
+class ClipImageProcessor:
+    """CLIP/ViT pipeline (reference ClipPreProcess.cpp): shortest-edge resize
+    -> center crop -> rescale+normalize -> CHW float."""
+
+    size: int = 224
+    crop: int = 224
+    mean: tuple = CLIP_MEAN
+    std: tuple = CLIP_STD
+    resample: str = "bicubic"
+
+    def __call__(self, images) -> np.ndarray:
+        if not isinstance(images, (list, tuple)):
+            images = [images]
+        out = []
+        for im in images:
+            x = load_image(im)
+            x = resize_shortest_edge(x, self.size, self.resample)
+            x = center_crop(x, self.crop, self.crop)
+            x = rescale_normalize(x, self.mean, self.std)
+            out.append(x.transpose(2, 0, 1))  # CHW
+        return np.stack(out)  # [B, 3, H, W]
+
+
+# ---------------------------------------------------------------------------
+# Qwen2-VL (processing_qwen2_vl.hpp:67-77,84-179)
+# ---------------------------------------------------------------------------
+
+IMAGE_FACTOR = 28
+MIN_PIXELS = 4 * 28 * 28
+MAX_PIXELS = 16384 * 28 * 28
+MAX_RATIO = 200
+
+
+def smart_resize(height: int, width: int, factor: int = IMAGE_FACTOR,
+                 min_pixels: int = MIN_PIXELS, max_pixels: int = MAX_PIXELS) -> tuple[int, int]:
+    """Qwen2-VL pixel-budgeted resize to multiples of `factor`."""
+    if max(height, width) / min(height, width) > MAX_RATIO:
+        raise ValueError(f"aspect ratio must be < {MAX_RATIO}")
+    round_by = lambda v, f: round(v / f) * f
+    floor_by = lambda v, f: math.floor(v / f) * f
+    ceil_by = lambda v, f: math.ceil(v / f) * f
+    h_bar = max(factor, round_by(height, factor))
+    w_bar = max(factor, round_by(width, factor))
+    if h_bar * w_bar > max_pixels:
+        beta = math.sqrt((height * width) / max_pixels)
+        h_bar = floor_by(height / beta, factor)
+        w_bar = floor_by(width / beta, factor)
+    elif h_bar * w_bar < min_pixels:
+        beta = math.sqrt(min_pixels / (height * width))
+        h_bar = ceil_by(height * beta, factor)
+        w_bar = ceil_by(width * beta, factor)
+    return h_bar, w_bar
+
+
+@dataclass
+class Qwen2VLImageProcessor:
+    """smart_resize -> normalize -> 3D patchify (temporal=2, patch=14, merge=2).
+
+    Returns (patches [grid_t*grid_h*grid_w, C*tps*ps*ps], grid_thw (t, h, w))
+    — exactly the reference's convertPatches layout
+    (processing_qwen2_vl.hpp:119-179), which feeds Conv3d as a matmul.
+    """
+
+    patch_size: int = 14
+    temporal_patch_size: int = 2
+    merge_size: int = 2
+    mean: tuple = CLIP_MEAN
+    std: tuple = CLIP_STD
+    min_pixels: int = MIN_PIXELS
+    max_pixels: int = MAX_PIXELS
+
+    def __call__(self, images) -> tuple[np.ndarray, tuple[int, int, int]]:
+        if not isinstance(images, (list, tuple)):
+            images = [images]
+        frames = []
+        for im in images:
+            x = load_image(im)
+            h, w = x.shape[:2]
+            nh, nw = smart_resize(h, w, IMAGE_FACTOR, self.min_pixels, self.max_pixels)
+            x = resize(x, nh, nw, "bicubic")
+            x = rescale_normalize(x, self.mean, self.std)
+            frames.append(x.transpose(2, 0, 1))  # CHW
+        pixel = np.stack(frames)  # [T, C, H, W]
+        if pixel.shape[0] % self.temporal_patch_size != 0:
+            # repeat last frame (single images: T=1 -> 2)
+            reps = self.temporal_patch_size - pixel.shape[0] % self.temporal_patch_size
+            pixel = np.concatenate([pixel, np.repeat(pixel[-1:], reps, axis=0)])
+        return self.patchify(pixel)
+
+    def patchify(self, pixel: np.ndarray) -> tuple[np.ndarray, tuple[int, int, int]]:
+        t, c, h, w = pixel.shape
+        ps, tps, ms = self.patch_size, self.temporal_patch_size, self.merge_size
+        grid_t, grid_h, grid_w = t // tps, h // ps, w // ps
+        x = pixel.reshape(grid_t, tps, c, grid_h // ms, ms, ps, grid_w // ms, ms, ps)
+        x = x.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+        patches = x.reshape(grid_t * grid_h * grid_w, c * tps * ps * ps)
+        return np.ascontiguousarray(patches, np.float32), (grid_t, grid_h, grid_w)

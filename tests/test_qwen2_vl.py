@@ -1,0 +1,155 @@
+"""Qwen2-VL parity vs transformers (tiny config): vision tower, M-RoPE
+position computation, image splice, end-to-end logits + greedy decode."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import torch
+
+IMG = 151655
+VID = 151656
+VSTART = 151652
+
+
+@pytest.fixture(scope="module")
+def tiny_vl(tmp_path_factory):
+    import transformers
+
+    torch.manual_seed(0)
+    cfg = transformers.Qwen2VLConfig(
+        vocab_size=151936, hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+        rope_theta=10000.0, tie_word_embeddings=False,
+        rope_scaling={"type": "mrope", "mrope_section": [1, 1, 2]},
+        vision_config=dict(depth=2, embed_dim=32, hidden_size=32, mlp_ratio=2.0,
+                           num_heads=4, in_channels=3, patch_size=14,
+                           temporal_patch_size=2, spatial_merge_size=2),
+    )
+    model = transformers.Qwen2VLForConditionalGeneration(cfg).eval()
+    d = tmp_path_factory.mktemp("qwen2vl")
+    model.save_pretrained(d)
+    return model, str(d)
+
+
+def _ours(d):
+    from mllm_tpu.core.param_loader import SafetensorsLoader
+    from mllm_tpu.models.qwen2_vl import load_qwen2_vl, qwen2_vl_config_from_hf
+
+    cfg = qwen2_vl_config_from_hf(d)
+    return load_qwen2_vl(SafetensorsLoader(d), cfg, jnp.float32), cfg
+
+
+def _inputs():
+    # image grid 2x(4x4) patches -> merged 2x2 = 4 image tokens
+    rng = np.random.default_rng(0)
+    grid = (1, 4, 4)
+    patches = rng.standard_normal((16, 3 * 2 * 14 * 14)).astype(np.float32)
+    ids = np.array([[10, 20, VSTART] + [IMG] * 4 + [30, 40, 50]], np.int64)
+    return ids, patches, grid
+
+
+def test_get_rope_index_matches_hf(tiny_vl):
+    from mllm_tpu.models.qwen2_vl import get_rope_index
+
+    hf, d = tiny_vl
+    ids, _, grid = _inputs()
+    hf_pos, hf_delta = hf.model.get_rope_index(
+        torch.from_numpy(ids), image_grid_thw=torch.tensor([list(grid)]),
+    )
+    pos, delta = get_rope_index(ids[0], [grid], IMG, VID, 2)
+    np.testing.assert_array_equal(pos, hf_pos[:, 0].numpy())
+    assert delta == int(hf_delta[0])
+
+
+def test_vision_tower_parity(tiny_vl):
+    hf, d = tiny_vl
+    ours, cfg = _ours(d)
+    ids, patches, grid = _inputs()
+    with torch.no_grad():
+        hf_embeds = hf.model.visual(torch.from_numpy(patches),
+                                    grid_thw=torch.tensor([list(grid)])).numpy()
+    our_embeds = np.asarray(ours.visual(jnp.asarray(patches), grid))
+    np.testing.assert_allclose(our_embeds, hf_embeds, rtol=2e-3, atol=2e-3)
+
+
+def test_e2e_logits_parity(tiny_vl):
+    hf, d = tiny_vl
+    ours, cfg = _ours(d)
+    ids, patches, grid = _inputs()
+    with torch.no_grad():
+        out = hf(input_ids=torch.from_numpy(ids),
+                 pixel_values=torch.from_numpy(patches),
+                 image_grid_thw=torch.tensor([list(grid)]))
+    hf_logits = out.logits.numpy()
+
+    from mllm_tpu.models.qwen2_vl import get_rope_index
+
+    pos, delta = get_rope_index(ids[0], [grid], IMG, VID, 2)
+    cache = ours.init_cache(1, 32, jnp.float32)
+    logits, cache = ours(
+        jnp.asarray(ids, jnp.int32), cache,
+        patches=jnp.asarray(patches), grid_thw=grid,
+        positions=jnp.asarray(pos[:, None, :]), last_only=False,
+    )
+    np.testing.assert_allclose(np.asarray(logits), hf_logits, rtol=2e-3, atol=2e-3)
+
+
+def test_greedy_decode_parity(tiny_vl):
+    hf, d = tiny_vl
+    ours, cfg = _ours(d)
+    ids, patches, grid = _inputs()
+    with torch.no_grad():
+        hf_out = hf.generate(
+            inputs=torch.from_numpy(ids), pixel_values=torch.from_numpy(patches),
+            image_grid_thw=torch.tensor([list(grid)]), max_new_tokens=6,
+            do_sample=False, eos_token_id=None, pad_token_id=0,
+        )[0, ids.shape[1]:].numpy()
+
+    from mllm_tpu.models.qwen2_vl import get_rope_index
+
+    pos, delta = get_rope_index(ids[0], [grid], IMG, VID, 2)
+    cache = ours.init_cache(1, 64, jnp.float32)
+    logits, cache = ours(
+        jnp.asarray(ids, jnp.int32), cache,
+        patches=jnp.asarray(patches), grid_thw=grid,
+        positions=jnp.asarray(pos[:, None, :]), last_only=True,
+    )
+    toks = []
+    next_pos = ids.shape[1] + delta  # decode positions advance scalar (ref :423-432)
+    for i in range(6):
+        t = int(np.argmax(np.asarray(logits)[0, 0]))
+        toks.append(t)
+        p = np.full((3, 1, 1), next_pos + i, np.int32)
+        logits, cache = ours(jnp.asarray([[t]], jnp.int32), cache,
+                             positions=jnp.asarray(p), last_only=True)
+    np.testing.assert_array_equal(np.asarray(toks), hf_out)
+
+
+def test_processor_expansion_and_vl_generate(tiny_vl):
+    """Processor pad-expansion + streaming vl_generate path."""
+    from mllm_tpu.models.qwen2_vl import vl_generate
+    from mllm_tpu.processor.qwen2_vl import Qwen2VLProcessor, Qwen2VLProcessorOutput
+
+    class StubTok:
+        def encode(self, text, bos=False):
+            # map words/specials to ids; image pad -> IMG
+            out = []
+            for part in text.replace("<|image_pad|>", " <IMG> ").split():
+                out.append(IMG if part == "<IMG>" else abs(hash(part)) % 1000)
+            return out
+
+    proc = Qwen2VLProcessor(StubTok(), image_token_id=IMG)
+    import numpy as np
+    rng = np.random.default_rng(0)
+    # patchify a fake 56x56 image -> grid (1, 4, 4) -> 4 merged tokens
+    img = rng.integers(0, 255, (56, 56, 3), dtype=np.uint8)
+    out = proc("hello <|image_pad|> world", images=img)
+    assert out.grid_thw == (1, 4, 4)
+    assert (out.input_ids == IMG).sum() == 4
+    assert out.position_ids.shape == (3, 1, out.input_ids.shape[1])
+
+    hf, d = tiny_vl
+    ours, cfg = _ours(d)
+    cache = ours.init_cache(1, 64, jnp.float32)
+    toks, cache = vl_generate(ours, out, cache, max_new_tokens=4)
+    assert len(toks) == 4

@@ -1,0 +1,86 @@
+"""Vision stack parity: processors and CLIP vs transformers (torch CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import torch
+
+
+def test_clip_image_processor_matches_hf():
+    from transformers import CLIPImageProcessor as HFProc
+
+    from mllm_tpu.processor.image import ClipImageProcessor
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (93, 157, 3), dtype=np.uint8)
+    hf = HFProc(size={"shortest_edge": 224}, crop_size={"height": 224, "width": 224},
+                do_convert_rgb=True, resample=3)
+    expected = hf(images=img, return_tensors="np")["pixel_values"]
+    ours = ClipImageProcessor()(img)
+    np.testing.assert_allclose(ours, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_qwen2vl_processor_matches_hf():
+    from transformers.models.qwen2_vl.image_processing_qwen2_vl import Qwen2VLImageProcessor as HFProc
+
+    from mllm_tpu.processor.image import Qwen2VLImageProcessor
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (120, 200, 3), dtype=np.uint8)
+    hf = HFProc(min_pixels=4 * 28 * 28, max_pixels=16384 * 28 * 28)
+    out = hf(images=[img], return_tensors="np")
+    expected = out["pixel_values"]
+    grid = out["image_grid_thw"][0]
+    patches, thw = Qwen2VLImageProcessor()(img)
+    assert tuple(grid) == thw
+    np.testing.assert_allclose(patches, expected, rtol=2e-2, atol=2e-2)
+
+
+def test_smart_resize():
+    from mllm_tpu.processor.image import smart_resize
+
+    h, w = smart_resize(120, 200)
+    assert h % 28 == 0 and w % 28 == 0
+    # huge image gets scaled down under max_pixels
+    h, w = smart_resize(8000, 8000)
+    assert h * w <= 16384 * 28 * 28
+
+
+@pytest.fixture(scope="module")
+def tiny_clip(tmp_path_factory):
+    import transformers
+
+    torch.manual_seed(0)
+    cfg = transformers.CLIPConfig(
+        text_config_dict=dict(vocab_size=99, hidden_size=32, intermediate_size=64,
+                              num_hidden_layers=2, num_attention_heads=4,
+                              max_position_embeddings=16, eos_token_id=98),
+        vision_config_dict=dict(hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+                                num_attention_heads=4, image_size=28, patch_size=14),
+        projection_dim=24,
+    )
+    model = transformers.CLIPModel(cfg).eval()
+    d = tmp_path_factory.mktemp("clip")
+    model.save_pretrained(d)
+    return model, str(d)
+
+
+def test_clip_model_parity(tiny_clip):
+    from mllm_tpu.core.param_loader import SafetensorsLoader
+    from mllm_tpu.models.clip import clip_config_from_hf, load_clip
+
+    hf, d = tiny_clip
+    cfg = clip_config_from_hf(d)
+    ours = load_clip(SafetensorsLoader(d), cfg, jnp.float32)
+
+    rng = np.random.default_rng(2)
+    pixel = rng.standard_normal((2, 3, 28, 28)).astype(np.float32)
+    ids = np.array([[5, 9, 2, 98, 0, 0], [7, 7, 7, 7, 7, 98]], np.int64)
+
+    with torch.no_grad():
+        out = hf(input_ids=torch.from_numpy(ids), pixel_values=torch.from_numpy(pixel),
+                 attention_mask=torch.ones_like(torch.from_numpy(ids)))
+    ours_logits = ours(jnp.asarray(ids, jnp.int32), jnp.asarray(pixel))
+    np.testing.assert_allclose(
+        np.asarray(ours_logits), out.logits_per_image.numpy(), rtol=2e-3, atol=2e-3
+    )
