@@ -123,6 +123,22 @@ def from_hf_config(path_or_dict, **overrides) -> TextConfig:
     if mt == "qwen3":
         kw["attention_bias"] = False
         kw["qk_norm"] = True
+    # MoE families
+    if mt == "mixtral":
+        kw["num_experts"] = cfg.get("num_local_experts", 8)
+        kw["num_experts_per_tok"] = cfg.get("num_experts_per_tok", 2)
+        kw["moe_norm_topk_prob"] = True
+    if mt == "qwen2_moe":
+        kw["num_experts"] = cfg.get("num_experts", 60)
+        kw["num_experts_per_tok"] = cfg.get("num_experts_per_tok", 4)
+        kw["moe_norm_topk_prob"] = bool(cfg.get("norm_topk_prob", False))
+        kw["moe_shared_expert_size"] = cfg.get("shared_expert_intermediate_size", 0)
+        kw["intermediate_size"] = cfg.get("moe_intermediate_size", kw.get("intermediate_size"))
+        kw["attention_bias"] = True
+    if mt == "minicpm_moe":
+        kw["num_experts"] = cfg.get("num_experts", 8)
+        kw["num_experts_per_tok"] = cfg.get("num_experts_per_tok", 2)
+        kw["moe_norm_topk_prob"] = True
     if mt in ("gemma", "gemma2"):
         kw["embedding_multiplier"] = float(kw.get("hidden_size", 2048)) ** 0.5
         kw["hidden_act"] = cfg.get("hidden_activation", cfg.get("hidden_act", "gelu_pytorch_tanh"))

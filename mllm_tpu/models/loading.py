@@ -109,7 +109,10 @@ def _split_rows(loader, name: str, splits: list[int], in_f: int):
 
 
 def load_causal_lm(loader, cfg: TextConfig, dtype=jnp.bfloat16,
-                   quant: QuantMode = None, names: NameMap = None) -> CausalLM:
+                   quant: QuantMode = None, names: NameMap = None,
+                   mlp_builder=None) -> CausalLM:
+    """mlp_builder(loader, layer_prefix, layer_idx) -> Module overrides the
+    dense MLP (used for MoE layers)."""
     nm = names or NameMap()
     d, hd = cfg.hidden_size, cfg.head_dim_
     h, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
@@ -150,16 +153,19 @@ def load_causal_lm(loader, cfg: TextConfig, dtype=jnp.bfloat16,
             kn = RMSNorm(jnp.asarray(load_tensor(loader, p + nm.k_norm, (hd,)), dtype), cfg.rms_norm_eps)
         attn = Attention(q_proj, k_proj, v_proj, o_proj, qn, kn, cfg, i)
 
-        if _has(loader, p + nm.gate_up + ".weight"):
-            wg, wu = _split_rows(loader, p + nm.gate_up + ".weight",
-                                 [cfg.intermediate_size, cfg.intermediate_size], d)
-            gate = _maybe_quant_from_float(wg, dtype, quant)
-            up = _maybe_quant_from_float(wu, dtype, quant)
+        if mlp_builder is not None:
+            mlp = mlp_builder(loader, p, i)
         else:
-            gate = make_linear(loader, p + nm.gate, cfg.intermediate_size, d, dtype, quant)
-            up = make_linear(loader, p + nm.up, cfg.intermediate_size, d, dtype, quant)
-        down = make_linear(loader, p + nm.down, d, cfg.intermediate_size, dtype, quant)
-        mlp = MLP(gate, up, down, cfg.hidden_act)
+            if _has(loader, p + nm.gate_up + ".weight"):
+                wg, wu = _split_rows(loader, p + nm.gate_up + ".weight",
+                                     [cfg.intermediate_size, cfg.intermediate_size], d)
+                gate = _maybe_quant_from_float(wg, dtype, quant)
+                up = _maybe_quant_from_float(wu, dtype, quant)
+            else:
+                gate = make_linear(loader, p + nm.gate, cfg.intermediate_size, d, dtype, quant)
+                up = make_linear(loader, p + nm.up, cfg.intermediate_size, d, dtype, quant)
+            down = make_linear(loader, p + nm.down, d, cfg.intermediate_size, dtype, quant)
+            mlp = MLP(gate, up, down, cfg.hidden_act)
 
         pre_ffn = post_ffn = None
         if cfg.post_norm:

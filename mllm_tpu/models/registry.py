@@ -28,7 +28,58 @@ def build_model(cfg: TextConfig, loader, dtype=jnp.bfloat16, quant=None):
     if mt in ("qwen2", "qwen3", "llama", "mistral", "gemma", "gemma2", "stablelm",
               "phi3", "phonelm", "smollm", "dclm", "tinyllama"):
         return load_causal_lm(loader, cfg, dtype, quant)
+    if mt in ("mixtral", "qwen2_moe", "minicpm_moe"):
+        from .moe import load_moe_mlp
+
+        if mt == "mixtral":
+            def mlp_builder(ld, prefix, i):
+                return load_moe_mlp(
+                    ld, prefix + "block_sparse_moe.", cfg, dtype,
+                    expert_prefix="experts.{e}.", router_name="gate",
+                )
+            # mixtral expert proj names are w1/w3/w2 — handled via name shim below
+            mlp_builder = _mixtral_mlp_builder(cfg, dtype)
+        elif mt == "qwen2_moe":
+            def mlp_builder(ld, prefix, i):
+                return load_moe_mlp(
+                    ld, prefix + "mlp.", cfg, dtype,
+                    expert_prefix="experts.{e}.", router_name="gate",
+                    shared_prefix="shared_expert.", shared_gate_name="shared_expert_gate",
+                )
+        else:  # minicpm_moe
+            def mlp_builder(ld, prefix, i):
+                return load_moe_mlp(
+                    ld, prefix + "mlp.", cfg, dtype,
+                    expert_prefix="experts.{e}.", router_name="gate",
+                )
+        return load_causal_lm(loader, cfg, dtype, quant, mlp_builder=mlp_builder)
+    if mt in ("qwen2_vl", "qwen2_5_vl"):
+        from .qwen2_vl import load_qwen2_vl, qwen2_vl_config_from_hf
+
+        raise NotImplementedError("use models.qwen2_vl.load_qwen2_vl for VL checkpoints")
     raise NotImplementedError(f"model_type {mt}")
+
+
+def _mixtral_mlp_builder(cfg, dtype):
+    import numpy as np
+    import jax.numpy as jnp
+    from .moe import MoEMLP
+
+    def build(ld, prefix, i):
+        d, ff, e = cfg.hidden_size, cfg.intermediate_size, cfg.num_experts
+        p = prefix + "block_sparse_moe."
+        router = jnp.asarray(ld.load(p + "gate.weight", (e, d)), dtype)
+        g, u, dn = [], [], []
+        for j in range(e):
+            ep = f"{p}experts.{j}."
+            g.append(ld.load(ep + "w1.weight", (ff, d)).T)
+            u.append(ld.load(ep + "w3.weight", (ff, d)).T)
+            dn.append(ld.load(ep + "w2.weight", (d, ff)).T)
+        return MoEMLP(router, jnp.asarray(np.stack(g), dtype), jnp.asarray(np.stack(u), dtype),
+                      jnp.asarray(np.stack(dn), dtype), cfg.num_experts_per_tok,
+                      cfg.moe_norm_topk_prob, cfg.hidden_act)
+
+    return build
 
 
 def open_loader(path: str):

@@ -1,0 +1,81 @@
+"""Speculative decoding: suffix-automaton drafting, tree metadata, and
+output equivalence with plain greedy decoding (the SD correctness invariant)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mllm_tpu.core.config import TextConfig
+from mllm_tpu.generation.draft import SuffixAutomaton, TracePool
+from mllm_tpu.generation.generate import generate
+from mllm_tpu.generation.sampling import SamplingConfig
+from mllm_tpu.generation.speculative import speculative_generate
+from mllm_tpu.models.transformer import CausalLM
+
+
+def test_suffix_automaton_match_and_draft():
+    sa = SuffixAutomaton()
+    sa.add_tokens([1, 2, 3, 9, 1, 2, 3])
+    # current suffix [1,2,3] matched an earlier occurrence ending at index 2
+    assert sa.match_len == 3
+    draft = sa.lookup(max_draft=4)
+    assert draft[:1] == [9]  # continuation after the earlier [1,2,3]
+
+
+def test_suffix_automaton_no_match():
+    sa = SuffixAutomaton()
+    sa.add_tokens([1, 2, 3, 4, 5])
+    assert sa.lookup(min_match=1) == []
+
+
+def test_trace_pool_tree():
+    tp = TracePool()
+    tp.add_trace([5, 6, 7])
+    tp.add_trace([5, 8])
+    ids, pos, anc = tp.build_tree(base_pos=10)
+    np.testing.assert_array_equal(ids, [5, 6, 7, 5, 8])
+    np.testing.assert_array_equal(pos, [10, 11, 12, 10, 11])
+    np.testing.assert_array_equal(anc, [-1, 0, 1, -1, 3])
+    bias = TracePool.tree_bias(anc)
+    assert bias[2, 0] == 0.0 and bias[2, 1] == 0.0  # ancestors visible
+    assert bias[2, 3] < -1e20  # other trace masked
+    # posterior: predictions confirm trace 0 fully
+    ti, n = tp.eval_posterior(np.array([6, 7, 99, 9, 9]))
+    assert (ti, n) == (0, 2)
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = TextConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=512,
+        eos_token_id=-3, rope_theta=10000.0,
+    )
+    return CausalLM.init(jax.random.PRNGKey(3), cfg)
+
+
+def test_speculative_equals_greedy(model):
+    ids = np.array([[5, 9, 2, 7, 5, 9, 2]], np.int32)
+    cache = model.init_cache(1, 256, jnp.float32)
+    res, _ = generate(model, ids, cache, SamplingConfig(max_new_tokens=40),
+                      eos_token_id={-9}, bucket=128)
+
+    cache2 = model.init_cache(1, 256, jnp.float32)
+    out, cache2, stats = speculative_generate(
+        model, ids, cache2, max_new_tokens=40, eos_token_id={-9}, max_draft=6,
+    )
+    assert out == res.tokens, f"spec {out} != greedy {res.tokens}"
+    # tiny models repeat; the suffix automaton must accept something
+    assert stats.drafted > 0
+    assert stats.accepted > 0
+
+
+def test_speculative_stats(model):
+    ids = np.array([[1, 2, 3, 1, 2, 3, 1, 2]], np.int32)
+    cache = model.init_cache(1, 256, jnp.float32)
+    out, cache, stats = speculative_generate(
+        model, ids, cache, max_new_tokens=24, eos_token_id={-9}, max_draft=8,
+    )
+    assert stats.tokens == len(out) == 24
+    assert 0.0 <= stats.acceptance <= 1.0
