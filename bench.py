@@ -4,12 +4,15 @@
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-The headline metric is decode tok/s on the flagship decoder config
-(BASELINE.md north star: Qwen2-VL-2B >= 2000 decode tok/s on one v5e chip).
-Until the full Qwen2-VL stack lands, this benches the Qwen2-class LM decode
-path (bf16 weights, Pallas decode attention, on-device sampling loop).
+Headline: single-stream decode tok/s of the Qwen2-VL-2B language model with
+int8 weights (BASELINE.md north-star config #4's LM).  `--config` selects
+others (see CONFIGS); `--all` runs everything and reports the headline.
+
+Note: np.asarray is the device-sync point (block_until_ready is unreliable
+through the axon remote relay — see .claude/skills/verify/SKILL.md).
 """
 
+import argparse
 import json
 import sys
 import time
@@ -18,87 +21,155 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from mllm_tpu.core.config import TextConfig
+from mllm_tpu.generation.generate import _prefill, _decode_step_inner, generate_compiled, pad_to_bucket
+from mllm_tpu.generation.sampling import SamplingConfig
+from mllm_tpu.models.transformer import CausalLM
 
-def bench_decoder(prompt_len=128, decode_tokens=256, max_len=2048):
-    from mllm_tpu.core.config import TextConfig
-    from mllm_tpu.models.transformer import CausalLM
-    from mllm_tpu.generation.generate import generate_compiled, pad_to_bucket
-    from mllm_tpu.generation.sampling import SamplingConfig
+# Qwen2-VL-2B language-model geometry (vision tower benched separately)
+QWEN2VL_2B_LM = TextConfig(
+    vocab_size=151936, hidden_size=1536, intermediate_size=8960,
+    num_hidden_layers=28, num_attention_heads=12, num_key_value_heads=2, head_dim=128,
+    max_position_embeddings=32768, eos_token_id=-2,
+)
+QWEN15_05B = TextConfig(
+    vocab_size=151936, hidden_size=1024, intermediate_size=2816,
+    num_hidden_layers=24, num_attention_heads=16, num_key_value_heads=16,
+    max_position_embeddings=32768, eos_token_id=-2,
+)
+TINYLLAMA = TextConfig(
+    vocab_size=32000, hidden_size=2048, intermediate_size=5632,
+    num_hidden_layers=22, num_attention_heads=32, num_key_value_heads=4,
+    max_position_embeddings=2048, rope_theta=10000.0, attention_bias=False,
+    tie_word_embeddings=False, eos_token_id=-2,
+)
 
-    t_load0 = time.perf_counter()
-    # Qwen2-0.5B geometry (reference configuration_qwen.hpp "0.5b");
-    # stand-in for Qwen2-VL-2B's LM until the vision stack lands.
-    cfg = TextConfig(
-        vocab_size=151936, hidden_size=1024, intermediate_size=2816,
-        num_hidden_layers=24, num_attention_heads=16, num_key_value_heads=16,
-        max_position_embeddings=32768, eos_token_id=-2,
-    )
-    model = CausalLM.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-    t_load = time.perf_counter() - t_load0
+CONFIGS = {
+    # name: (text config, quant mode, batch)
+    "qwen2vl-2b-int8": (QWEN2VL_2B_LM, "int8", 1),
+    "qwen2vl-2b-int4": (QWEN2VL_2B_LM, "int4", 1),
+    "qwen2vl-2b-bf16": (QWEN2VL_2B_LM, None, 1),
+    "qwen2vl-2b-int8-b8": (QWEN2VL_2B_LM, "int8", 8),
+    "qwen1.5-0.5b-bf16": (QWEN15_05B, None, 1),
+    "tinyllama-1.1b-int4": (TINYLLAMA, "int4", 1),
+}
 
-    ids = np.random.randint(0, cfg.vocab_size, (1, prompt_len)).astype(np.int32)
-    padded = jnp.asarray(pad_to_bucket(ids, 128))
-    scfg = SamplingConfig(max_new_tokens=decode_tokens)
+PROMPT_LEN = 128
+DECODE_TOKENS = 128
+MAX_LEN = 2048
 
-    def run():
-        # NB: np.asarray (host transfer) is the sync point; block_until_ready
-        # is not reliable through the remote-execution relay.
-        cache = model.init_cache(1, max_len, jnp.bfloat16)
-        toks, n = generate_compiled(
-            model, padded, cache, prompt_len, decode_tokens, scfg, eos_token_id=-7
-        )
-        return np.asarray(toks), n
 
-    # warm-up compile
+def build_model(cfg: TextConfig, quant):
+    """Random-weight model (the bench measures compute, not checkpoints);
+    init + quantize on CPU to avoid relay transfers."""
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        model = CausalLM.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+        if quant:
+            from mllm_tpu.ops.quantize_model import quantize_model
+
+            model = quantize_model(model, quant)
+    return jax.device_put(model, jax.devices()[0])
+
+
+def bench_config(name: str) -> dict:
+    cfg, quant, batch = CONFIGS[name]
     t0 = time.perf_counter()
-    run()
-    t_compile = time.perf_counter() - t0
+    model = build_model(cfg, quant)
+    t_load = time.perf_counter() - t0
 
-    # timed runs
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        toks, n = run()
-        times.append(time.perf_counter() - t0)
-    t_total = min(times)
-    if "--debug" in sys.argv:
-        print("times:", times, "n:", int(n), file=sys.stderr)
+    ids = np.random.randint(0, cfg.vocab_size, (batch, PROMPT_LEN)).astype(np.int32)
+    padded = jnp.asarray(ids)
+    scfg = SamplingConfig(max_new_tokens=DECODE_TOKENS)
 
-    # separate prefill timing (TTFT): jitted prefill alone
-    from mllm_tpu.generation.generate import _prefill
-
-    cache = model.init_cache(1, max_len, jnp.bfloat16)
-    logits, cache2 = _prefill(model, cache, padded, prompt_len)
+    # TTFT: prefill alone (fresh cache each run)
+    cache = model.init_cache(batch, MAX_LEN, jnp.bfloat16)
+    logits, cache2 = _prefill(model, cache, padded, PROMPT_LEN)
     np.asarray(logits)
-    cache = model.init_cache(1, max_len, jnp.bfloat16)
+    cache = model.init_cache(batch, MAX_LEN, jnp.bfloat16)
     t0 = time.perf_counter()
-    logits, cache2 = _prefill(model, cache, padded, prompt_len)
+    logits, cache2 = _prefill(model, cache, padded, PROMPT_LEN)
     np.asarray(logits)
     ttft = time.perf_counter() - t0
+    del cache2
 
-    decode_time = max(t_total - ttft, 1e-9)
-    decode_tps = (decode_tokens - 1) / decode_time
-    prefill_tps = prompt_len / ttft
+    if batch == 1:
+        def run():
+            cache = model.init_cache(1, MAX_LEN, jnp.bfloat16)
+            toks, n = generate_compiled(model, padded, cache, PROMPT_LEN,
+                                        DECODE_TOKENS, scfg, eos_token_id=-7)
+            return np.asarray(toks)
+
+        t0 = time.perf_counter()
+        run()
+        t_compile = time.perf_counter() - t0
+        t_total = min(_timeit(run) for _ in range(3))
+        decode_tps = (DECODE_TOKENS - 1) / max(t_total - ttft, 1e-9)
+    else:
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("steps",), donate_argnames=("cache",))
+        def decode_loop(m, cache, tok, steps):
+            def body(i, state):
+                tok, cache = state
+                logits, cache = _decode_step_inner(m, cache, tok)
+                return jnp.argmax(logits, -1).astype(jnp.int32), cache
+            return jax.lax.fori_loop(0, steps, body, (tok, cache))
+
+        cache = model.init_cache(batch, MAX_LEN, jnp.bfloat16)
+        logits, cache = _prefill(model, cache, padded, PROMPT_LEN)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        t0 = time.perf_counter()
+        tok, cache = decode_loop(model, cache, tok, 8)
+        np.asarray(tok)
+        t_compile = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        tok, cache = decode_loop(model, cache, tok, DECODE_TOKENS)
+        np.asarray(tok)
+        dt = time.perf_counter() - t0
+        decode_tps = batch * DECODE_TOKENS / dt
 
     return {
-        "load_s": round(t_load, 3),
+        "config": name,
+        "batch": batch,
+        "load_s": round(t_load, 2),
         "compile_s": round(t_compile, 1),
         "ttft_s": round(ttft, 4),
-        "prefill_tps": round(prefill_tps, 1),
+        "prefill_tps": round(batch * PROMPT_LEN / ttft, 1),
         "decode_tps": round(decode_tps, 1),
     }
 
 
+def _timeit(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def main():
-    stats = bench_decoder()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="qwen2vl-2b-int8", choices=list(CONFIGS))
+    ap.add_argument("--all", action="store_true")
+    args = ap.parse_args()
+
+    names = list(CONFIGS) if args.all else [args.config]
+    details = []
+    for n in names:
+        try:
+            details.append(bench_config(n))
+            print(json.dumps(details[-1]), file=sys.stderr)
+        except Exception as e:  # keep the harness alive across configs
+            print(json.dumps({"config": n, "error": str(e)[:200]}), file=sys.stderr)
+
+    head = next((d for d in details if d["config"] == "qwen2vl-2b-int8"), details[0] if details else {})
     result = {
-        "metric": "decode_tok_s_qwen2_0.5b_bf16",
-        "value": stats["decode_tps"],
+        "metric": "decode_tok_s_qwen2vl_2b_lm_int8",
+        "value": head.get("decode_tps", 0.0),
         "unit": "tok/s",
-        # reference publishes no absolute numbers (BASELINE.md); north star for
-        # Qwen2-VL-2B decode is 2000 tok/s — report ratio against that bar.
-        "vs_baseline": round(stats["decode_tps"] / 2000.0, 3),
-        "detail": stats,
+        # reference publishes no absolute numbers (BASELINE.md); the north star
+        # for Qwen2-VL-2B decode is 2000 tok/s — report against that bar.
+        "vs_baseline": round(head.get("decode_tps", 0.0) / 2000.0, 3),
+        "detail": details,
     }
     print(json.dumps(result))
 

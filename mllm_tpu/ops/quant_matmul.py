@@ -44,6 +44,14 @@ def _use_pallas() -> bool:
     return on_tpu()
 
 
+def _int8_impl() -> str:
+    """'pallas' (default) or 'xla' — XLA reads int8 natively via a fused
+    convert-into-dot; useful to A/B against the Pallas kernel."""
+    import os
+
+    return os.environ.get("MLLM_INT8_IMPL", "xla")
+
+
 # ---------------------------------------------------------------------------
 # int8: y = x @ w  with w int8 [K, N] * scales[N]
 # ---------------------------------------------------------------------------
@@ -77,9 +85,13 @@ def int8_matmul(x: jax.Array, qweight_t: jax.Array, scales: jax.Array,
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
 
-    if not _use_pallas():
-        w = qweight_t.astype(jnp.float32) * scales[None, :]
-        y = x2.astype(jnp.float32) @ w
+    if not _use_pallas() or _int8_impl() == "xla":
+        # per-out-channel scales commute past the contraction: let XLA fuse the
+        # int8->bf16 convert into the dot read and scale the (small) output.
+        y = jax.lax.dot_general(
+            x2.astype(jnp.bfloat16), qweight_t.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        ) * scales[None, :]
         return y.reshape(*orig_shape[:-1], n)
 
     bm = min(block_m, m)
