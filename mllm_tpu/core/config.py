@@ -107,7 +107,8 @@ def from_hf_config(path_or_dict, **overrides) -> TextConfig:
     take("max_position_embeddings")
     take("rms_norm_eps")
     take("rope_theta")
-    take("tie_word_embeddings")
+    take("tie_word_embeddings", default=None)
+    kw.setdefault("tie_word_embeddings", False)  # HF default; qwen sets it explicitly
     take("sliding_window")
     take("bos_token_id")
     take("eos_token_id")
