@@ -287,6 +287,14 @@ _DEQUANT = {
 }
 
 
+_NATIVE_DEQ = {
+    DataType.Q4_0: "q4_0",
+    DataType.Q8_0: "q8_0",
+    DataType.Q4_K: "q4_k",
+    DataType.Q6_K: "q6_k",
+}
+
+
 def decode(raw: bytes | np.ndarray, dt: DataType, n_elems: int) -> np.ndarray:
     """Decode raw container bytes into a float32/int numpy array of n_elems."""
     buf = np.frombuffer(raw, dtype=np.uint8) if isinstance(raw, (bytes, bytearray, memoryview)) else raw
@@ -300,6 +308,12 @@ def decode(raw: bytes | np.ndarray, dt: DataType, n_elems: int) -> np.ndarray:
         return buf.view(np.int16)[:n_elems].copy()
     if dt == DataType.I32:
         return buf.view(np.int32)[:n_elems].copy()
+    if dt in _NATIVE_DEQ:
+        from ..utils import native
+
+        out = native.dequant(_NATIVE_DEQ[dt], buf, n_elems)
+        if out is not None:
+            return out
     fn = _DEQUANT.get(dt)
     if fn is None:
         raise NotImplementedError(f"dequant for {dt!r} not implemented")

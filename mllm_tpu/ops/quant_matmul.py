@@ -292,13 +292,24 @@ def repack_q8_0(raw: np.ndarray, n: int, k: int):
 
 def repack_float_to_int8(w: np.ndarray):
     """float [N, K] -> (values [K, N] int8, scales [N]) per-out-channel."""
-    qv, sc = _dt.quant_q8_per_row_int8(np.asarray(w, np.float32))
+    from ..utils import native
+
+    w = np.asarray(w, np.float32)
+    out = native.repack_int8(w)
+    if out is not None:
+        return out
+    qv, sc = _dt.quant_q8_per_row_int8(w)
     return np.ascontiguousarray(qv.T), sc
 
 
 def repack_float_to_int4(w: np.ndarray, group: int = 32):
     """float [N, K] -> planar int4 (packed [K/2, N], scales [K/G, N]), symmetric."""
+    from ..utils import native
+
     w = np.asarray(w, np.float32)
+    out = native.repack_int4(w, group)
+    if out is not None:
+        return out
     n, k = w.shape
     wg = w.reshape(n, k // group, group)
     amax = np.max(np.abs(wg), axis=-1)

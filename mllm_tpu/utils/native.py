@@ -1,0 +1,139 @@
+"""ctypes bindings for the native C++ runtime library (native/mllm_native.cpp).
+
+Builds on demand with `make -C native` (g++/OpenMP); every function has a
+numpy fallback, so the library is an accelerator, not a hard dependency.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from functools import lru_cache
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libmllm_native.so")
+
+
+@lru_cache(maxsize=1)
+def get_lib():
+    """Load (building if needed) the native library; None on failure."""
+    if os.environ.get("MLLM_NO_NATIVE") == "1":
+        return None
+    try:
+        if not os.path.exists(_LIB_PATH):
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True, timeout=120)
+        lib = ctypes.CDLL(_LIB_PATH)
+    except Exception:
+        return None
+
+    u8 = np.ctypeslib.ndpointer(np.uint8, flags="C")
+    i8 = np.ctypeslib.ndpointer(np.int8, flags="C")
+    i32 = np.ctypeslib.ndpointer(np.int32, flags="C")
+    f32 = np.ctypeslib.ndpointer(np.float32, flags="C")
+    i64 = ctypes.c_int64
+
+    for name in ("dequant_q4_0", "dequant_q8_0", "dequant_q4_k", "dequant_q6_k"):
+        fn = getattr(lib, name)
+        fn.argtypes = [u8, f32, i64]
+        fn.restype = None
+    lib.repack_int8.argtypes = [f32, i64, i64, i8, f32]
+    lib.repack_int4.argtypes = [f32, i64, i64, i64, u8, f32]
+    lib.quant_q8_0.argtypes = [f32, u8, i64]
+    lib.bpe_new_table.argtypes = [i32, i32, i32, i32, i64]
+    lib.bpe_new_table.restype = ctypes.c_void_p
+    lib.bpe_free_table.argtypes = [ctypes.c_void_p]
+    lib.bpe_merge.argtypes = [ctypes.c_void_p, i32, i64]
+    lib.bpe_merge.restype = i64
+    return lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+# -- dequant ---------------------------------------------------------------
+
+_DEQ = {"q4_0": (18, 32), "q8_0": (34, 32), "q4_k": (144, 256), "q6_k": (210, 256)}
+
+
+def dequant(kind: str, raw: np.ndarray, n_elems: int) -> np.ndarray | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    bpb, epb = _DEQ[kind]
+    nb = n_elems // epb
+    out = np.empty(nb * epb, np.float32)
+    getattr(lib, f"dequant_{kind}")(np.ascontiguousarray(raw[: nb * bpb]), out, nb)
+    return out[:n_elems]
+
+
+# -- repack ----------------------------------------------------------------
+
+
+def repack_int8(w: np.ndarray):
+    lib = get_lib()
+    if lib is None:
+        return None
+    n, k = w.shape
+    out = np.empty((k, n), np.int8)
+    scales = np.empty(n, np.float32)
+    lib.repack_int8(np.ascontiguousarray(w, np.float32), n, k, out, scales)
+    return out, scales
+
+
+def repack_int4(w: np.ndarray, group: int = 32):
+    lib = get_lib()
+    if lib is None:
+        return None
+    n, k = w.shape
+    packed = np.empty((k // 2, n), np.uint8)
+    scales = np.empty((k // group, n), np.float32)
+    lib.repack_int4(np.ascontiguousarray(w, np.float32), n, k, group, packed, scales)
+    return packed, scales
+
+
+def quant_q8_0(x: np.ndarray) -> np.ndarray | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.float32)
+    nb = x.size // 32
+    out = np.empty(nb * 34, np.uint8)
+    lib.quant_q8_0(x, out, nb)
+    return out
+
+
+# -- BPE -------------------------------------------------------------------
+
+
+class NativeBpe:
+    """Merge-table holder; symbols are dense int32 ids assigned by the caller."""
+
+    def __init__(self, pairs: dict[tuple[int, int], tuple[int, int]]):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        n = len(pairs)
+        a = np.empty(n, np.int32)
+        b = np.empty(n, np.int32)
+        rank = np.empty(n, np.int32)
+        merged = np.empty(n, np.int32)
+        for i, ((x, y), (r, m)) in enumerate(pairs.items()):
+            a[i], b[i], rank[i], merged[i] = x, y, r, m
+        self._lib = lib
+        self._table = lib.bpe_new_table(a, b, rank, merged, n)
+
+    def merge(self, word_ids: np.ndarray) -> np.ndarray:
+        buf = np.ascontiguousarray(word_ids, np.int32)
+        n = self._lib.bpe_merge(self._table, buf, len(buf))
+        return buf[:n]
+
+    def __del__(self):
+        try:
+            self._lib.bpe_free_table(self._table)
+        except Exception:
+            pass

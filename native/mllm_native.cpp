@@ -1,0 +1,288 @@
+// mllm_tpu native runtime library.
+//
+// C++ (OpenMP) implementations of the host-side hot paths, the TPU-native
+// counterpart of the reference's C++ runtime components (SURVEY.md §2.1-2.2):
+//   - ggml block dequantization (Q4_0/Q8_0/Q4_K/Q6_K) used at checkpoint load
+//     (reference: backends/cpu/third_party/ggml quant kernels)
+//   - float -> int8/int4 repacking for the TPU quant-matmul layouts
+//     (reference: tools/quantizer QuantWriter)
+//   - byte-pair-encoding merge loop (reference: tokenizers/BPE/Bpe.cpp)
+//
+// Exposed as a plain C ABI consumed via ctypes (mllm_tpu/utils/native.py);
+// every entry point has a pure-numpy fallback, so the library is an
+// accelerator, not a dependency.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+#if defined(_OPENMP)
+#include <omp.h>
+#endif
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// fp16 helpers (bit-exact with numpy's float16)
+// ---------------------------------------------------------------------------
+
+static inline float fp16_to_fp32(uint16_t h) {
+    uint32_t sign = (uint32_t)(h & 0x8000) << 16;
+    uint32_t exp = (h >> 10) & 0x1F;
+    uint32_t mant = h & 0x3FF;
+    uint32_t f;
+    if (exp == 0) {
+        if (mant == 0) {
+            f = sign;
+        } else {  // subnormal
+            exp = 127 - 15 + 1;
+            while (!(mant & 0x400)) { mant <<= 1; exp--; }
+            mant &= 0x3FF;
+            f = sign | (exp << 23) | (mant << 13);
+        }
+    } else if (exp == 31) {
+        f = sign | 0x7F800000 | (mant << 13);
+    } else {
+        f = sign | ((exp - 15 + 127) << 23) | (mant << 13);
+    }
+    float out;
+    std::memcpy(&out, &f, 4);
+    return out;
+}
+
+// ---------------------------------------------------------------------------
+// Dequantization (ggml block layouts; see mllm_tpu/core/dtypes.py)
+// ---------------------------------------------------------------------------
+
+void dequant_q4_0(const uint8_t* raw, float* out, int64_t n_blocks) {
+#pragma omp parallel for schedule(static)
+    for (int64_t b = 0; b < n_blocks; b++) {
+        const uint8_t* blk = raw + b * 18;
+        float d = fp16_to_fp32(*(const uint16_t*)blk);
+        float* o = out + b * 32;
+        for (int i = 0; i < 16; i++) {
+            uint8_t q = blk[2 + i];
+            o[i] = ((int)(q & 0x0F) - 8) * d;
+            o[i + 16] = ((int)(q >> 4) - 8) * d;
+        }
+    }
+}
+
+void dequant_q8_0(const uint8_t* raw, float* out, int64_t n_blocks) {
+#pragma omp parallel for schedule(static)
+    for (int64_t b = 0; b < n_blocks; b++) {
+        const uint8_t* blk = raw + b * 34;
+        float d = fp16_to_fp32(*(const uint16_t*)blk);
+        const int8_t* q = (const int8_t*)(blk + 2);
+        float* o = out + b * 32;
+        for (int i = 0; i < 32; i++) o[i] = q[i] * d;
+    }
+}
+
+static inline void q4k_scale_min(const uint8_t* sc, int j, uint8_t* s, uint8_t* m) {
+    if (j < 4) {
+        *s = sc[j] & 63;
+        *m = sc[j + 4] & 63;
+    } else {
+        *s = (sc[j + 4] & 0x0F) | ((sc[j - 4] >> 6) << 4);
+        *m = (sc[j + 4] >> 4) | ((sc[j] >> 6) << 4);
+    }
+}
+
+void dequant_q4_k(const uint8_t* raw, float* out, int64_t n_blocks) {
+#pragma omp parallel for schedule(static)
+    for (int64_t b = 0; b < n_blocks; b++) {
+        const uint8_t* blk = raw + b * 144;
+        float d = fp16_to_fp32(*(const uint16_t*)blk);
+        float dmin = fp16_to_fp32(*(const uint16_t*)(blk + 2));
+        const uint8_t* sc = blk + 4;
+        const uint8_t* qs = blk + 16;
+        float* o = out + b * 256;
+        for (int chunk = 0; chunk < 4; chunk++) {
+            uint8_t s_lo, m_lo, s_hi, m_hi;
+            q4k_scale_min(sc, 2 * chunk, &s_lo, &m_lo);
+            q4k_scale_min(sc, 2 * chunk + 1, &s_hi, &m_hi);
+            float dl = d * s_lo, ml = dmin * m_lo;
+            float dh = d * s_hi, mh = dmin * m_hi;
+            const uint8_t* q = qs + chunk * 32;
+            float* oc = o + chunk * 64;
+            for (int i = 0; i < 32; i++) {
+                oc[i] = (q[i] & 0x0F) * dl - ml;
+                oc[i + 32] = (q[i] >> 4) * dh - mh;
+            }
+        }
+    }
+}
+
+void dequant_q6_k(const uint8_t* raw, float* out, int64_t n_blocks) {
+#pragma omp parallel for schedule(static)
+    for (int64_t b = 0; b < n_blocks; b++) {
+        const uint8_t* blk = raw + b * 210;
+        const uint8_t* ql = blk;
+        const uint8_t* qh = blk + 128;
+        const int8_t* sc = (const int8_t*)(blk + 192);
+        float d = fp16_to_fp32(*(const uint16_t*)(blk + 208));
+        float* o = out + b * 256;
+        for (int half = 0; half < 2; half++) {
+            const uint8_t* qlh = ql + half * 64;
+            const uint8_t* qhh = qh + half * 32;
+            const int8_t* sch = sc + half * 8;
+            float* oh = o + half * 128;
+            for (int l = 0; l < 32; l++) {
+                int is = l / 16;
+                int q1 = (int)((qlh[l] & 0xF) | (((qhh[l] >> 0) & 3) << 4)) - 32;
+                int q2 = (int)((qlh[l + 32] & 0xF) | (((qhh[l] >> 2) & 3) << 4)) - 32;
+                int q3 = (int)((qlh[l] >> 4) | (((qhh[l] >> 4) & 3) << 4)) - 32;
+                int q4 = (int)((qlh[l + 32] >> 4) | (((qhh[l] >> 6) & 3) << 4)) - 32;
+                oh[l] = d * sch[is] * q1;
+                oh[l + 32] = d * sch[is + 2] * q2;
+                oh[l + 64] = d * sch[is + 4] * q3;
+                oh[l + 96] = d * sch[is + 6] * q4;
+            }
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// TPU-layout repacking (float [N, K] row-major inputs)
+// ---------------------------------------------------------------------------
+
+// -> values int8 [K, N] (k-major), scales f32 [N]
+void repack_int8(const float* w, int64_t n, int64_t k, int8_t* out, float* scales) {
+#pragma omp parallel for schedule(static)
+    for (int64_t r = 0; r < n; r++) {
+        const float* row = w + r * k;
+        float amax = 0.f;
+        for (int64_t i = 0; i < k; i++) amax = std::max(amax, std::fabs(row[i]));
+        float s = amax > 0.f ? amax / 127.0f : 1.0f;
+        scales[r] = s;
+        float inv = 1.0f / s;
+        for (int64_t i = 0; i < k; i++) {
+            int v = (int)std::nearbyint(row[i] * inv);
+            v = std::min(127, std::max(-127, v));
+            out[i * n + r] = (int8_t)v;  // transposed store
+        }
+    }
+}
+
+// -> planar packed uint8 [K/2, N], scales f32 [K/G, N] (both k-major)
+void repack_int4(const float* w, int64_t n, int64_t k, int64_t group,
+                 uint8_t* packed, float* scales) {
+    int64_t khalf = k / 2;
+    int64_t ng = k / group;
+#pragma omp parallel for schedule(static)
+    for (int64_t r = 0; r < n; r++) {
+        const float* row = w + r * k;
+        std::vector<uint8_t> q(k);
+        for (int64_t g = 0; g < ng; g++) {
+            const float* seg = row + g * group;
+            float amax = 0.f;
+            for (int64_t i = 0; i < group; i++) amax = std::max(amax, std::fabs(seg[i]));
+            float s = amax > 0.f ? amax / 7.0f : 1.0f;
+            scales[g * n + r] = s;
+            float inv = 1.0f / s;
+            for (int64_t i = 0; i < group; i++) {
+                int v = (int)std::nearbyint(seg[i] * inv) + 8;
+                q[g * group + i] = (uint8_t)std::min(15, std::max(0, v));
+            }
+        }
+        for (int64_t j = 0; j < khalf; j++) {
+            packed[j * n + r] = (uint8_t)(q[j] | (q[j + khalf] << 4));
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Quantization to ggml blocks (offline quantizer hot loop)
+// ---------------------------------------------------------------------------
+
+void quant_q8_0(const float* x, uint8_t* out, int64_t n_blocks) {
+#pragma omp parallel for schedule(static)
+    for (int64_t b = 0; b < n_blocks; b++) {
+        const float* v = x + b * 32;
+        uint8_t* blk = out + b * 34;
+        float amax = 0.f;
+        for (int i = 0; i < 32; i++) amax = std::max(amax, std::fabs(v[i]));
+        float d = amax / 127.0f;
+        float inv = d != 0.f ? 1.0f / d : 0.0f;
+        // store fp16 d — round via float->half bit math
+        uint32_t f;
+        std::memcpy(&f, &d, 4);
+        uint32_t sign = (f >> 16) & 0x8000;
+        int32_t exp = ((f >> 23) & 0xFF) - 127 + 15;
+        uint32_t mant = f & 0x7FFFFF;
+        uint16_t h;
+        if (exp <= 0) h = (uint16_t)sign;
+        else if (exp >= 31) h = (uint16_t)(sign | 0x7C00);
+        else h = (uint16_t)(sign | (exp << 10) | (mant >> 13));
+        std::memcpy(blk, &h, 2);
+        int8_t* q = (int8_t*)(blk + 2);
+        for (int i = 0; i < 32; i++) q[i] = (int8_t)std::nearbyint(v[i] * inv);
+    }
+}
+
+// ---------------------------------------------------------------------------
+// BPE merge loop (rank-based, operates on int32 symbol ids)
+//
+// The Python side interns the unit vocabulary to dense int ids and passes
+// merge rules as a hash of (a<<32|b) -> (rank, merged_id).  One call merges a
+// whole pre-tokenized word.  (Reference: Bpe.cpp tryMergeSymbol queue.)
+// ---------------------------------------------------------------------------
+
+struct BpeTable {
+    std::unordered_map<uint64_t, std::pair<int32_t, int32_t>> rules;  // (a,b) -> (rank, merged)
+};
+
+void* bpe_new_table(const int32_t* a, const int32_t* b, const int32_t* rank,
+                    const int32_t* merged, int64_t n) {
+    auto* t = new BpeTable();
+    t->rules.reserve((size_t)n * 2);
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t key = ((uint64_t)(uint32_t)a[i] << 32) | (uint32_t)b[i];
+        t->rules[key] = {rank[i], merged[i]};
+    }
+    return t;
+}
+
+void bpe_free_table(void* table) { delete (BpeTable*)table; }
+
+// word: int32 symbol ids, length n; returns new length after merging in-place
+int64_t bpe_merge(void* table, int32_t* word, int64_t n) {
+    auto* t = (BpeTable*)table;
+    while (n > 1) {
+        int32_t best_rank = INT32_MAX;
+        int64_t best_i = -1;
+        int32_t best_m = -1;
+        for (int64_t i = 0; i + 1 < n; i++) {
+            uint64_t key = ((uint64_t)(uint32_t)word[i] << 32) | (uint32_t)word[i + 1];
+            auto it = t->rules.find(key);
+            if (it != t->rules.end() && it->second.first < best_rank) {
+                best_rank = it->second.first;
+                best_i = i;
+                best_m = it->second.second;
+            }
+        }
+        if (best_i < 0) break;
+        int32_t a = word[best_i], bsym = word[best_i + 1];
+        // merge ALL occurrences of (a, b)
+        int64_t w = 0;
+        for (int64_t i = 0; i < n;) {
+            if (i + 1 < n && word[i] == a && word[i + 1] == bsym) {
+                word[w++] = best_m;
+                i += 2;
+            } else {
+                word[w++] = word[i++];
+            }
+        }
+        n = w;
+    }
+    return n;
+}
+
+int mllm_native_version() { return 1; }
+
+}  // extern "C"
