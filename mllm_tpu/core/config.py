@@ -57,6 +57,9 @@ class TextConfig:
     num_experts_per_tok: int = 0
     moe_norm_topk_prob: bool = False
     moe_shared_expert_size: int = 0
+    # MiniCPM-style scalings (reference models/minicpm)
+    residual_multiplier: float = 1.0  # scale_depth / sqrt(num_layers)
+    logit_divisor: float = 1.0  # hidden_size / dim_model_base
 
     @property
     def head_dim_(self) -> int:
@@ -124,6 +127,19 @@ def from_hf_config(path_or_dict, **overrides) -> TextConfig:
     if mt == "qwen3":
         kw["attention_bias"] = False
         kw["qk_norm"] = True
+    if mt == "stablelm":
+        kw["norm_type"] = "layernorm"
+        kw["attention_bias"] = bool(cfg.get("use_qkv_bias", False))
+        kw["rope_partial"] = float(cfg.get("partial_rotary_factor", cfg.get("rope_pct", 0.25)))
+        if cfg.get("layer_norm_eps") is not None:
+            kw["rms_norm_eps"] = float(cfg["layer_norm_eps"])
+    if mt == "minicpm":
+        import math
+
+        sd = float(cfg.get("scale_depth", 1.0))
+        kw["residual_multiplier"] = sd / math.sqrt(cfg.get("num_hidden_layers", 1))
+        kw["embedding_multiplier"] = float(cfg.get("scale_emb", 1.0))
+        kw["logit_divisor"] = float(cfg.get("hidden_size", 1)) / float(cfg.get("dim_model_base", cfg.get("hidden_size", 1)))
     # MoE families
     if mt == "mixtral":
         kw["num_experts"] = cfg.get("num_local_experts", 8)

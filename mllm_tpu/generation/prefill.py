@@ -1,0 +1,128 @@
+"""Chunked prefill + prompt (prefix) cache.
+
+Chunked prefill is the TPU-native form of the reference's chunked-prefill
+pipeline (/root/reference/mllm/Parallel.hpp:14-113, demo_qwen_npu_pipeline):
+one compiled chunk-forward serves any prompt length — on TPU the XLA
+scheduler already overlaps the chunk DMA/compute, replacing the reference's
+2-thread OMP pipeline.
+
+The prompt cache provides prefix reuse across requests (the north-star
+"prompt cache" feature): KV states of previously-seen prompt prefixes are
+kept (LRU) and decode/prefill resumes after the longest matching prefix.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections import OrderedDict
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..kv.cache import KVCache
+
+
+@functools.partial(jax.jit, donate_argnames=("cache",))
+def _chunk_step(model, cache: KVCache, chunk_ids):
+    """Run one prompt chunk; returns last-position logits and updated cache."""
+    logits, cache = model(chunk_ids, cache, last_only=True)
+    return logits[:, 0, :] if logits.ndim == 3 else logits, cache
+
+
+def chunked_prefill(model, cache: KVCache, input_ids: np.ndarray, true_len: int,
+                    chunk: int = 256):
+    """Prefill `input_ids[:, :true_len]` in fixed-size chunks.
+
+    One compiled program per chunk size (not per prompt length). Returns
+    (logits at the true last token, cache with pos == true_len).
+    """
+    ids = np.asarray(input_ids, np.int32)
+    b, s = ids.shape
+    start_pos = int(cache.pos)  # host copy BEFORE donation frees the buffer
+    n_chunks = -(-true_len // chunk)
+    padded_len = n_chunks * chunk
+    if padded_len > s:
+        ids = np.concatenate([ids, np.zeros((b, padded_len - s), np.int32)], axis=1)
+    logits = None
+    for c in range(n_chunks):
+        piece = jnp.asarray(ids[:, c * chunk : (c + 1) * chunk])
+        logits, cache = _chunk_step(model, cache, piece)
+    # cache.pos advanced by n_chunks*chunk; rewind the padding slack
+    cache = KVCache(cache.k, cache.v, jnp.asarray(start_pos + true_len, jnp.int32))
+    # logits correspond to the padded chunk's final position; recompute the
+    # true last token's logits if padding pushed past it
+    if padded_len != true_len:
+        last_tok = jnp.asarray(ids[:, true_len - 1 : true_len])
+        cache = KVCache(cache.k, cache.v, jnp.asarray(start_pos + true_len - 1, jnp.int32))
+        logits, cache = _chunk_step_single(model, cache, last_tok)
+    return logits, cache
+
+
+@functools.partial(jax.jit, donate_argnames=("cache",))
+def _chunk_step_single(model, cache: KVCache, tok):
+    logits, cache = model(tok, cache, last_only=True)
+    return logits[:, 0, :] if logits.ndim == 3 else logits, cache
+
+
+class PromptCache:
+    """LRU prefix cache of KV states keyed by token prefixes.
+
+    `lookup` returns the longest cached prefix of `ids` (a *copy* of its KV
+    state so the cached entry stays reusable); `store` snapshots a prefix.
+    """
+
+    def __init__(self, max_entries: int = 4):
+        self.max_entries = max_entries
+        self._entries: OrderedDict[tuple, KVCache] = OrderedDict()
+
+    def store(self, ids, cache: KVCache, length: Optional[int] = None):
+        key = tuple(int(t) for t in np.asarray(ids).reshape(-1)[: length or None])
+        if length is not None:
+            key = key[:length]
+        # deep copy: the caller will donate its cache buffers into decode steps
+        self._entries[key] = KVCache(jnp.copy(cache.k), jnp.copy(cache.v), jnp.copy(cache.pos))
+        self._entries.move_to_end(key)
+        while len(self._entries) > self.max_entries:
+            self._entries.popitem(last=False)
+
+    def lookup(self, ids) -> tuple[Optional[KVCache], int]:
+        seq = tuple(int(t) for t in np.asarray(ids).reshape(-1))
+        best_key = None
+        for key in self._entries:
+            if len(key) <= len(seq) and seq[: len(key)] == key:
+                if best_key is None or len(key) > len(best_key):
+                    best_key = key
+        if best_key is None:
+            return None, 0
+        self._entries.move_to_end(best_key)
+        c = self._entries[best_key]
+        # copy so the cached entry survives donation by the caller
+        return KVCache(jnp.copy(c.k), jnp.copy(c.v), c.pos), len(best_key)
+
+    def __len__(self):
+        return len(self._entries)
+
+
+def prefill_with_prompt_cache(model, cache: KVCache, input_ids: np.ndarray,
+                              true_len: int, pcache: PromptCache, chunk: int = 256,
+                              store: bool = True):
+    """Prefix-cache-aware prefill: reuse the longest cached prefix, prefill
+    only the suffix, optionally store the full prompt state."""
+    ids = np.asarray(input_ids, np.int32)
+    hit, matched = pcache.lookup(ids[0, :true_len])
+    if hit is not None and matched > 0:
+        cache = hit
+        if matched == true_len:  # full hit: recompute last-token logits
+            cache = KVCache(cache.k, cache.v, jnp.asarray(true_len - 1, jnp.int32))
+            logits, cache = _chunk_step_single(model, cache, jnp.asarray(ids[:, true_len - 1 : true_len]))
+            return logits, cache, matched
+        suffix = ids[:, matched:true_len]
+        logits, cache = chunked_prefill(model, cache, suffix, true_len - matched, chunk)
+    else:
+        logits, cache = chunked_prefill(model, cache, ids, true_len, chunk)
+        matched = 0
+    if store:
+        pcache.store(ids[0, :true_len], cache)
+    return logits, cache, matched

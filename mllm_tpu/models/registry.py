@@ -60,6 +60,38 @@ def build_model(cfg: TextConfig, loader, dtype=jnp.bfloat16, quant=None):
     raise NotImplementedError(f"model_type {mt}")
 
 
+def auto_model_any(path: str, dtype=jnp.bfloat16, quant=None):
+    """Extended auto-loader covering non-CausalLM architectures too
+    (opt/bert/clip/llava/qwen2_vl) — returns (model, kind)."""
+    import json
+
+    with open(os.path.join(path, "config.json")) as f:
+        mt = json.load(f).get("model_type", "")
+    loader = open_loader(path)
+    if mt == "opt":
+        from .opt import load_opt, opt_config_from_hf
+
+        return load_opt(loader, opt_config_from_hf(path), dtype), "opt"
+    if mt == "bert":
+        from .bert import bert_config_from_hf, load_bert
+
+        return load_bert(loader, bert_config_from_hf(path), dtype), "bert"
+    if mt == "clip":
+        from .clip import clip_config_from_hf, load_clip
+
+        return load_clip(loader, clip_config_from_hf(path), dtype), "clip"
+    if mt == "llava":
+        from .llava import llava_config_from_hf, load_llava
+
+        return load_llava(loader, llava_config_from_hf(path), dtype, quant), "llava"
+    if mt in ("qwen2_vl", "qwen2_5_vl"):
+        from .qwen2_vl import load_qwen2_vl, qwen2_vl_config_from_hf
+
+        return load_qwen2_vl(loader, qwen2_vl_config_from_hf(path), dtype, quant), "qwen2_vl"
+    model, _, cfg = auto_model(path, dtype, quant, with_tokenizer=False)
+    return model, "causal_lm"
+
+
 def _mixtral_mlp_builder(cfg, dtype):
     import numpy as np
     import jax.numpy as jnp

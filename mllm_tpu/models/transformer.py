@@ -169,16 +169,17 @@ class DecoderBlock(Module):
         )
 
     def __call__(self, x, rope, cache, positions):
+        rm = self.attn.cfg.residual_multiplier  # MiniCPM scale_depth/sqrt(L)
         h = self.input_norm(x)
         h, cache = self.attn(h, rope, cache, positions)
         if self.pre_ffn_norm is not None:  # gemma2 ordering
             h = self.pre_ffn_norm(h)
-        x = x + h
+        x = x + (h if rm == 1.0 else h * jnp.asarray(rm, h.dtype))
         h = self.post_attn_norm(x)
         h = self.mlp(h)
         if self.post_ffn_norm is not None:
             h = self.post_ffn_norm(h)
-        x = x + h
+        x = x + (h if rm == 1.0 else h * jnp.asarray(rm, h.dtype))
         return x, cache
 
 
@@ -244,6 +245,8 @@ class CausalLM(Module):
         return jnp.mean(nll)
 
     def logits(self, hidden):
+        if self.cfg.logit_divisor != 1.0:  # MiniCPM hidden/dim_model_base
+            hidden = hidden / jnp.asarray(self.cfg.logit_divisor, hidden.dtype)
         if self.lm_head is not None:
             out = self.lm_head(hidden).astype(jnp.float32)
         else:

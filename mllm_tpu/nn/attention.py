@@ -88,6 +88,8 @@ def attend(
 
     impl: 'auto' | 'xla' | 'flash' | 'decode'
     """
+    import os
+
     from ..utils.runtime import on_tpu as _on_tpu
 
     sq, d = q.shape[1], q.shape[3]
@@ -96,7 +98,10 @@ def attend(
         if not on_tpu or bias is not None or logit_softcap is not None or d % 128 != 0:
             impl = "xla"
         elif sq == 1:
-            impl = "decode"
+            # XLA's fused attention beats the manual-DMA Pallas kernel at
+            # model level (its ANY-space K/V blocks get staged through VMEM
+            # per grid program); opt back in with MLLM_DECODE_KERNEL=pallas.
+            impl = "decode" if os.environ.get("MLLM_DECODE_KERNEL") == "pallas" else "xla"
         elif sq % 128 == 0:
             impl = "flash"
         else:

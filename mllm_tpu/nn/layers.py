@@ -168,6 +168,70 @@ class Embedding(Module):
         return y
 
 
+class ElasticLinear(Module):
+    """Width-elastic linear: activate only the first `ratio` fraction of the
+    out (and optionally in) features per call.
+
+    Counterpart of the reference's elastic inference (Layer.hpp:295
+    ElasticLinear, op/CPUElasticLinear.cpp, demo_elastic_llama.cpp:43-52).
+    Ratios are static per call — each distinct ratio compiles one slice-sized
+    program (static shapes; the TPU analogue of the reference's per-step
+    activate_dims).
+    """
+
+    def __init__(self, weight: jax.Array, bias: Optional[jax.Array] = None):
+        self.weight = weight  # [out, in]
+        self.bias = bias
+
+    def __call__(self, x, out_ratio: float = 1.0, in_ratio: float = 1.0):
+        o, i = self.weight.shape
+        oa = max(1, int(o * out_ratio))
+        ia = max(1, int(i * in_ratio))
+        w = self.weight[:oa, :ia]
+        xa = x[..., :ia]
+        y = jax.lax.dot_general(xa, w, (((xa.ndim - 1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if self.bias is not None:
+            y = y + self.bias[:oa].astype(jnp.float32)
+        return y.astype(x.dtype)
+
+
+class PredictorSparseMLP(Module):
+    """PowerInfer-style predictor + sparse FFN
+    (reference SparseLinear/SparseIdLinear/Predictor, Layer.hpp:269-293,
+    models/llama/modeling_sparse_llama.hpp).
+
+    The low-rank predictor scores FFN neurons; inactive neurons are masked.
+    On TPU the MXU makes dense-compute-then-mask the fast formulation (the
+    reference's gather-style sparse kernels are a CPU-cache optimization);
+    semantics are identical: masked neurons contribute exactly zero.
+    """
+
+    def __init__(self, pred_down: jax.Array, pred_up: jax.Array,
+                 gate_proj, up_proj, down_proj, act: str = "relu",
+                 threshold: float = 0.0):
+        self.pred_down = pred_down  # [r, in]
+        self.pred_up = pred_up  # [ff, r]
+        self.gate_proj = gate_proj
+        self.up_proj = up_proj
+        self.down_proj = down_proj
+        self.act = act
+        self.threshold = threshold
+
+    def neuron_scores(self, x):
+        h = jax.lax.dot_general(x, self.pred_down, (((x.ndim - 1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return jax.lax.dot_general(h, self.pred_up, (((h.ndim - 1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def __call__(self, x):
+        mask = (self.neuron_scores(x) > self.threshold).astype(x.dtype)
+        h = ACT_FN[self.act](self.gate_proj(x))
+        if self.up_proj is not None:
+            h = h * self.up_proj(x)
+        return self.down_proj(h * mask)
+
+
 # ---------------------------------------------------------------------------
 # Normalization
 # ---------------------------------------------------------------------------
