@@ -1,0 +1,95 @@
+"""Pipeline parallelism over a mesh axis (GPipe-style microbatching).
+
+The reference's "pipeline parallelism" is a 2-deep CPU/NPU chunk pipeline
+(/root/reference/mllm/Parallel.hpp:25-112).  The TPU-native generalization:
+layers are split into S stages, one per device along the 'pp' mesh axis;
+microbatches flow stage-to-stage over ICI with `jax.lax.ppermute` inside
+`shard_map`.  S + M - 1 ticks for M microbatches (GPipe schedule).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+
+def pipeline_forward(
+    stage_params,  # pytree; every leaf has leading axis S (one slice per stage)
+    x,  # [M, mb, ...] microbatched input
+    stage_fn: Callable,  # (params_slice, h) -> h
+    mesh: Mesh,
+    axis: str = "pp",
+):
+    """Run x through S pipeline stages living on S devices.
+
+    stage_params leaves are sharded over `axis` on their leading dim; x is
+    replicated in (microbatch-major) and the result comes out replicated.
+    """
+    s = mesh.shape[axis]
+    m = x.shape[0]
+
+    def per_device(params, xin):
+        # params: leaves [1, ...] (this stage); xin: full [M, mb, ...]
+        params = jax.tree.map(lambda p: p[0], params)
+        idx = jax.lax.axis_index(axis)
+        n_ticks = m + s - 1
+
+        def tick(carry, t):
+            outputs, recv = carry
+            # stage 0 feeds itself from the input stream; others from recv
+            mb_idx = jnp.clip(t, 0, m - 1)
+            feed = jax.lax.dynamic_index_in_dim(xin, mb_idx, axis=0, keepdims=False)
+            h_in = jnp.where(idx == 0, feed, recv)
+            h_out = stage_fn(params, h_in)
+            # pass h_out to the next stage (ring; last->0 wraps, ignored)
+            recv_next = jax.lax.ppermute(h_out, axis, [(i, (i + 1) % s) for i in range(s)])
+            # last stage writes its finished microbatch t-(s-1)
+            out_idx = t - (s - 1)
+            do_write = (idx == s - 1) & (out_idx >= 0)
+            outputs = jax.lax.cond(
+                do_write,
+                lambda o: jax.lax.dynamic_update_index_in_dim(
+                    o, h_out, jnp.clip(out_idx, 0, m - 1), axis=0),
+                lambda o: o,
+                outputs,
+            )
+            return (outputs, recv_next), None
+
+        outputs0 = jnp.zeros_like(xin)
+        recv0 = jnp.zeros_like(xin[0])
+        (outputs, _), _ = jax.lax.scan(tick, (outputs0, recv0), jnp.arange(n_ticks))
+        # broadcast final outputs from the last stage to all (masked psum)
+        outputs = jax.lax.psum(
+            jnp.where(idx == s - 1, outputs, jnp.zeros_like(outputs)), axis
+        )
+        return outputs
+
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(axis), P()),
+        out_specs=P(),
+        check_rep=False,
+    )
+    return fn(stage_params, x)
+
+
+def stack_stages(block_params_list, n_stages: int):
+    """Group per-layer params into `n_stages` stacked stage params.
+
+    Returns a pytree with leading axes [S, layers_per_stage, ...].
+    """
+    n = len(block_params_list)
+    per = n // n_stages
+    assert per * n_stages == n, f"{n} layers not divisible into {n_stages} stages"
+    stages = []
+    for si in range(n_stages):
+        chunk = block_params_list[si * per : (si + 1) * per]
+        stages.append(jax.tree.map(lambda *xs: jnp.stack(xs), *chunk))
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *stages)
