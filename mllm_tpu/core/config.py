@@ -158,7 +158,8 @@ def from_hf_config(path_or_dict, **overrides) -> TextConfig:
         kw["moe_norm_topk_prob"] = True
     if mt in ("gemma", "gemma2"):
         kw["embedding_multiplier"] = float(kw.get("hidden_size", 2048)) ** 0.5
-        kw["hidden_act"] = cfg.get("hidden_activation", cfg.get("hidden_act", "gelu_pytorch_tanh"))
+        kw["hidden_act"] = (cfg.get("hidden_activation") or cfg.get("hidden_act")
+                            or "gelu_pytorch_tanh")
     if mt == "gemma2":
         kw["post_norm"] = True
         kw["sliding_window_pattern"] = 2

@@ -40,6 +40,7 @@ class NameMap:
     attn_v = "self_attn.v_proj"
     attn_o = "self_attn.o_proj"
     attn_qkv = "self_attn.qkv_proj"  # fused variant (phi3)
+    attn_qkv_interleaved = None  # persimmon/fuyu: rows packed [H, (q,k,v), hd]
     q_norm = "self_attn.q_norm.weight"
     k_norm = "self_attn.k_norm.weight"
     gate = "mlp.gate_proj"
@@ -136,7 +137,18 @@ def load_causal_lm(loader, cfg: TextConfig, dtype=jnp.bfloat16,
     for i in range(cfg.num_hidden_layers):
         p = nm.blk.format(i=i)
         # attention projections (fused-qkv checkpoints are split at load)
-        if _has(loader, p + nm.attn_qkv + ".weight"):
+        if nm.attn_qkv_interleaved and _has(loader, p + nm.attn_qkv_interleaved + ".weight"):
+            base = p + nm.attn_qkv_interleaved
+            w = load_tensor(loader, base + ".weight", (h, 3, hd, d))
+            b3 = None
+            if _has(loader, base + ".bias"):
+                b3 = load_tensor(loader, base + ".bias", (h, 3, hd))
+            def _mk(idx):
+                lw = jnp.asarray(w[:, idx].reshape(h * hd, d), dtype)
+                lb = jnp.asarray(b3[:, idx].reshape(h * hd), dtype) if b3 is not None else None
+                return Linear(lw, lb)
+            q_proj, k_proj, v_proj = _mk(0), _mk(1), _mk(2)
+        elif _has(loader, p + nm.attn_qkv + ".weight"):
             wq, wk, wv = _split_rows(loader, p + nm.attn_qkv + ".weight", [h * hd, hkv * hd, hkv * hd], d)
             q_proj = _maybe_quant_from_float(wq, dtype, quant)
             k_proj = _maybe_quant_from_float(wk, dtype, quant)
@@ -149,8 +161,15 @@ def load_causal_lm(loader, cfg: TextConfig, dtype=jnp.bfloat16,
 
         qn = kn = None
         if cfg.qk_norm and _has(loader, p + nm.q_norm):
-            qn = RMSNorm(jnp.asarray(load_tensor(loader, p + nm.q_norm, (hd,)), dtype), cfg.rms_norm_eps)
-            kn = RMSNorm(jnp.asarray(load_tensor(loader, p + nm.k_norm, (hd,)), dtype), cfg.rms_norm_eps)
+            def _qknorm(name):
+                w = jnp.asarray(load_tensor(loader, p + name, (hd,)), dtype)
+                bias_name = p + name.replace(".weight", ".bias")
+                if _has(loader, bias_name):  # persimmon-style per-head LayerNorm
+                    b = jnp.asarray(load_tensor(loader, bias_name, (hd,)), dtype)
+                    return LayerNorm(w, b, cfg.rms_norm_eps)
+                return RMSNorm(w, cfg.rms_norm_eps)
+            qn = _qknorm(nm.q_norm)
+            kn = _qknorm(nm.k_norm)
         attn = Attention(q_proj, k_proj, v_proj, o_proj, qn, kn, cfg, i)
 
         if mlp_builder is not None:
@@ -163,7 +182,9 @@ def load_causal_lm(loader, cfg: TextConfig, dtype=jnp.bfloat16,
                 up = _maybe_quant_from_float(wu, dtype, quant)
             else:
                 gate = make_linear(loader, p + nm.gate, cfg.intermediate_size, d, dtype, quant)
-                up = make_linear(loader, p + nm.up, cfg.intermediate_size, d, dtype, quant)
+                up = None
+                if _has(loader, p + nm.up + ".weight"):
+                    up = make_linear(loader, p + nm.up, cfg.intermediate_size, d, dtype, quant)
             down = make_linear(loader, p + nm.down, d, cfg.intermediate_size, dtype, quant)
             mlp = MLP(gate, up, down, cfg.hidden_act)
 

@@ -140,7 +140,10 @@ class MLP(Module):
         )
 
     def __call__(self, x):
-        return self.down_proj(ACT_FN[self.act](self.gate_proj(x)) * self.up_proj(x))
+        h = ACT_FN[self.act](self.gate_proj(x))
+        if self.up_proj is not None:  # non-gated MLP (persimmon/opt-style)
+            h = h * self.up_proj(x)
+        return self.down_proj(h)
 
 
 class DecoderBlock(Module):
