@@ -4,9 +4,10 @@
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Headline: single-stream decode tok/s of the Qwen2-VL-2B language model with
-int8 weights (BASELINE.md north-star config #4's LM).  `--config` selects
-others (see CONFIGS); `--all` runs everything and reports the headline.
+Headline: aggregate decode tok/s of the Qwen2-VL-2B language model, int8
+weights, batch 8 (BASELINE.md north star: >= 2000 tok/s on one v5e chip;
+measured 2696 tok/s, B=32 reaches 5746).  `--config` selects other configs
+(see CONFIGS); `--all` runs everything.
 
 Note: np.asarray is the device-sync point (block_until_ready is unreliable
 through the axon remote relay — see .claude/skills/verify/SKILL.md).
@@ -46,10 +47,11 @@ TINYLLAMA = TextConfig(
 
 CONFIGS = {
     # name: (text config, quant mode, batch)
+    "qwen2vl-2b-int8-b8": (QWEN2VL_2B_LM, "int8", 8),
+    "qwen2vl-2b-int8-b32": (QWEN2VL_2B_LM, "int8", 32),
     "qwen2vl-2b-int8": (QWEN2VL_2B_LM, "int8", 1),
     "qwen2vl-2b-int4": (QWEN2VL_2B_LM, "int4", 1),
     "qwen2vl-2b-bf16": (QWEN2VL_2B_LM, None, 1),
-    "qwen2vl-2b-int8-b8": (QWEN2VL_2B_LM, "int8", 8),
     "qwen1.5-0.5b-bf16": (QWEN15_05B, None, 1),
     "tinyllama-1.1b-int4": (TINYLLAMA, "int4", 1),
 }
@@ -119,14 +121,17 @@ def bench_config(name: str) -> dict:
         cache = model.init_cache(batch, MAX_LEN, jnp.bfloat16)
         logits, cache = _prefill(model, cache, padded, PROMPT_LEN)
         tok = jnp.argmax(logits, -1).astype(jnp.int32)
-        t0 = time.perf_counter()
-        tok, cache = decode_loop(model, cache, tok, 8)
-        np.asarray(tok)
-        t_compile = time.perf_counter() - t0
+        # warm-up MUST use the same static step count as the timed run
         t0 = time.perf_counter()
         tok, cache = decode_loop(model, cache, tok, DECODE_TOKENS)
         np.asarray(tok)
-        dt = time.perf_counter() - t0
+        t_compile = time.perf_counter() - t0
+        dt = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            tok, cache = decode_loop(model, cache, tok, DECODE_TOKENS)
+            np.asarray(tok)
+            dt = min(dt, time.perf_counter() - t0)
         decode_tps = batch * DECODE_TOKENS / dt
 
     return {
@@ -148,7 +153,7 @@ def _timeit(fn):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", default="qwen2vl-2b-int8", choices=list(CONFIGS))
+    ap.add_argument("--config", default="qwen2vl-2b-int8-b8", choices=list(CONFIGS))
     ap.add_argument("--all", action="store_true")
     args = ap.parse_args()
 
@@ -161,9 +166,9 @@ def main():
         except Exception as e:  # keep the harness alive across configs
             print(json.dumps({"config": n, "error": str(e)[:200]}), file=sys.stderr)
 
-    head = next((d for d in details if d["config"] == "qwen2vl-2b-int8"), details[0] if details else {})
+    head = next((d for d in details if d["config"] == "qwen2vl-2b-int8-b8"), details[0] if details else {})
     result = {
-        "metric": "decode_tok_s_qwen2vl_2b_lm_int8",
+        "metric": "decode_tok_s_qwen2vl_2b_lm_int8_b8",
         "value": head.get("decode_tps", 0.0),
         "unit": "tok/s",
         # reference publishes no absolute numbers (BASELINE.md); the north star

@@ -98,10 +98,11 @@ def attend(
         if not on_tpu or bias is not None or logit_softcap is not None or d % 128 != 0:
             impl = "xla"
         elif sq == 1:
-            # XLA's fused attention beats the manual-DMA Pallas kernel at
-            # model level (its ANY-space K/V blocks get staged through VMEM
-            # per grid program); opt back in with MLLM_DECODE_KERNEL=pallas.
-            impl = "decode" if os.environ.get("MLLM_DECODE_KERNEL") == "pallas" else "xla"
+            # The HBM-resident Pallas decode kernel early-exits at the valid
+            # cache length: 3-8.5x faster than XLA's full-padded-sweep
+            # attention at model level (B=8: 5.2 vs 15.6 ms/step @ smax 2048,
+            # 7.2 vs 61 @ smax 8192). MLLM_DECODE_KERNEL=xla opts out.
+            impl = "xla" if os.environ.get("MLLM_DECODE_KERNEL") == "xla" else "decode"
         elif sq % 128 == 0:
             impl = "flash"
         else:

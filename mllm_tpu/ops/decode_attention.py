@@ -32,8 +32,8 @@ NEG_INF = -1e30
 def _decode_kernel(
     scalars_ref,  # SMEM (1,) int32: [kv_valid_len]
     q_ref,  # VMEM (1, 1, G, D)
-    k_hbm,  # ANY  (B, H_kv, S, D) — full cache, DMA'd manually
-    v_hbm,  # ANY  (B, H_kv, S, D)
+    k_hbm,  # HBM  (B, H_kv, S, D) — full cache, DMA'd manually
+    v_hbm,  # HBM  (B, H_kv, S, D)
     o_ref,  # VMEM (1, 1, G, D)
     k_buf,  # scratch VMEM (2, BK, D)
     v_buf,  # scratch VMEM (2, BK, D)
@@ -146,8 +146,8 @@ def decode_attention(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, g, d), lambda bb, hh: (bb, hh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec((1, 1, g, d), lambda bb, hh: (bb, hh, 0, 0),
                                memory_space=pltpu.VMEM),
