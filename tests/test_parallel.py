@@ -118,3 +118,26 @@ def test_param_spec_rules():
     assert param_spec("blocks.0.mlp.down_proj.weight", 2) == P(None, "tp")
     assert param_spec("embed_tokens.weight", 2) == P("tp", None)
     assert param_spec("blocks.0.input_norm.weight", 1) == P()
+
+
+def test_ring_attention_matches_full(cpu8):
+    from mllm_tpu.nn.attention import sdpa
+    from mllm_tpu.parallel.ring_attention import ring_attention
+
+    rng = np.random.default_rng(3)
+    B, S, H, HKV, D = 1, 32, 4, 2, 16
+    q = jnp.asarray(rng.standard_normal((B, S, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, S, HKV, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, S, HKV, D)).astype(np.float32))
+    ref = sdpa(q, jnp.transpose(k, (0, 2, 1, 3)), jnp.transpose(v, (0, 2, 1, 3)),
+               q_offset=0, causal=True)
+
+    mesh = Mesh(np.array(cpu8[:4]), ("sp",))
+    out = ring_attention(q, k, v, mesh, axis="sp", causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+    # non-causal
+    ref_nc = sdpa(q, jnp.transpose(k, (0, 2, 1, 3)), jnp.transpose(v, (0, 2, 1, 3)),
+                  causal=False)
+    out_nc = ring_attention(q, k, v, mesh, axis="sp", causal=False)
+    np.testing.assert_allclose(np.asarray(out_nc), np.asarray(ref_nc), rtol=2e-4, atol=2e-5)
