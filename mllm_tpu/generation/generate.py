@@ -186,6 +186,70 @@ def generate_compiled(
     return tokens, i
 
 
+@functools.partial(jax.jit, static_argnames=("true_len",), donate_argnames=("cache",))
+def _prefill_ragged(model, cache: KVCache, input_ids, pad_lens, true_len: int):
+    """Left-padded batch prefill: per-seq rope shift + pad-prefix masking."""
+    hidden, cache = model.hidden_states(input_ids, cache, pad_lens=pad_lens)
+    last = hidden[:, true_len - 1 : true_len, :]
+    logits = model.logits(last)
+    cache = KVCache(cache.k, cache.v, jnp.asarray(true_len, jnp.int32))
+    return logits[:, 0, :], cache
+
+
+@functools.partial(jax.jit, donate_argnames=("cache",))
+def _decode_step_ragged(model, cache: KVCache, token, pad_lens):
+    logits, cache = model(token[:, None], cache, last_only=True, pad_lens=pad_lens)
+    return logits[:, 0, :], cache
+
+
+def ragged_batched_generate(
+    model,
+    prompts: list[np.ndarray],  # per-sequence token id arrays (different lengths)
+    cache: KVCache,
+    cfg: SamplingConfig,
+    *,
+    seed: int = 0,
+):
+    """Batched generation over unequal-length prompts via LEFT padding.
+
+    The serving-grade batched path: all sequences share the cache write head
+    (appends aligned at the right edge); per-seq rope positions shift back by
+    the pad length and the pad prefix is masked in attention.
+    Returns (tokens [B, T], n_valid [B]).
+    """
+    b = len(prompts)
+    lens = np.array([len(p) for p in prompts], np.int32)
+    width = int(lens.max())
+    ids = np.zeros((b, width), np.int32)
+    for i, p in enumerate(prompts):
+        ids[i, width - len(p):] = p  # left pad
+    pad_lens = jnp.asarray(width - lens, jnp.int32)
+
+    key = jax.random.PRNGKey(seed)
+    logits, cache = _prefill_ragged(model, cache, jnp.asarray(ids), pad_lens, width)
+    tok = sample_token(key, logits, cfg)
+    e = model.cfg.eos_token_id
+    eos_ids = tuple(e) if isinstance(e, (tuple, list)) else (e,)
+    out = [tok]
+    finished = np.zeros(b, bool)
+    for _ in range(cfg.max_new_tokens - 1):
+        key, sub = jax.random.split(key)
+        logits, cache = _decode_step_ragged(model, cache, tok, pad_lens)
+        tok = sample_token(sub, logits, cfg)
+        finished |= np.isin(np.asarray(out[-1]), eos_ids)
+        out.append(tok)
+        if finished.all():
+            break
+    toks = np.stack([np.asarray(t) for t in out], axis=1)  # [B, T]
+    # n_valid: tokens up to and including first eos per row
+    n_valid = np.full(b, toks.shape[1], np.int32)
+    for i in range(b):
+        hits = np.where(np.isin(toks[i], eos_ids))[0]
+        if hits.size:
+            n_valid[i] = hits[0] + 1
+    return toks, n_valid, cache
+
+
 def batched_generate(
     model,
     input_ids: np.ndarray,  # [B, S] already padded to equal length

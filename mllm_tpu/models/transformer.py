@@ -80,7 +80,8 @@ class Attention(Module):
                 return cfg.sliding_window
         return None
 
-    def __call__(self, x, rope: RotaryEmbedding, cache: Optional[KVCache], positions):
+    def __call__(self, x, rope: RotaryEmbedding, cache: Optional[KVCache], positions,
+                 kv_start=None):
         cfg = self.cfg
         b, s, _ = x.shape
         h, hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
@@ -110,6 +111,7 @@ class Attention(Module):
             q, k_full, v_full,
             q_offset=q_offset,
             kv_valid_len=kv_valid,
+            kv_start=kv_start,
             causal=True,
             window=self._window(),
             scale=scale,
@@ -171,10 +173,10 @@ class DecoderBlock(Module):
             pre_ffn, post_ffn,
         )
 
-    def __call__(self, x, rope, cache, positions):
+    def __call__(self, x, rope, cache, positions, kv_start=None):
         rm = self.attn.cfg.residual_multiplier  # MiniCPM scale_depth/sqrt(L)
         h = self.input_norm(x)
-        h, cache = self.attn(h, rope, cache, positions)
+        h, cache = self.attn(h, rope, cache, positions, kv_start=kv_start)
         if self.pre_ffn_norm is not None:  # gemma2 ordering
             h = self.pre_ffn_norm(h)
         x = x + (h if rm == 1.0 else h * jnp.asarray(rm, h.dtype))
@@ -224,16 +226,25 @@ class CausalLM(Module):
             cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.head_dim_, dtype
         )
 
-    def hidden_states(self, input_ids, cache: Optional[KVCache], inputs_embeds=None):
-        """Run the trunk; returns (hidden [B,S,D], cache with pos advanced)."""
+    def hidden_states(self, input_ids, cache: Optional[KVCache], inputs_embeds=None,
+                      pad_lens=None):
+        """Run the trunk; returns (hidden [B,S,D], cache with pos advanced).
+
+        pad_lens: [B] number of left-pad tokens per sequence (ragged batching);
+        rope positions shift back by pad_lens and the pad prefix is masked.
+        """
         x = inputs_embeds if inputs_embeds is not None else self.embed_tokens(input_ids)
         if self.cfg.embedding_multiplier != 1.0:
             x = x * jnp.asarray(self.cfg.embedding_multiplier, x.dtype)
         s = x.shape[1]
         pos0 = cache.pos if cache is not None else jnp.zeros((), jnp.int32)
         positions = pos0 + jnp.arange(s, dtype=jnp.int32)[None, :]  # [1, S]
+        kv_start = None
+        if pad_lens is not None:
+            positions = jnp.maximum(positions - pad_lens[:, None], 0)  # [B, S]
+            kv_start = jnp.asarray(pad_lens, jnp.int32)
         for blk in self.blocks:
-            x, cache = blk(x, self.rope, cache, positions)
+            x, cache = blk(x, self.rope, cache, positions, kv_start=kv_start)
         x = self.norm(x)
         return x, (cache.advance(s) if cache is not None else None)
 
@@ -258,10 +269,11 @@ class CausalLM(Module):
             out = jnp.tanh(out / self.cfg.logit_softcap) * self.cfg.logit_softcap
         return out
 
-    def __call__(self, input_ids, cache: KVCache, last_only: bool = True, inputs_embeds=None):
+    def __call__(self, input_ids, cache: KVCache, last_only: bool = True, inputs_embeds=None,
+                 pad_lens=None):
         """Returns (logits, cache). last_only clips to the final position
         (reference modeling_qwen.hpp:157-159)."""
-        hidden, cache = self.hidden_states(input_ids, cache, inputs_embeds)
+        hidden, cache = self.hidden_states(input_ids, cache, inputs_embeds, pad_lens=pad_lens)
         if last_only:
             hidden = hidden[:, -1:, :]
         return self.logits(hidden), cache

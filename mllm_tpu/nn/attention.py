@@ -41,6 +41,7 @@ def sdpa(
     *,
     q_offset=0,  # absolute position of q[0] (traced ok)
     kv_valid_len=None,  # number of valid kv entries (traced ok); None = all
+    kv_start=None,  # [B] first valid kv index per sequence (left-padding)
     causal: bool = True,
     window: Optional[int] = None,
     bias: Optional[jax.Array] = None,  # additive bias [..., Sq, Skv] (tree mask etc.)
@@ -71,7 +72,10 @@ def sdpa(
             ok = ok & (k_pos > q_pos - window)
     if kv_valid_len is not None:
         ok = ok & (k_pos < kv_valid_len)
-    logits = jnp.where(ok[None, None], logits, NEG_INF)
+    ok = jnp.broadcast_to(ok[None, None], logits.shape)
+    if kv_start is not None:  # left-padded batches: mask the pad prefix
+        ok = ok & (jnp.arange(skv)[None, None, None, :] >= kv_start[:, None, None, None])
+    logits = jnp.where(ok, logits, NEG_INF)
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
 
@@ -81,7 +85,7 @@ def sdpa(
 
 
 def attend(
-    q, k, v, *, q_offset=0, kv_valid_len=None, causal=True, window=None,
+    q, k, v, *, q_offset=0, kv_valid_len=None, kv_start=None, causal=True, window=None,
     bias=None, scale=None, logit_softcap=None, impl: str = "auto",
 ):
     """Dispatch between XLA sdpa and the Pallas kernels.
@@ -107,6 +111,8 @@ def attend(
             impl = "flash"
         else:
             impl = "xla"
+    if kv_start is not None and impl == "flash":
+        impl = "xla"  # left-pad masks in the prefill kernel: TBD
     if impl == "flash":
         from ..ops.flash_attention import flash_attention
 
@@ -117,8 +123,9 @@ def attend(
     if impl == "decode":
         from ..ops.decode_attention import decode_attention
 
-        return decode_attention(q, k, v, kv_valid_len=kv_valid_len, scale=scale, window=window)
+        return decode_attention(q, k, v, kv_valid_len=kv_valid_len, kv_start=kv_start,
+                                scale=scale, window=window)
     return sdpa(
-        q, k, v, q_offset=q_offset, kv_valid_len=kv_valid_len, causal=causal,
-        window=window, bias=bias, scale=scale, logit_softcap=logit_softcap,
+        q, k, v, q_offset=q_offset, kv_valid_len=kv_valid_len, kv_start=kv_start,
+        causal=causal, window=window, bias=bias, scale=scale, logit_softcap=logit_softcap,
     )

@@ -30,7 +30,7 @@ NEG_INF = -1e30
 
 
 def _decode_kernel(
-    scalars_ref,  # SMEM (1,) int32: [kv_valid_len]
+    scalars_ref,  # SMEM (1 + B,) int32: [kv_valid_len, kv_start_0..kv_start_{B-1}]
     q_ref,  # VMEM (1, 1, G, D)
     k_hbm,  # HBM  (B, H_kv, S, D) — full cache, DMA'd manually
     v_hbm,  # HBM  (B, H_kv, S, D)
@@ -47,6 +47,7 @@ def _decode_kernel(
     bb = pl.program_id(0)
     hh = pl.program_id(1)
     kv_valid = scalars_ref[0]
+    kv_start = scalars_ref[1 + bb]  # per-sequence left-pad offset
     n_blocks = pl.cdiv(kv_valid, bk)  # traced trip count
     g, d = q_ref.shape[2], q_ref.shape[3]
     q = q_ref[0, 0] * scale  # (G, D) — fold scale into q
@@ -84,7 +85,7 @@ def _decode_kernel(
             preferred_element_type=jnp.float32,
         )  # (G, BK)
         k_pos = i * bk + jax.lax.broadcasted_iota(jnp.int32, (g, bk), 1)
-        ok = k_pos < kv_valid
+        ok = jnp.logical_and(k_pos < kv_valid, k_pos >= kv_start)
         if window is not None:
             ok = jnp.logical_and(ok, k_pos > kv_valid - 1 - window)
         s = jnp.where(ok, s, NEG_INF)
@@ -117,6 +118,7 @@ def decode_attention(
     v: jax.Array,
     *,
     kv_valid_len=None,
+    kv_start=None,  # [B] first valid kv index per sequence (left-padding)
     scale: Optional[float] = None,
     window: Optional[int] = None,
     block_k: int = 512,
@@ -131,7 +133,12 @@ def decode_attention(
     bk = min(block_k, s_max)
     if kv_valid_len is None:
         kv_valid_len = s_max
-    scalars = jnp.asarray(kv_valid_len, jnp.int32).reshape(1)
+    if kv_start is None:
+        kv_start = jnp.zeros((b,), jnp.int32)
+    scalars = jnp.concatenate([
+        jnp.asarray(kv_valid_len, jnp.int32).reshape(1),
+        jnp.asarray(kv_start, jnp.int32).reshape(b),
+    ])
 
     qg = q.reshape(b, hkv, g, d)  # group-major query heads
 

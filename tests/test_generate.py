@@ -103,3 +103,23 @@ def test_samplers_shapes_and_determinism():
     np.testing.assert_array_equal(np.asarray(sample_top_k(key, logits, 1, 5.0)), np.asarray(g))
     # top-p -> tiny p keeps only the argmax
     np.testing.assert_array_equal(np.asarray(sample_top_p(key, logits, 1e-6, 1.0)), np.asarray(g))
+
+
+def test_ragged_batched_generate(tiny_model):
+    """Left-padded ragged batching must match per-sequence greedy decoding."""
+    from mllm_tpu.generation.generate import ragged_batched_generate
+
+    model = tiny_model
+    prompts = [np.array([5, 9, 2, 7], np.int32),
+               np.array([1, 3], np.int32),
+               np.array([8, 8, 8, 8, 8, 8], np.int32)]
+    cache = model.init_cache(3, 64, jnp.float32)
+    toks, n_valid, _ = ragged_batched_generate(
+        model, prompts, cache, SamplingConfig(max_new_tokens=6))
+
+    for i, p in enumerate(prompts):
+        c1 = model.init_cache(1, 64, jnp.float32)
+        res, _ = generate(model, p[None], c1, SamplingConfig(max_new_tokens=6),
+                          eos_token_id={-1}, bucket=4)
+        np.testing.assert_array_equal(toks[i, : len(res.tokens)], res.tokens,
+                                      err_msg=f"seq {i}")
