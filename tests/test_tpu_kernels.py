@@ -15,6 +15,19 @@ from mllm_tpu.nn.attention import sdpa
 pytestmark = pytest.mark.tpu
 
 
+@pytest.fixture(autouse=True)
+def _on_tpu_device(monkeypatch):
+    """Override the conftest CPU pin — these tests target the real chip."""
+    monkeypatch.delenv("MLLM_FORCE_XLA", raising=False)
+    tpu = [d for d in jax.devices() if d.platform == "tpu"]
+    if not tpu:
+        pytest.skip("no TPU device")
+    prev = jax.config.jax_default_device
+    jax.config.update("jax_default_device", tpu[0])
+    yield
+    jax.config.update("jax_default_device", prev)
+
+
 def test_flash_attention_causal():
     from mllm_tpu.ops.flash_attention import flash_attention
 
@@ -77,3 +90,16 @@ def test_int4_matmul_kernel():
     out4k = np.asarray(int4_matmul(jnp.asarray(x), jnp.asarray(p4), jnp.asarray(s4), 32, jnp.asarray(z4)))
     rel = np.max(np.abs(x @ wd_k.T - out4k)) / np.max(np.abs(x @ wd_k.T))
     assert rel < 1e-2
+
+
+def test_decode_attention_ragged_kv_start():
+    from mllm_tpu.ops.decode_attention import decode_attention
+
+    B, H, HKV, D, SKV = 2, 8, 2, 128, 512
+    q = jax.random.normal(jax.random.PRNGKey(3), (B, 1, H, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(4), (B, HKV, SKV, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(5), (B, HKV, SKV, D), jnp.float32)
+    starts = jnp.asarray([0, 64], jnp.int32)
+    ref = sdpa(q, k, v, q_offset=200, kv_valid_len=201, kv_start=starts, causal=False)
+    out = decode_attention(q, k, v, kv_valid_len=201, kv_start=starts)
+    assert float(jnp.max(jnp.abs(ref - out))) < 1e-2
