@@ -84,7 +84,12 @@ def auto_model_any(path: str, dtype=jnp.bfloat16, quant=None):
         from .llava import llava_config_from_hf, load_llava
 
         return load_llava(loader, llava_config_from_hf(path), dtype, quant), "llava"
-    if mt in ("qwen2_vl", "qwen2_5_vl"):
+    if mt == "qwen2_5_vl":
+        from .qwen2_5_vl import load_qwen2_5_vl, qwen2_5_vl_configs_from_hf
+
+        base, vcfg = qwen2_5_vl_configs_from_hf(path)
+        return load_qwen2_5_vl(loader, base, vcfg, dtype, quant), "qwen2_5_vl"
+    if mt == "qwen2_vl":
         from .qwen2_vl import load_qwen2_vl, qwen2_vl_config_from_hf
 
         return load_qwen2_vl(loader, qwen2_vl_config_from_hf(path), dtype, quant), "qwen2_vl"
