@@ -301,6 +301,93 @@ def _mrope_attn(attn, x, mrope, cache, positions):
 
 
 # ---------------------------------------------------------------------------
+# VTP — visual token pruning (reference models/qwen2_vl/vtp/, SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+def vtp_prefill(
+    model: "Qwen2VLForConditionalGeneration",
+    input_ids,  # [1, S]
+    cache: KVCache,
+    patches,
+    grid_thw,
+    positions,  # [3, 1, S]
+    keep_ratio: float = 0.5,
+    prune_layer: int = 2,
+):
+    """Prefill with prefill-time vision-token pruning.
+
+    Runs layers [0, prune_layer) at full length, scores vision tokens by the
+    last text query's attention over the prune layer's keys, keeps the top
+    `keep_ratio` vision tokens (static count), compacts hidden states,
+    positions AND the already-written KV cache, then finishes the remaining
+    layers at the shorter length.  Functional analogue of the reference's
+    VTP KV gathering (vtp/modeling_qwen2_vl.hpp:280-305).
+
+    Returns (last-token logits [1, V], cache with pos = pruned length).
+    """
+    cfg = model.cfg
+    lm = model.lm
+    ids = np.asarray(input_ids)
+    s = ids.shape[1]
+    is_img_np = np.isin(ids[0], [cfg.image_token_id, cfg.video_token_id])
+    n_img = int(is_img_np.sum())
+    n_keep = max(1, int(n_img * keep_ratio))
+    s_new = s - (n_img - n_keep)
+
+    image_embeds = model.visual(patches, grid_thw) if patches is not None else None
+    x = model.embed(jnp.asarray(ids), image_embeds)
+
+    # phase 1: full-length layers
+    for blk in lm.blocks[:prune_layer]:
+        h = blk.input_norm(x)
+        h, cache = _mrope_attn(blk.attn, h, model.mrope, cache, positions)
+        x = x + h
+        x = x + blk.mlp(blk.post_attn_norm(x))
+
+    # importance: last text query attending over the prune layer's keys
+    kl, _ = cache.layer(prune_layer - 1)  # [1, Hkv, S_max, D]
+    scores = jnp.einsum("d,hsd->hs", _last_query(lm, model.mrope, x, positions, prune_layer),
+                        kl[0, :, :s, :].astype(jnp.float32)).mean(0)  # [S]
+    scores = jnp.where(jnp.asarray(is_img_np), scores, jnp.inf)  # text always kept
+
+    # top (s_new) positions overall == all text + top-k vision; preserve order
+    kept = jnp.sort(jnp.argsort(-scores)[:s_new])  # ascending original order
+
+    x = x[:, kept, :]
+    positions = positions[:, :, kept]
+    # compact the cache slots written so far (all layers share slot indices)
+    gk = jnp.take(cache.k, kept, axis=3)
+    gv = jnp.take(cache.v, kept, axis=3)
+    z = jnp.zeros((), jnp.int32)
+    k2 = jax.lax.dynamic_update_slice(cache.k, gk.astype(cache.k.dtype), (z, z, z, z, z))
+    v2 = jax.lax.dynamic_update_slice(cache.v, gv.astype(cache.v.dtype), (z, z, z, z, z))
+    cache = KVCache(k2, v2, jnp.zeros((), jnp.int32))
+
+    # phase 2: remaining layers at the pruned length.  Slots [0, s_new) for
+    # the early layers already hold compacted K/V; later layers append fresh.
+    for blk in lm.blocks[prune_layer:]:
+        h = blk.input_norm(x)
+        h, cache = _mrope_attn(blk.attn, h, model.mrope, cache, positions)
+        x = x + h
+        x = x + blk.mlp(blk.post_attn_norm(x))
+    x = lm.norm(x)
+    cache = KVCache(cache.k, cache.v, jnp.asarray(s_new, jnp.int32))
+    return lm.logits(x[:, -1:, :])[:, 0, :], cache
+
+
+def _last_query(lm, mrope, x, positions, layer: int):
+    """q vector of the final position at `layer` (mean over heads) — the VTP
+    importance probe."""
+    blk = lm.blocks[layer]
+    cfg = blk.attn.cfg
+    h = blk.input_norm(x[:, -1:, :])
+    q = blk.attn.q_proj(h).reshape(1, 1, cfg.num_attention_heads, cfg.head_dim_)
+    q = mrope(q, positions[:, :, -1:])
+    return q[0, 0].mean(0).astype(jnp.float32)  # [D]
+
+
+# ---------------------------------------------------------------------------
 # Generation (prefill with vision -> compiled decode loop)
 # ---------------------------------------------------------------------------
 

@@ -153,3 +153,33 @@ def test_processor_expansion_and_vl_generate(tiny_vl):
     cache = ours.init_cache(1, 64, jnp.float32)
     toks, cache = vl_generate(ours, out, cache, max_new_tokens=4)
     assert len(toks) == 4
+
+
+def test_vtp_prefill(tiny_vl):
+    """VTP: keep_ratio=1 == exact; keep_ratio<1 shrinks the cache."""
+    from mllm_tpu.models.qwen2_vl import get_rope_index, vtp_prefill
+
+    hf, d = tiny_vl
+    ours, cfg = _ours(d)
+    ids, patches, grid = _inputs()
+    pos, _ = get_rope_index(ids[0], [grid], IMG, VID, 2)
+    posj = jnp.asarray(pos[:, None, :])
+
+    # reference: normal prefill last-token logits
+    cache0 = ours.init_cache(1, 32, jnp.float32)
+    ref_logits, _ = ours(jnp.asarray(ids, jnp.int32), cache0,
+                         patches=jnp.asarray(patches), grid_thw=grid,
+                         positions=posj, last_only=True)
+
+    cache1 = ours.init_cache(1, 32, jnp.float32)
+    lg_full, cache1 = vtp_prefill(ours, ids, cache1, jnp.asarray(patches), grid,
+                                  posj, keep_ratio=1.0, prune_layer=1)
+    np.testing.assert_allclose(np.asarray(lg_full), np.asarray(ref_logits)[:, 0],
+                               rtol=2e-4, atol=2e-5)
+    assert int(cache1.pos) == ids.shape[1]
+
+    cache2 = ours.init_cache(1, 32, jnp.float32)
+    lg_half, cache2 = vtp_prefill(ours, ids, cache2, jnp.asarray(patches), grid,
+                                  posj, keep_ratio=0.5, prune_layer=1)
+    assert int(cache2.pos) == ids.shape[1] - 2  # 4 img tokens -> keep 2
+    assert np.isfinite(np.asarray(lg_half)).all()
