@@ -44,9 +44,9 @@ def main():
         print("no tokenizer.json found in model dir", file=sys.stderr)
         sys.exit(1)
 
-    text = args.prompt if args.no_chat_template else tok.apply_chat_template(
-        [{"role": "user", "content": args.prompt}]
-    )
+    from mllm_tpu.tokenizers.chat_templates import render
+
+    text = args.prompt if args.no_chat_template else render(cfg.model_type, args.prompt)
     ids = np.asarray(tok.encode(text, bos=True), np.int32)[None, :]
     print(f"[{cfg.model_type}] prompt tokens: {ids.shape[1]}")
 
