@@ -82,6 +82,9 @@ class KVCache(Module):
         """Reference `clear_kvcache` equivalent — just rewind the write head."""
         return KVCache(self.k, self.v, jnp.zeros((), jnp.int32))
 
+    def dtype_bytes(self) -> int:
+        return self.k.dtype.itemsize
+
     def rollback_accept(self, draft_start, accept_idx: jax.Array, n_accept) -> "KVCache":
         """Speculative-decoding verification: keep only accepted draft entries.
 
@@ -103,3 +106,80 @@ class KVCache(Module):
         k = jax.lax.dynamic_update_slice(self.k, gathered_k.astype(self.k.dtype), start)
         v = jax.lax.dynamic_update_slice(self.v, gathered_v.astype(self.v.dtype), start)
         return KVCache(k, v, jnp.asarray(draft_start + n_accept, jnp.int32))
+
+
+class QuantKVCache(Module):
+    """int8 KV cache with per-(token, head) vector scales.
+
+    Counterpart of the reference's q8_0 KV-cache dtype (KVCache_TYPE,
+    /root/reference/mllm/Types.hpp:26-33, op/CPUKVCacheSage): halves cache
+    memory vs bf16 (2x longer contexts per chip) at per-vector int8 fidelity.
+
+    k, v:          int8 [L, B, H_kv, max_len, D]
+    k_scale, v_scale: f32 [L, B, H_kv, max_len]
+    pos:           [] int32
+    """
+
+    def __init__(self, k, v, k_scale, v_scale, pos):
+        self.k = k
+        self.v = v
+        self.k_scale = k_scale
+        self.v_scale = v_scale
+        self.pos = pos
+
+    @staticmethod
+    def init(n_layers: int, batch: int, max_len: int, n_kv_heads: int, head_dim: int,
+             dtype=None) -> "QuantKVCache":
+        shape = (n_layers, batch, n_kv_heads, max_len, head_dim)
+        sshape = shape[:-1]
+        return QuantKVCache(
+            jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+            jnp.ones(sshape, jnp.float32), jnp.ones(sshape, jnp.float32),
+            jnp.zeros((), jnp.int32),
+        )
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[3]
+
+    @property
+    def n_layers(self) -> int:
+        return self.k.shape[0]
+
+    @staticmethod
+    def _quantize(x):
+        """[B, H, S, D] float -> (int8, scale [B, H, S])."""
+        xf = x.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=-1)
+        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+        q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+        return q, scale
+
+    def update_layer(self, layer: int, k_new: jax.Array, v_new: jax.Array) -> "QuantKVCache":
+        kn = jnp.transpose(k_new, (0, 2, 1, 3))  # [B, H, S, D]
+        vn = jnp.transpose(v_new, (0, 2, 1, 3))
+        kq, ks = self._quantize(kn)
+        vq, vs = self._quantize(vn)
+        z = jnp.zeros((), jnp.int32)
+        li = jnp.asarray(layer, jnp.int32)
+        k = jax.lax.dynamic_update_slice(self.k, kq[None], (li, z, z, self.pos, z))
+        v = jax.lax.dynamic_update_slice(self.v, vq[None], (li, z, z, self.pos, z))
+        ksc = jax.lax.dynamic_update_slice(self.k_scale, ks[None], (li, z, z, self.pos))
+        vsc = jax.lax.dynamic_update_slice(self.v_scale, vs[None], (li, z, z, self.pos))
+        return QuantKVCache(k, v, ksc, vsc, self.pos)
+
+    def layer(self, layer: int):
+        """Dequantized K/V for one layer: ([B, H_kv, max_len, D] bf16, same)."""
+        k = (self.k[layer].astype(jnp.bfloat16)
+             * self.k_scale[layer][..., None].astype(jnp.bfloat16))
+        v = (self.v[layer].astype(jnp.bfloat16)
+             * self.v_scale[layer][..., None].astype(jnp.bfloat16))
+        return k, v
+
+    def advance(self, n) -> "QuantKVCache":
+        return QuantKVCache(self.k, self.v, self.k_scale, self.v_scale,
+                            self.pos + jnp.asarray(n, jnp.int32))
+
+    def reset(self) -> "QuantKVCache":
+        return QuantKVCache(self.k, self.v, self.k_scale, self.v_scale,
+                            jnp.zeros((), jnp.int32))

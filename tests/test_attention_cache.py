@@ -118,3 +118,31 @@ def test_incremental_matches_full():
         outs.append(np.asarray(lg)[0])
     inc = np.concatenate(outs, axis=0)
     np.testing.assert_allclose(np.asarray(logits_full)[0], inc, rtol=2e-3, atol=2e-4)
+
+
+def test_quant_kv_cache_close_to_fp():
+    """int8 KV cache: logits stay close to the fp32 cache path."""
+    import jax.random as jr
+    from mllm_tpu.core.config import TextConfig
+    from mllm_tpu.kv.cache import QuantKVCache
+    from mllm_tpu.models.transformer import CausalLM
+
+    cfg = TextConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=64,
+        eos_token_id=63, rope_theta=10000.0,
+    )
+    model = CausalLM.init(jr.PRNGKey(0), cfg)
+    ids = jnp.asarray(np.arange(1, 11)[None], jnp.int32)
+
+    cache_fp = model.init_cache(1, 32, jnp.float32)
+    ref, cache_fp = model(ids, cache_fp, last_only=False)
+
+    cache_q = QuantKVCache.init(2, 1, 32, 2, 8)
+    out, cache_q = model(ids, cache_q, last_only=False)
+    rel = np.max(np.abs(np.asarray(out) - np.asarray(ref))) / (np.max(np.abs(np.asarray(ref))) + 1e-9)
+    assert rel < 0.05, rel
+    assert int(cache_q.pos) == 10
+    # incremental decode continues fine
+    out2, cache_q = model(jnp.asarray([[5]], jnp.int32), cache_q, last_only=True)
+    assert np.isfinite(np.asarray(out2)).all()
