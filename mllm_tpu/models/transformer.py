@@ -81,8 +81,10 @@ class Attention(Module):
         return None
 
     def __call__(self, x, rope: RotaryEmbedding, cache: Optional[KVCache], positions,
-                 kv_start=None):
+                 kv_start=None, layer_idx=None):
         cfg = self.cfg
+        if layer_idx is None:
+            layer_idx = self.layer_idx
         b, s, _ = x.shape
         h, hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
 
@@ -96,8 +98,8 @@ class Attention(Module):
         k = rope(k, positions)
 
         if cache is not None:
-            cache = cache.update_layer(self.layer_idx, k, v)
-            k_full, v_full = cache.layer(self.layer_idx)
+            cache = cache.update_layer(layer_idx, k, v)
+            k_full, v_full = cache.layer(layer_idx)
             q_offset, kv_valid = cache.pos, cache.pos + s
         else:  # cacheless (training / scoring) path
             k_full = jnp.transpose(k, (0, 2, 1, 3))
@@ -173,10 +175,11 @@ class DecoderBlock(Module):
             pre_ffn, post_ffn,
         )
 
-    def __call__(self, x, rope, cache, positions, kv_start=None):
+    def __call__(self, x, rope, cache, positions, kv_start=None, layer_idx=None):
         rm = self.attn.cfg.residual_multiplier  # MiniCPM scale_depth/sqrt(L)
         h = self.input_norm(x)
-        h, cache = self.attn(h, rope, cache, positions, kv_start=kv_start)
+        h, cache = self.attn(h, rope, cache, positions, kv_start=kv_start,
+                             layer_idx=layer_idx)
         if self.pre_ffn_norm is not None:  # gemma2 ordering
             h = self.pre_ffn_norm(h)
         x = x + (h if rm == 1.0 else h * jnp.asarray(rm, h.dtype))
@@ -226,6 +229,22 @@ class CausalLM(Module):
             cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.head_dim_, dtype
         )
 
+    def stack(self) -> "CausalLM":
+        """Return a copy whose decoder blocks are leaf-stacked for `lax.scan`.
+
+        Compile time becomes O(1) in depth (one traced block instead of L).
+        Requires structurally-uniform blocks — not for per-layer sliding
+        window patterns (gemma2 keeps the unrolled path).
+        """
+        if self.cfg.sliding_window is not None and self.cfg.sliding_window_pattern > 1:
+            return self  # per-layer window pattern needs static layer ids
+        mods = [m.replace(attn=m.attn.replace(layer_idx=0)) for m in self.blocks.mods]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *mods)
+        out = self.replace(blocks=ModuleList([]))
+        out.__dict__["stacked_blocks"] = stacked
+        out.__dict__["n_stacked"] = len(mods)
+        return out
+
     def hidden_states(self, input_ids, cache: Optional[KVCache], inputs_embeds=None,
                       pad_lens=None):
         """Run the trunk; returns (hidden [B,S,D], cache with pos advanced).
@@ -243,8 +262,28 @@ class CausalLM(Module):
         if pad_lens is not None:
             positions = jnp.maximum(positions - pad_lens[:, None], 0)  # [B, S]
             kv_start = jnp.asarray(pad_lens, jnp.int32)
-        for blk in self.blocks:
-            x, cache = blk(x, self.rope, cache, positions, kv_start=kv_start)
+        stacked = getattr(self, "stacked_blocks", None)
+        if stacked is not None:
+            n = getattr(self, "n_stacked")
+            if cache is not None:
+                def body(carry, inp):
+                    xc, cc = carry
+                    blk, idx = inp
+                    xc, cc = blk(xc, self.rope, cc, positions, kv_start=kv_start,
+                                 layer_idx=idx)
+                    return (xc, cc), None
+                (x, cache), _ = jax.lax.scan(body, (x, cache),
+                                             (stacked, jnp.arange(n, dtype=jnp.int32)))
+            else:
+                def body(carry, inp):
+                    blk, idx = inp
+                    xc, _ = blk(carry, self.rope, None, positions, kv_start=kv_start,
+                                layer_idx=idx)
+                    return xc, None
+                x, _ = jax.lax.scan(body, x, (stacked, jnp.arange(n, dtype=jnp.int32)))
+        else:
+            for blk in self.blocks:
+                x, cache = blk(x, self.rope, cache, positions, kv_start=kv_start)
         x = self.norm(x)
         return x, (cache.advance(s) if cache is not None else None)
 

@@ -146,3 +146,36 @@ def test_quant_kv_cache_close_to_fp():
     # incremental decode continues fine
     out2, cache_q = model(jnp.asarray([[5]], jnp.int32), cache_q, last_only=True)
     assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_stacked_scan_matches_unrolled():
+    """model.stack(): scanned layers must equal the unrolled python loop."""
+    import jax.random as jr
+    from mllm_tpu.core.config import TextConfig
+    from mllm_tpu.models.transformer import CausalLM
+
+    cfg = TextConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=64,
+        eos_token_id=63, rope_theta=10000.0,
+    )
+    model = CausalLM.init(jr.PRNGKey(2), cfg)
+    stacked = model.stack()
+    ids = jnp.asarray(np.arange(1, 9)[None], jnp.int32)
+
+    cache_a = model.init_cache(1, 16, jnp.float32)
+    ref, cache_a = model(ids, cache_a, last_only=False)
+    cache_b = model.init_cache(1, 16, jnp.float32)
+    out, cache_b = stacked(ids, cache_b, last_only=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(cache_b.k), np.asarray(cache_a.k), rtol=1e-5, atol=1e-6)
+
+    # decode step parity too
+    ref2, cache_a = model(jnp.asarray([[3]], jnp.int32), cache_a)
+    out2, cache_b = stacked(jnp.asarray([[3]], jnp.int32), cache_b)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), rtol=2e-4, atol=2e-5)
+
+    # cacheless (training) path
+    l_ref = model.loss(ids, ids)
+    l_out = stacked.loss(ids, ids)
+    np.testing.assert_allclose(float(l_out), float(l_ref), rtol=1e-5)
