@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Minimal production-style serving daemon.
+
+The reference is a library + CLI (no daemon); this adds the serving surface a
+TPU deployment needs: an OpenAI-style HTTP endpoint with dynamic micro-
+batching — concurrent requests that arrive within a window are left-pad
+batched through one forward (ragged_batched_generate) and fanned back out.
+
+  python examples/serve.py -m <model_dir> [-p 8000] [--batch-window-ms 30]
+
+  curl localhost:8000/v1/completions -d '{"prompt": "hello", "max_tokens": 32}'
+  curl localhost:8000/metrics
+"""
+
+import argparse
+import json
+import queue
+import sys
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+sys.path.insert(0, ".")
+
+import numpy as np
+import jax.numpy as jnp
+
+
+class Engine:
+    """Background batching loop: collects requests, runs ragged batches."""
+
+    def __init__(self, model, tok, cfg, max_len=2048, window_ms=30, max_batch=8):
+        self.model = model
+        self.tok = tok
+        self.cfg = cfg
+        self.max_len = max_len
+        self.window_ms = window_ms
+        self.max_batch = max_batch
+        self.q: queue.Queue = queue.Queue()
+        from mllm_tpu.utils.metrics import GLOBAL, GenerationMetrics
+
+        self.metrics = GLOBAL
+        self.genmetrics = GenerationMetrics(GLOBAL)
+        threading.Thread(target=self._loop, daemon=True).start()
+
+    def submit(self, prompt_ids: np.ndarray, max_tokens: int) -> "queue.Queue":
+        done: queue.Queue = queue.Queue()
+        self.q.put((prompt_ids, max_tokens, done, time.perf_counter()))
+        return done
+
+    def _loop(self):
+        from mllm_tpu.generation.generate import ragged_batched_generate
+        from mllm_tpu.generation.sampling import SamplingConfig
+
+        while True:
+            first = self.q.get()
+            batch = [first]
+            deadline = time.perf_counter() + self.window_ms / 1000.0
+            while len(batch) < self.max_batch and time.perf_counter() < deadline:
+                try:
+                    batch.append(self.q.get(timeout=max(deadline - time.perf_counter(), 0.001)))
+                except queue.Empty:
+                    break
+            prompts = [b[0] for b in batch]
+            max_new = max(b[1] for b in batch)
+            t0 = time.perf_counter()
+            cache = self.model.init_cache(len(batch), self.max_len, jnp.bfloat16)
+            toks, n_valid, _ = ragged_batched_generate(
+                self.model, prompts, cache, SamplingConfig(max_new_tokens=max_new)
+            )
+            dt = time.perf_counter() - t0
+            self.metrics.set("mllm_last_batch_size", len(batch))
+            for i, (pids, mt, done, t_in) in enumerate(batch):
+                out = toks[i, : min(int(n_valid[i]), mt)].tolist()
+                self.genmetrics.record(len(pids), len(out), dt, time.perf_counter() - t_in)
+                done.put(out)
+
+
+def make_handler(engine: Engine):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            if self.path == "/metrics":
+                body = engine.metrics.to_prometheus().encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain")
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/healthz":
+                self.send_response(200)
+                self.end_headers()
+                self.wfile.write(b"ok")
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+        def do_POST(self):
+            if self.path not in ("/v1/completions", "/v1/chat/completions"):
+                self.send_response(404)
+                self.end_headers()
+                return
+            n = int(self.headers.get("Content-Length", 0))
+            try:
+                req = json.loads(self.rfile.read(n) or b"{}")
+            except (json.JSONDecodeError, ValueError):
+                self.send_response(400)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(b'{"error": "invalid JSON body"}')
+                return
+            if self.path.endswith("chat/completions"):
+                from mllm_tpu.tokenizers.chat_templates import render
+
+                text = render(engine.cfg.model_type, req.get("messages", []))
+            else:
+                text = req.get("prompt", "")
+            ids = np.asarray(engine.tok.encode(text, bos=True), np.int32)
+            done = engine.submit(ids, int(req.get("max_tokens", 64)))
+            out_ids = done.get()
+            text_out = engine.tok.decode(out_ids)
+            resp = {
+                "object": "text_completion",
+                "choices": [{"text": text_out, "index": 0, "finish_reason": "stop"}],
+                "usage": {"prompt_tokens": len(ids), "completion_tokens": len(out_ids)},
+            }
+            body = json.dumps(resp).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+    return Handler
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-m", "--model", required=True)
+    ap.add_argument("-p", "--port", type=int, default=8000)
+    ap.add_argument("-l", "--limits", type=int, default=2048)
+    ap.add_argument("-q", "--quant", choices=["int8", "int4"], default=None)
+    ap.add_argument("--batch-window-ms", type=int, default=30)
+    ap.add_argument("--max-batch", type=int, default=8)
+    args = ap.parse_args()
+
+    from mllm_tpu.models.registry import auto_model
+
+    model, tok, cfg = auto_model(args.model, dtype=jnp.bfloat16, quant=args.quant)
+    engine = Engine(model, tok, cfg, args.limits, args.batch_window_ms, args.max_batch)
+    server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(engine))
+    print(f"serving {args.model} on :{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
