@@ -152,6 +152,9 @@ def _timeit(fn):
 
 
 def main():
+    from mllm_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="qwen2vl-2b-int8-b8", choices=list(CONFIGS))
     ap.add_argument("--all", action="store_true")

@@ -20,6 +20,9 @@ import jax.numpy as jnp
 
 
 def main():
+    from mllm_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("-m", "--model", required=True, help="model directory")
     ap.add_argument("-l", "--limits", type=int, default=2048, help="KV cache limit (cache_limit)")

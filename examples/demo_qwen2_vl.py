@@ -16,6 +16,9 @@ import jax.numpy as jnp
 
 
 def main():
+    from mllm_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("-m", "--model", required=True)
     ap.add_argument("-i", "--image", required=True)

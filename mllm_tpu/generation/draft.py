@@ -93,6 +93,25 @@ class SuffixAutomaton:
         for t in toks:
             self.add_token(int(t))
 
+    def lookup_multi(self, max_draft: int = 8, min_match: int = 1,
+                     max_traces: int = 4) -> list[list[int]]:
+        """Candidate continuations from the current match state and its
+        suffix-link ancestors (shorter matches → alternative continuations),
+        deduped by first token (reference TracePool candidate gathering)."""
+        out: list[list[int]] = []
+        seen_first: set[int] = set()
+        s, l = self.match_state, self.match_len
+        while s != 0 and len(out) < max_traces:
+            if l >= min_match:
+                end = self.first_pos[s]
+                cont = self.tokens[end + 1 : end + 1 + max_draft]
+                if cont and cont[0] not in seen_first:
+                    out.append([int(t) for t in cont])
+                    seen_first.add(cont[0])
+            s = self.link[s]
+            l = self.length[s] if s >= 0 else 0
+        return out
+
     def lookup(self, max_draft: int = 40, min_match: int = 1) -> list[int]:
         """Draft the continuation after the earlier occurrence of the current
         longest matched suffix.  Empty when no sufficiently long repeat."""

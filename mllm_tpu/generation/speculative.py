@@ -113,3 +113,176 @@ def speculative_generate(
                 break
     stats.tokens = len(out)
     return out, cache, stats
+
+
+# ---------------------------------------------------------------------------
+# Tree-mode speculative decoding (multi-trace TracePool verification —
+# reference modeling_qwen_sd.hpp:270-385 with RoPETree + CausalTreeMask)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("w",), donate_argnames=("cache",))
+def _tree_verify_step(model, cache: KVCache, ids, positions, bias, w: int):
+    """Forward [1, w] tree tokens with an explicit attention bias over the
+    whole cache row space; returns per-position argmax and the cache."""
+    x = model.embed_tokens(ids)
+    if model.cfg.embedding_multiplier != 1.0:
+        x = x * jnp.asarray(model.cfg.embedding_multiplier, x.dtype)
+    from ..nn.attention import sdpa
+
+    for li, blk in enumerate(model.blocks):
+        h = blk.input_norm(x)
+        attn = blk.attn
+        cfg = attn.cfg
+        b, s, _ = h.shape
+        hh, hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
+        q = attn.q_proj(h).reshape(b, s, hh, hd)
+        k = attn.k_proj(h).reshape(b, s, hkv, hd)
+        v = attn.v_proj(h).reshape(b, s, hkv, hd)
+        if attn.q_norm is not None:
+            q = attn.q_norm(q)
+            k = attn.k_norm(k)
+        q = model.rope(q, positions)
+        k = model.rope(k, positions)
+        cache = cache.update_layer(li, k, v)
+        k_full, v_full = cache.layer(li)
+        o = sdpa(q, k_full, v_full, causal=False, bias=bias)
+        h = attn.o_proj(o.reshape(b, s, hh * hd))
+        x = x + h
+        x = x + blk.mlp(blk.post_attn_norm(x))
+    x = model.norm(x)
+    return jnp.argmax(model.logits(x), axis=-1).astype(jnp.int32)[0], cache
+
+
+def _tree_bias_full(ancestors: np.ndarray, base: int, s_max: int) -> np.ndarray:
+    """[w, s_max] additive bias: cache prefix visible, draft region tree-
+    masked, tail masked.  Slot base+0 = last accepted token (root)."""
+    w = len(ancestors) + 1
+    bias = np.full((w, s_max), -1e30, np.float32)
+    bias[:, :base] = 0.0  # committed prefix
+    bias[0, base] = 0.0  # root sees itself
+    for i, a in enumerate(ancestors):
+        row = i + 1
+        bias[row, base + row] = 0.0  # self
+        bias[row, base] = 0.0  # root
+        anc = a
+        while anc != -1:
+            bias[row, base + 1 + anc] = 0.0
+            anc = ancestors[anc]
+    return bias
+
+
+def speculative_generate_tree(
+    model,
+    input_ids: np.ndarray,
+    cache: KVCache,
+    max_new_tokens: int = 128,
+    *,
+    eos_token_id=None,
+    max_draft: int = 6,
+    max_traces: int = 3,
+    min_match: int = 2,
+    callback=None,
+):
+    """Greedy speculative decoding verifying MULTIPLE draft traces per step
+    via tree attention.  Fixed verify width = 1 + max_traces*max_draft."""
+    from .draft import TracePool
+    from .generate import _prefill, pad_to_bucket
+
+    input_ids = np.asarray(input_ids, np.int32)
+    true_len = input_ids.shape[1]
+    eos = eos_token_id
+    if eos is None:
+        e = model.cfg.eos_token_id
+        eos = set(e) if isinstance(e, (list, tuple)) else {e}
+    elif isinstance(eos, int):
+        eos = {eos}
+
+    sa = SuffixAutomaton()
+    sa.add_tokens(input_ids[0])
+    padded = jnp.asarray(pad_to_bucket(input_ids, 128))
+    logits, cache = _prefill(model, cache, padded, true_len)
+    t0 = int(np.argmax(np.asarray(logits)[0]))
+    out = [t0]
+    sa.add_token(t0)
+    if callback:
+        callback(t0)
+    stats = SpecStats()
+    s_max = cache.max_len
+    w = 1 + max_traces * max_draft
+
+    while len(out) < max_new_tokens and out[-1] not in eos:
+        pool = TracePool(max_traces)
+        for tr in sa.lookup_multi(max_draft, min_match, max_traces):
+            pool.add_trace(tr)
+        base = int(cache.pos)
+        tree_ids, tree_pos, anc = pool.build_tree(base_pos=base + 1)
+        n = len(tree_ids)
+        stats.steps += 1
+        stats.drafted += n
+
+        ids = np.zeros((1, w), np.int32)
+        pos = np.full((1, w), base, np.int32)
+        ids[0, 0] = out[-1]
+        if n:
+            ids[0, 1 : 1 + n] = tree_ids
+            pos[0, 1 : 1 + n] = tree_pos
+        anc_pad = np.full(w - 1, -2, np.int32)  # -2 = padding (sees nothing useful)
+        anc_pad[:n] = anc
+        bias = _tree_bias_full(anc_pad[:n], base, s_max)
+        if w - 1 - n:
+            pad_rows = np.full((w - 1 - n, s_max), -1e30, np.float32)
+            pad_rows[:, :base + 1] = 0.0  # harmless: pad rows see the prefix
+            bias = np.concatenate([bias, pad_rows], axis=0)
+
+        preds, cache = _tree_verify_step(
+            model, cache, jnp.asarray(ids), jnp.asarray(pos),
+            jnp.asarray(bias)[None, None], w,
+        )
+        preds = np.asarray(preds)  # [w]
+
+        best_trace, n_acc = (0, 0)
+        if pool.traces:
+            # root prediction must match the trace's first token, else 0 accepted
+            best_trace, best_n = 0, -1
+            off = 0
+            for ti, tr in enumerate(pool.traces):
+                acc = 0
+                if preds[0] == tr.tokens[0]:
+                    acc = 1
+                    j = 0
+                    while acc < len(tr.tokens) and preds[1 + off + j] == tr.tokens[j + 1]:
+                        acc += 1
+                        j += 1
+                if acc > best_n:
+                    best_n, best_trace = acc, ti
+                off += len(tr.tokens)
+            n_acc = max(best_n, 0)
+        stats.accepted += n_acc
+
+        # bonus token = prediction at the last accepted node
+        trace_off = sum(len(t.tokens) for t in pool.traces[:best_trace])
+        if n_acc == 0:
+            new_tokens = [int(preds[0])]
+            keep_rel = []
+        else:
+            tr = pool.traces[best_trace]
+            new_tokens = list(tr.tokens[:n_acc]) + [int(preds[trace_off + n_acc])]
+            keep_rel = [1 + trace_off + j for j in range(n_acc)]
+
+        # compact cache: keep slot 0 (root) + accepted trace slots
+        keep = np.zeros(w, np.int32)
+        keep[0] = 0
+        for i, r in enumerate(keep_rel):
+            keep[1 + i] = r
+        cache = cache.rollback_accept(base, jnp.asarray(keep), 1 + n_acc)
+
+        for t in new_tokens:
+            out.append(t)
+            sa.add_token(t)
+            if callback:
+                callback(t)
+            if t in eos or len(out) >= max_new_tokens:
+                break
+    stats.tokens = len(out)
+    return out, cache, stats

@@ -26,3 +26,16 @@ def on_tpu() -> bool:
 def cpu_devices(n: int | None = None):
     devs = jax.devices("cpu")
     return devs if n is None else devs[:n]
+
+
+def enable_compilation_cache(path: str = "/tmp/mllm_tpu_xla_cache"):
+    """Persistent XLA compilation cache — the TPU-native twin of the
+    reference's qnn_context.bin compiled-graph cache (demo_qwen_npu.cpp:113)."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        return True
+    except Exception:
+        return False

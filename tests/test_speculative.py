@@ -79,3 +79,29 @@ def test_speculative_stats(model):
     )
     assert stats.tokens == len(out) == 24
     assert 0.0 <= stats.acceptance <= 1.0
+
+
+def test_tree_speculative_equals_greedy(model):
+    from mllm_tpu.generation.speculative import speculative_generate_tree
+
+    ids = np.array([[5, 9, 2, 7, 5, 9, 2, 7, 5, 9]], np.int32)
+    cache = model.init_cache(1, 256, jnp.float32)
+    res, _ = generate(model, ids, cache, SamplingConfig(max_new_tokens=30),
+                      eos_token_id={-9}, bucket=128)
+    cache2 = model.init_cache(1, 256, jnp.float32)
+    out, cache2, stats = speculative_generate_tree(
+        model, ids, cache2, max_new_tokens=30, eos_token_id={-9},
+        max_draft=5, max_traces=3)
+    assert out == res.tokens, f"tree spec {out} != greedy {res.tokens}"
+    assert stats.drafted > 0
+
+
+def test_lookup_multi():
+    from mllm_tpu.generation.draft import SuffixAutomaton
+
+    sa = SuffixAutomaton()
+    sa.add_tokens([1, 2, 9, 1, 2, 8, 1, 2])
+    traces = sa.lookup_multi(max_draft=3, min_match=1, max_traces=4)
+    assert len(traces) >= 1
+    firsts = [t[0] for t in traces]
+    assert len(set(firsts)) == len(firsts)  # deduped by first token
