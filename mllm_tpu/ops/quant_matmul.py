@@ -141,18 +141,22 @@ def _int4_kernel(x_lo_ref, x_hi_ref, p_ref, s_lo_ref, s_hi_ref, z_lo_ref, z_hi_r
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    packed = p_ref[:].astype(jnp.int32)  # (BJ, BN); Mosaic lacks u8->f32 casts
-    lo = (packed & 0x0F).astype(jnp.float32)  # k slab [jk*BJ, jk*BJ+BJ)
-    hi = ((packed >> 4) & 0x0F).astype(jnp.float32)  # k slab K/2 + [jk*BJ, ...)
-
     s_lo = _expand_groups(s_lo_ref[:], group)  # (BJ, BN)
     s_hi = _expand_groups(s_hi_ref[:], group)
-    if asym:
+    if asym:  # unsigned nibbles 0..15, affine dequant
+        packed = p_ref[:].astype(jnp.int32)  # Mosaic lacks u8->f32 casts
+        lo = (packed & 0x0F).astype(jnp.float32)  # k slab [jk*BJ, jk*BJ+BJ)
+        hi = ((packed >> 4) & 0x0F).astype(jnp.float32)  # k slab K/2 + [...]
         w_lo = lo * s_lo + _expand_groups(z_lo_ref[:], group)
         w_hi = hi * s_hi + _expand_groups(z_hi_ref[:], group)
-    else:
-        w_lo = (lo - 8.0) * s_lo
-        w_hi = (hi - 8.0) * s_hi
+    else:  # signed two's-complement nibbles (int32 ops; Mosaic lacks i8 shifts)
+        p32 = p_ref[:].astype(jnp.int32)
+        lo4 = p32 & 0x0F
+        hi4 = (p32 >> 4) & 0x0F
+        lo = (lo4 - ((lo4 & 8) * 2)).astype(jnp.float32)
+        hi = (hi4 - ((hi4 & 8) * 2)).astype(jnp.float32)
+        w_lo = lo * s_lo
+        w_hi = hi * s_hi
 
     acc_ref[:] += jax.lax.dot_general(
         x_lo_ref[:], w_lo.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
@@ -225,15 +229,23 @@ def int4_matmul(x: jax.Array, packed_t: jax.Array, scales_t: jax.Array, group: i
 
 
 def dequant_int4(packed_t, scales_t, group: int = 32, zeros_t=None):
-    """Reference dequant (XLA/numpy) for the planar int4 layout -> f32 [K, N]."""
+    """Reference dequant (XLA/numpy) for the planar int4 layouts -> f32 [K, N].
+
+    zeros_t given  -> unsigned nibbles (0..15), affine;
+    zeros_t absent -> signed two's-complement nibbles (-8..7), symmetric.
+    """
     khalf, n = packed_t.shape
-    lo = (packed_t & 0x0F).astype(jnp.float32)
-    hi = (packed_t >> 4).astype(jnp.float32)
-    q = jnp.concatenate([lo, hi], axis=0)  # [K, N]
     s_full = jnp.repeat(scales_t, group, axis=0)
     if zeros_t is not None:
+        lo = (packed_t & 0x0F).astype(jnp.float32)
+        hi = (packed_t >> 4).astype(jnp.float32)
+        q = jnp.concatenate([lo, hi], axis=0)  # [K, N]
         return q * s_full + jnp.repeat(zeros_t, group, axis=0)
-    return (q - 8.0) * s_full
+    p8 = jax.lax.bitcast_convert_type(packed_t, jnp.int8)
+    lo = (jnp.left_shift(p8, 4) >> 4).astype(jnp.float32)
+    hi = (p8 >> 4).astype(jnp.float32)
+    q = jnp.concatenate([lo, hi], axis=0)
+    return q * s_full
 
 
 # ---------------------------------------------------------------------------
@@ -242,10 +254,21 @@ def dequant_int4(packed_t, scales_t, group: int = 32, zeros_t=None):
 
 
 def pack_int4_planar(q: np.ndarray) -> np.ndarray:
-    """q: uint8 [N, K] values 0..15 -> planar packed, TRANSPOSED: [K/2, N]."""
+    """q: uint8 [N, K] values 0..15 -> planar packed, TRANSPOSED: [K/2, N].
+    (Unsigned layout — used by the asymmetric/zero-point path.)"""
     n, k = q.shape
     qt = np.ascontiguousarray(q.T)  # [K, N]
     return (qt[: k // 2] | (qt[k // 2 :] << 4)).astype(np.uint8)
+
+
+def pack_int4_planar_signed(v: np.ndarray) -> np.ndarray:
+    """v: int [N, K] values -8..7 -> two's-complement nibbles, [K/2, N].
+    (Symmetric layout — the kernel unpacks with arithmetic shifts.)"""
+    n, k = v.shape
+    vt = np.ascontiguousarray(v.T).astype(np.int8)
+    lo = (vt[: k // 2] & 0x0F).astype(np.uint8)
+    hi = (vt[k // 2 :] & 0x0F).astype(np.uint8)
+    return (lo | (hi << 4)).astype(np.uint8)
 
 
 def repack_q4_0(raw: np.ndarray, n: int, k: int):
@@ -253,10 +276,10 @@ def repack_q4_0(raw: np.ndarray, n: int, k: int):
     blocks = raw.reshape(n, k // 32, 18)
     d = blocks[..., :2].copy().view(np.float16).astype(np.float32)[..., 0]  # [N, K/32]
     qs = blocks[..., 2:]  # [N, K/32, 16] nibbles: lo = elems 0..15, hi = 16..31
-    lo = (qs & 0x0F).astype(np.uint8)
-    hi = (qs >> 4).astype(np.uint8)
-    q = np.concatenate([lo, hi], axis=-1).reshape(n, k)  # 0..15, value=(q-8)*d
-    return pack_int4_planar(q), np.ascontiguousarray(d.T)
+    lo = (qs & 0x0F).astype(np.int8) - 8
+    hi = (qs >> 4).astype(np.int8) - 8
+    v = np.concatenate([lo, hi], axis=-1).reshape(n, k)  # value = v*d, v in -8..7
+    return pack_int4_planar_signed(v), np.ascontiguousarray(d.T)
 
 
 def repack_q4_k(raw: np.ndarray, n: int, k: int):
@@ -321,6 +344,6 @@ def repack_float_to_int4(w: np.ndarray, group: int = 32):
     n, k = w.shape
     wg = w.reshape(n, k // group, group)
     amax = np.max(np.abs(wg), axis=-1)
-    scale = np.where(amax > 0, amax / 7.0, 1.0).astype(np.float32)  # q-8 in [-8..7]
-    q = np.clip(np.round(wg / scale[..., None]) + 8, 0, 15).astype(np.uint8)
-    return pack_int4_planar(q.reshape(n, k)), np.ascontiguousarray(scale.T)
+    scale = np.where(amax > 0, amax / 7.0, 1.0).astype(np.float32)
+    v = np.clip(np.round(wg / scale[..., None]), -8, 7).astype(np.int8)
+    return pack_int4_planar_signed(v.reshape(n, k)), np.ascontiguousarray(scale.T)

@@ -186,8 +186,9 @@ void repack_int4(const float* w, int64_t n, int64_t k, int64_t group,
             scales[g * n + r] = s;
             float inv = 1.0f / s;
             for (int64_t i = 0; i < group; i++) {
-                int v = (int)std::nearbyint(seg[i] * inv) + 8;
-                q[g * group + i] = (uint8_t)std::min(15, std::max(0, v));
+                int v = (int)std::nearbyint(seg[i] * inv);
+                v = std::min(7, std::max(-8, v));
+                q[g * group + i] = (uint8_t)(v & 0x0F);  // two's-complement nibble
             }
         }
         for (int64_t j = 0; j < khalf; j++) {
