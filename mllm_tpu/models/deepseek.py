@@ -324,3 +324,27 @@ class DeepseekForCausalLM(CausalLM):
         vshape = (cfg.num_hidden_layers, batch, h, max_len, mla.v_head_dim)
         return KVCache(jnp.zeros(kshape, dtype), jnp.zeros(vshape, dtype),
                        jnp.zeros((), jnp.int32))
+
+
+def minicpm3_config_from_hf(path_or_dict):
+    """MiniCPM3 = MLA attention (DeepseekV2-style, dense MLP) + MiniCPM
+    residual/embedding/logit scalings (reference models/minicpm3/)."""
+    import json, math, os
+
+    c = path_or_dict
+    if not isinstance(c, dict):
+        p = os.fspath(c)
+        if os.path.isdir(p):
+            p = os.path.join(p, "config.json")
+        with open(p) as f:
+            c = json.load(f)
+    text, mla, moe_cfg = deepseek_config_from_hf(c)
+    sd = float(c.get("scale_depth", 1.0))
+    text = text.replace(
+        model_type="minicpm3",
+        residual_multiplier=sd / math.sqrt(c.get("num_hidden_layers", 1)),
+        embedding_multiplier=float(c.get("scale_emb", 1.0)),
+        logit_divisor=float(c.get("hidden_size", 1)) / float(c.get("dim_model_base", c.get("hidden_size", 1))),
+    )
+    moe_cfg["n_routed_experts"] = 0  # minicpm3 is dense
+    return text, mla, moe_cfg
