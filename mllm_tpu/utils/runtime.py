@@ -28,11 +28,20 @@ def cpu_devices(n: int | None = None):
     return devs if n is None else devs[:n]
 
 
-def enable_compilation_cache(path: str = "/tmp/mllm_tpu_xla_cache"):
+def enable_compilation_cache(path: str = "/tmp/mllm_tpu_xla_cache", force: bool = False):
     """Persistent XLA compilation cache — the TPU-native twin of the
-    reference's qnn_context.bin compiled-graph cache (demo_qwen_npu.cpp:113)."""
+    reference's qnn_context.bin compiled-graph cache (demo_qwen_npu.cpp:113).
+
+    Opt-in via MLLM_COMPILE_CACHE=1 (or force=True): under remote-compile
+    relays the cache can hold CPU executables built for a different host
+    (machine-feature mismatch -> potential SIGILL), so it is not on by default.
+    """
+    import os
+
     import jax
 
+    if not force and os.environ.get("MLLM_COMPILE_CACHE") != "1":
+        return False
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
