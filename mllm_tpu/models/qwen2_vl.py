@@ -96,13 +96,17 @@ class VisionSdpaBlock(Module):
         self.act = act
 
     def _attn(self, x, cos, sin):
+        from ..nn.attention import attend_padded_head
+
         s, d = x.shape
         hd = d // self.n_heads
         qkv = self.qkv(x).reshape(s, 3, self.n_heads, hd)
         q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]  # [S, H, hd]
         q = _apply_vision_rotary(q, cos, sin)
         k = _apply_vision_rotary(k, cos, sin)
-        out = sdpa(
+        # flash kernel with head/seq padding: avoids materializing the
+        # [H, S, S] score tensor (the image-prefill hot spot at S ~ 4k)
+        out = attend_padded_head(
             q[None], jnp.transpose(k, (1, 0, 2))[None], jnp.transpose(v, (1, 0, 2))[None],
             causal=False,
         )[0]

@@ -84,6 +84,33 @@ def sdpa(
     return out.astype(q.dtype)
 
 
+def attend_padded_head(q, k, v, *, causal=False, scale=None, pad_to: int = 128):
+    """Attention for head dims that miss the 128-lane requirement (e.g. ViT's
+    80): zero-pad q/k/v to `pad_to` lanes (scores unchanged with the explicit
+    original-dim scale), run the flash kernel, crop the output.
+
+    q: [B, Sq, H, D]; k/v cache layout [B, H_kv, Skv, D].
+    """
+    from ..utils.runtime import on_tpu as _on_tpu
+
+    d = q.shape[-1]
+    s, skv = q.shape[1], k.shape[2]
+    if scale is None:
+        scale = d**-0.5
+    if not _on_tpu() or causal:
+        return sdpa(q, k, v, causal=causal, scale=scale)
+    from ..ops.flash_attention import flash_attention
+
+    pad_d = (-d) % pad_to
+    pad_s = (-s) % 128
+    pad_skv = (-skv) % 128
+    qp = jnp.pad(q, ((0, 0), (0, pad_s), (0, 0), (0, pad_d)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad_skv), (0, pad_d)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad_skv), (0, pad_d)))
+    out = flash_attention(qp, kp, vp, causal=False, kv_valid_len=skv, scale=scale)
+    return out[:, :s, :, :d]
+
+
 def attend(
     q, k, v, *, q_offset=0, kv_valid_len=None, kv_start=None, causal=True, window=None,
     bias=None, scale=None, logit_softcap=None, impl: str = "auto",
@@ -111,13 +138,11 @@ def attend(
             impl = "flash"
         else:
             impl = "xla"
-    if kv_start is not None and impl == "flash":
-        impl = "xla"  # left-pad masks in the prefill kernel: TBD
     if impl == "flash":
         from ..ops.flash_attention import flash_attention
 
         return flash_attention(
-            q, k, v, q_offset=q_offset, kv_valid_len=kv_valid_len,
+            q, k, v, q_offset=q_offset, kv_valid_len=kv_valid_len, kv_start=kv_start,
             causal=causal, window=window, scale=scale,
         )
     if impl == "decode":

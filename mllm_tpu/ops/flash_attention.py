@@ -29,7 +29,7 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(
-    scalars_ref,  # SMEM (2,) int32: [q_offset, kv_valid_len]
+    scalars_ref,  # SMEM (2 + B,) int32: [q_offset, kv_valid_len, kv_start_0..]
     q_ref,  # (1, 1, BQ, D)
     k_ref,  # (1, 1, BK, D)
     v_ref,  # (1, 1, BK, D)
@@ -48,8 +48,10 @@ def _flash_kernel(
     ik = pl.program_id(3)
     nk = pl.num_programs(3)
 
+    bb_idx = pl.program_id(0)
     q_offset = scalars_ref[0]
     kv_valid = scalars_ref[1]
+    kv_start = scalars_ref[2 + bb_idx]
 
     @pl.when(ik == 0)
     def _init():
@@ -81,7 +83,7 @@ def _flash_kernel(
 
         q_pos = q_offset + iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
         k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-        ok = k_pos < kv_valid
+        ok = jnp.logical_and(k_pos < kv_valid, k_pos >= kv_start)
         if causal:
             ok = jnp.logical_and(ok, k_pos <= q_pos)
             if window is not None:
@@ -119,6 +121,7 @@ def flash_attention(
     *,
     q_offset=0,
     kv_valid_len=None,
+    kv_start=None,  # [B] first valid kv index per sequence (left-padding)
     causal: bool = True,
     window: Optional[int] = None,
     scale: Optional[float] = None,
@@ -136,9 +139,12 @@ def flash_attention(
 
     if kv_valid_len is None:
         kv_valid_len = skv
-    scalars = jnp.stack(
-        [jnp.asarray(q_offset, jnp.int32), jnp.asarray(kv_valid_len, jnp.int32)]
-    )
+    if kv_start is None:
+        kv_start = jnp.zeros((b,), jnp.int32)
+    scalars = jnp.concatenate([
+        jnp.stack([jnp.asarray(q_offset, jnp.int32), jnp.asarray(kv_valid_len, jnp.int32)]),
+        jnp.asarray(kv_start, jnp.int32).reshape(b),
+    ])
 
     qt = jnp.transpose(q, (0, 2, 1, 3))  # [B, H, Sq, D]
     grid = (b, h, pl.cdiv(sq, bq), pl.cdiv(skv, bk))

@@ -103,3 +103,18 @@ def test_decode_attention_ragged_kv_start():
     ref = sdpa(q, k, v, q_offset=200, kv_valid_len=201, kv_start=starts, causal=False)
     out = decode_attention(q, k, v, kv_valid_len=201, kv_start=starts)
     assert float(jnp.max(jnp.abs(ref - out))) < 1e-2
+
+
+def test_flash_attention_ragged_kv_start():
+    from mllm_tpu.ops.flash_attention import flash_attention
+
+    B, SQ, H, HKV, D, SKV = 2, 128, 4, 2, 128, 256
+    q = jax.random.normal(jax.random.PRNGKey(6), (B, SQ, H, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(7), (B, HKV, SKV, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(8), (B, HKV, SKV, D), jnp.float32)
+    starts = jnp.asarray([0, 40], jnp.int32)
+    ref = sdpa(q, k, v, q_offset=0, kv_valid_len=128, kv_start=starts, causal=True)
+    out = flash_attention(q, k, v, q_offset=0, kv_valid_len=128, kv_start=starts, causal=True)
+    # compare only non-pad rows (fully-masked pad rows have undefined output)
+    assert float(jnp.max(jnp.abs(ref[0] - out[0]))) < 2e-2
+    assert float(jnp.max(jnp.abs(ref[1, 40:128] - out[1, 40:128]))) < 2e-2
