@@ -107,7 +107,8 @@ def attend_padded_head(q, k, v, *, causal=False, scale=None, pad_to: int = 128):
     qp = jnp.pad(q, ((0, 0), (0, pad_s), (0, 0), (0, pad_d)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad_skv), (0, pad_d)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad_skv), (0, pad_d)))
-    out = flash_attention(qp, kp, vp, causal=False, kv_valid_len=skv, scale=scale)
+    out = flash_attention(qp, kp, vp, causal=False, kv_valid_len=skv, scale=scale,
+                          block_q=256, block_k=512)
     return out[:, :s, :, :d]
 
 
