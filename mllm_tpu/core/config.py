@@ -152,6 +152,12 @@ def from_hf_config(path_or_dict, **overrides) -> TextConfig:
         kw["moe_shared_expert_size"] = cfg.get("shared_expert_intermediate_size", 0)
         kw["intermediate_size"] = cfg.get("moe_intermediate_size", kw.get("intermediate_size"))
         kw["attention_bias"] = True
+    if mt in ("bailing_moe", "smallthinker"):
+        kw["num_experts"] = cfg.get("num_experts", cfg.get("n_routed_experts", 16))
+        kw["num_experts_per_tok"] = cfg.get("num_experts_per_tok", 2)
+        kw["moe_norm_topk_prob"] = bool(cfg.get("norm_topk_prob", True))
+        kw["moe_shared_expert_size"] = cfg.get("shared_expert_intermediate_size", 0)
+        kw["intermediate_size"] = cfg.get("moe_intermediate_size", kw.get("intermediate_size"))
     if mt == "minicpm_moe":
         kw["num_experts"] = cfg.get("num_experts", 8)
         kw["num_experts_per_tok"] = cfg.get("num_experts_per_tok", 2)

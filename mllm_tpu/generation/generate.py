@@ -55,14 +55,6 @@ def _decode_step(model, cache: KVCache, token):
     return logits[:, 0, :], cache
 
 
-@functools.partial(jax.jit, static_argnames=("scfg",), donate_argnames=("cache",))
-def _decode_sample_step(model, cache: KVCache, token, key, scfg: SamplingConfig):
-    logits, cache = _decode_step_inner(model, cache, token)
-    key, sub = jax.random.split(key)
-    nxt = sample_token(sub, logits, scfg)
-    return nxt, cache, key
-
-
 def _decode_step_inner(model, cache, token):
     logits, cache = model(token[:, None], cache, last_only=True)
     return logits[:, 0, :], cache

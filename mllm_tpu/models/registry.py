@@ -28,7 +28,7 @@ def build_model(cfg: TextConfig, loader, dtype=jnp.bfloat16, quant=None):
     if mt in ("qwen2", "qwen3", "llama", "mistral", "gemma", "gemma2", "stablelm",
               "phi3", "phonelm", "smollm", "dclm", "tinyllama"):
         return load_causal_lm(loader, cfg, dtype, quant)
-    if mt in ("mixtral", "qwen2_moe", "minicpm_moe"):
+    if mt in ("mixtral", "qwen2_moe", "minicpm_moe", "bailing_moe", "smallthinker"):
         from .moe import load_moe_mlp
 
         if mt == "mixtral":
@@ -39,7 +39,9 @@ def build_model(cfg: TextConfig, loader, dtype=jnp.bfloat16, quant=None):
                 )
             # mixtral expert proj names are w1/w3/w2 — handled via name shim below
             mlp_builder = _mixtral_mlp_builder(cfg, dtype)
-        elif mt == "qwen2_moe":
+        elif mt in ("qwen2_moe", "bailing_moe", "smallthinker"):
+            # bailing/ling and smallthinker follow the qwen2_moe naming
+            # convention (reference models/ling, models/smallthinker)
             def mlp_builder(ld, prefix, i):
                 return load_moe_mlp(
                     ld, prefix + "mlp.", cfg, dtype,
