@@ -132,9 +132,17 @@ def attend(
         elif sq == 1:
             # The HBM-resident Pallas decode kernel early-exits at the valid
             # cache length: 3-8.5x faster than XLA's full-padded-sweep
-            # attention at model level (B=8: 5.2 vs 15.6 ms/step @ smax 2048,
-            # 7.2 vs 61 @ smax 8192). MLLM_DECODE_KERNEL=xla opts out.
-            impl = "xla" if os.environ.get("MLLM_DECODE_KERNEL") == "xla" else "decode"
+            # attention at batch (B=8: 5.2 vs 15.6 ms/step @ smax 2048, 7.2 vs
+            # 61 @ smax 8192).  At B=1 with a short cache, XLA's fused sweep
+            # wins slightly (463 vs 403 tok/s on the 2B int8 single stream),
+            # so the kernel engages for batch>1 or long caches.
+            # MLLM_DECODE_KERNEL=pallas|xla overrides.
+            forced = os.environ.get("MLLM_DECODE_KERNEL")
+            if forced in ("pallas", "xla"):
+                impl = "decode" if forced == "pallas" else "xla"
+            else:
+                b_, skv_ = q.shape[0], k.shape[2]
+                impl = "decode" if (b_ > 1 or skv_ > 2048) else "xla"
         elif sq % 128 == 0:
             impl = "flash"
         else:
