@@ -74,11 +74,49 @@ class ByteLevelBPE(Tokenizer):
         self.pattern = regex.compile(pattern)
         self.add_prefix_space = add_prefix_space
         self._cache: dict[str, tuple[str, ...]] = {}
+        self._native = None
+        self._native_tried = False
+
+    def _get_native(self):
+        """Native C++ merge core (reference Bpe.cpp counterpart); symbols are
+        interned vocab ids, merge rules (id_a, id_b) -> (rank, merged_id)."""
+        if self._native_tried:
+            return self._native
+        self._native_tried = True
+        try:
+            from ..utils import native
+
+            if not native.available():
+                return None
+            rules = {}
+            for (a, b), rank in self.merge_rank.items():
+                ia = self.token_to_id.get(a)
+                ib = self.token_to_id.get(b)
+                im = self.token_to_id.get(a + b)
+                if ia is not None and ib is not None and im is not None:
+                    rules[(ia, ib)] = (rank, im)
+            if len(rules) != len(self.merge_rank):
+                return None  # merges not closed under the vocab: python path
+            self._native = native.NativeBpe(rules)
+        except Exception:
+            self._native = None
+        return self._native
 
     def _bpe(self, unit_word: str) -> tuple[str, ...]:
         hit = self._cache.get(unit_word)
         if hit is not None:
             return hit
+        nat = self._get_native()
+        if nat is not None:
+            import numpy as np
+
+            sym = [self.token_to_id.get(c, -1) for c in unit_word]
+            if -1 not in sym:
+                ids = nat.merge(np.asarray(sym, np.int32))
+                toks = tuple(self.id_to_token[i] for i in ids)
+                if len(self._cache) < 65536:
+                    self._cache[unit_word] = toks
+                return toks
         toks = bpe_merge(tuple(unit_word), self.merge_rank)
         if len(self._cache) < 65536:
             self._cache[unit_word] = toks
