@@ -118,3 +118,17 @@ def test_flash_attention_ragged_kv_start():
     # compare only non-pad rows (fully-masked pad rows have undefined output)
     assert float(jnp.max(jnp.abs(ref[0] - out[0]))) < 2e-2
     assert float(jnp.max(jnp.abs(ref[1, 40:128] - out[1, 40:128]))) < 2e-2
+
+
+def test_padded_head_vision_attention():
+    """attend_padded_head (ViT head dims like 80, odd seq lens) vs sdpa."""
+    from mllm_tpu.nn.attention import attend_padded_head, sdpa
+
+    B, S, H, D = 1, 1564, 16, 80  # qwen2-vl vision shape (odd seq, 80-dim heads)
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, S, H, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, H, S, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, H, S, D), jnp.float32)
+    ref = sdpa(q, k, v, causal=False)
+    out = attend_padded_head(q, k, v, causal=False)
+    assert out.shape == ref.shape
+    assert float(jnp.max(jnp.abs(ref - out))) < 2e-2
