@@ -1,0 +1,80 @@
+"""Coverage round-out: base tokenizer surface, config edge cases, runtime
+switches, quantize_model skip rules."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mllm_tpu.core.config import from_hf_config
+from mllm_tpu.tokenizers.base import Tokenizer
+
+
+class _Stub(Tokenizer):
+    def encode_ordinary(self, text):
+        return [len(w) for w in text.split()]
+
+
+def test_tokenizer_base_surface():
+    t2i = {"<eos>": 0, "a": 1}
+    tok = _Stub(t2i, ["<eos>", "a"], {"<eos>": 0})
+    tok.bos_token_id = 1
+    ids = tok.encode("ab abc<eos>x", bos=True)
+    assert ids[0] == 1 and 0 in ids
+    arr = tok.tokens2input([1, 2, 3])
+    assert arr.shape == (1, 3) and arr.dtype == np.int32
+    assert tok.vocab_size == 2
+    # chat template fallback
+    s = tok.apply_chat_template([{"role": "user", "content": "hi"}])
+    assert "user" in s and s.endswith("assistant\n")
+
+
+def test_from_hf_config_eos_list_and_head_dim():
+    cfg = from_hf_config({"model_type": "llama", "eos_token_id": [1, 2],
+                          "hidden_size": 64, "num_attention_heads": 4})
+    assert cfg.eos_token_id == (1, 2)
+    assert cfg.head_dim_ == 16
+    cfg2 = from_hf_config({"model_type": "llama", "head_dim": 32,
+                           "hidden_size": 64, "num_attention_heads": 4})
+    assert cfg2.head_dim_ == 32
+
+
+def test_runtime_env_overrides(monkeypatch):
+    from mllm_tpu.utils import runtime
+
+    monkeypatch.setenv("MLLM_FORCE_XLA", "1")
+    assert runtime.on_tpu() is False
+    monkeypatch.delenv("MLLM_FORCE_XLA")
+    monkeypatch.setenv("MLLM_FORCE_PALLAS", "1")
+    assert runtime.on_tpu() is True
+
+
+def test_quantize_model_skip_rules():
+    import jax
+    from mllm_tpu.nn.layers import Linear, QuantLinear
+    from mllm_tpu.nn.module import Module
+    from mllm_tpu.ops.quantize_model import quantize_model
+
+    class M(Module):
+        def __init__(self, big, small):
+            self.big = big
+            self.small = small
+
+    rng = np.random.default_rng(0)
+    m = M(
+        Linear(jnp.asarray(rng.standard_normal((512, 256)).astype(np.float32)), None),
+        Linear(jnp.asarray(rng.standard_normal((8, 64)).astype(np.float32)), None),
+    )
+    q = quantize_model(m, "int8", min_size=1 << 14, quant_embed_head=False)
+    assert isinstance(q.big, QuantLinear)
+    assert isinstance(q.small, Linear)  # below min_size: stays dense
+
+
+def test_quant_kv_reset_and_advance():
+    from mllm_tpu.kv.cache import QuantKVCache
+
+    c = QuantKVCache.init(1, 1, 8, 1, 4)
+    c = c.advance(5)
+    assert int(c.pos) == 5
+    c = c.reset()
+    assert int(c.pos) == 0
+    assert c.max_len == 8 and c.n_layers == 1
