@@ -102,3 +102,25 @@ def test_int8_quantized_load_close(tmp_path):
     # int8 weights: expect close-but-not-exact
     err = np.max(np.abs(np.asarray(our_logits) - hf_logits)) / (np.max(np.abs(hf_logits)) + 1e-9)
     assert err < 0.05, err
+
+
+def test_phi3_fused_qkv_parity(tmp_path):
+    """Phi3: fused qkv_proj / gate_up_proj split at load."""
+    import transformers
+
+    torch.manual_seed(0)
+    cfg = transformers.Phi3Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=64,
+        rope_theta=10000.0, tie_word_embeddings=False, pad_token_id=0,
+    )
+    hf = transformers.Phi3ForCausalLM(cfg).eval()
+    d = tmp_path / "phi3"
+    hf.save_pretrained(d)
+    ours, _, mcfg = auto_model(str(d), dtype=jnp.float32, with_tokenizer=False)
+    ids = np.array([[5, 17, 42, 99, 7, 23]], np.int64)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids)).logits.numpy()
+    cache = ours.init_cache(1, 16, jnp.float32)
+    lg, _ = ours(jnp.asarray(ids, jnp.int32), cache, last_only=False)
+    np.testing.assert_allclose(np.asarray(lg), ref, rtol=2e-3, atol=2e-3)
