@@ -149,7 +149,9 @@ def main():
     model, tok, cfg = auto_model(args.model, dtype=jnp.bfloat16, quant=args.quant)
     engine = Engine(model, tok, cfg, args.limits, args.batch_window_ms, args.max_batch)
     server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(engine))
-    print(f"serving {args.model} on :{args.port}")
+    from mllm_tpu.utils.log import log_info
+
+    log_info("serving", model=args.model, port=args.port, quant=args.quant or "bf16")
     server.serve_forever()
 
 

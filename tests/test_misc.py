@@ -78,3 +78,19 @@ def test_quant_kv_reset_and_advance():
     c = c.reset()
     assert int(c.pos) == 0
     assert c.max_len == 8 and c.n_layers == 1
+
+
+def test_logging(capsys, monkeypatch):
+    import importlib
+    import mllm_tpu.utils.log as L
+
+    monkeypatch.setenv("MLLM_LOG_JSON", "1")
+    importlib.reload(L)
+    L.log_info("engine up", batch=8, model="qwen2")
+    err = capsys.readouterr().err
+    import json as _json
+
+    rec = _json.loads(err.strip().splitlines()[-1])
+    assert rec["msg"] == "engine up" and rec["batch"] == 8
+    monkeypatch.delenv("MLLM_LOG_JSON")
+    importlib.reload(L)
