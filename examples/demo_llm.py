@@ -33,6 +33,12 @@ def main():
     ap.add_argument("--top-k", type=int, default=0)
     ap.add_argument("--top-p", type=float, default=0.0)
     ap.add_argument("--no-chat-template", action="store_true")
+    ap.add_argument("--chunked", type=int, default=0, metavar="CHUNK",
+                    help="chunked prefill with this chunk size (one compiled "
+                         "program for any prompt length)")
+    ap.add_argument("--turns", type=int, default=1,
+                    help=">1: repeat generation reusing the prompt cache "
+                         "(prefix-reuse demo)")
     args = ap.parse_args()
 
     from mllm_tpu.generation.generate import generate
@@ -66,13 +72,43 @@ def main():
         sys.stdout.flush()
         return True
 
-    res, cache = generate(model, ids, cache, scfg, callback=stream,
-                          eos_token_id=tok.eos_token_id)
-    print()
-    prof.prefill_tps = res.prefill_tps
-    prof.ttft_s = res.ttft_s
-    prof.decode_tps = res.decode_tps
-    prof.report(args.model)
+    if args.chunked or args.turns > 1:
+        from mllm_tpu.generation.generate import _decode_step
+        from mllm_tpu.generation.prefill import PromptCache, prefill_with_prompt_cache
+        from mllm_tpu.generation.sampling import sample_token
+        import jax
+
+        pcache = PromptCache()
+        chunk = args.chunked or 256
+        for turn in range(args.turns):
+            cache = model.init_cache(1, args.limits, jnp.bfloat16)
+            t0 = time.perf_counter()
+            logits, cache, matched = prefill_with_prompt_cache(
+                model, cache, ids, ids.shape[1], pcache, chunk=chunk)
+            ttft = time.perf_counter() - t0
+            tokv = sample_token(jax.random.PRNGKey(turn), logits, scfg)
+            n = 1
+            stream(int(tokv[0]))
+            for _ in range(scfg.max_new_tokens - 1):
+                logits, cache = _decode_step(model, cache, tokv)
+                tokv = sample_token(jax.random.PRNGKey(turn * 1000 + n), logits, scfg)
+                t = int(tokv[0])
+                if t == tok.eos_token_id:
+                    break
+                stream(t)
+                n += 1
+            print(f"\n[turn {turn}] prefix-cache hit: {matched}/{ids.shape[1]} tokens, "
+                  f"ttft {ttft*1000:.0f} ms")
+        prof.ttft_s = ttft
+        prof.report(args.model)
+    else:
+        res, cache = generate(model, ids, cache, scfg, callback=stream,
+                              eos_token_id=tok.eos_token_id)
+        print()
+        prof.prefill_tps = res.prefill_tps
+        prof.ttft_s = res.ttft_s
+        prof.decode_tps = res.decode_tps
+        prof.report(args.model)
 
 
 if __name__ == "__main__":
