@@ -103,7 +103,7 @@ def generate(
     out = [first]
     if callback is not None and callback(first) is False:
         return GenerationResult(out, ttft_s=t1 - t0), cache
-    if first in eos:
+    if first in eos and len(out) >= cfg.min_new_tokens:
         return GenerationResult(out, ttft_s=t1 - t0, prefill_tps=true_len / (t1 - t0)), cache
 
     td0 = time.perf_counter()

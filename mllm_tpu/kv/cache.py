@@ -183,3 +183,19 @@ class QuantKVCache(Module):
     def reset(self) -> "QuantKVCache":
         return QuantKVCache(self.k, self.v, self.k_scale, self.v_scale,
                             jnp.zeros((), jnp.int32))
+
+    def rollback_accept(self, draft_start, accept_idx: jax.Array, n_accept) -> "QuantKVCache":
+        """Speculative-decoding verification over the int8 cache: compact the
+        accepted draft K/V (and their per-vector scales) to the cache head.
+        Same semantics as KVCache.rollback_accept."""
+        n_draft = accept_idx.shape[0]
+        i = jnp.arange(n_draft)
+        src = draft_start + jnp.where(i < n_accept, accept_idx, 0)
+        z = jnp.zeros((), jnp.int32)
+        start = (z, z, z, jnp.asarray(draft_start, jnp.int32), z)
+        sstart = start[:-1]
+        k = jax.lax.dynamic_update_slice(self.k, jnp.take(self.k, src, axis=3), start)
+        v = jax.lax.dynamic_update_slice(self.v, jnp.take(self.v, src, axis=3), start)
+        ks = jax.lax.dynamic_update_slice(self.k_scale, jnp.take(self.k_scale, src, axis=3), sstart)
+        vs = jax.lax.dynamic_update_slice(self.v_scale, jnp.take(self.v_scale, src, axis=3), sstart)
+        return QuantKVCache(k, v, ks, vs, jnp.asarray(draft_start + n_accept, jnp.int32))

@@ -52,14 +52,20 @@ def _decode_kernel(
     g, d = q_ref.shape[2], q_ref.shape[3]
     q = q_ref[0, 0] * scale  # (G, D) — fold scale into q
 
+    def _dma_start(blk):
+        # The final block may be partial (s_max not a multiple of bk, kv_valid
+        # in the tail): clamp the slice start so the fixed-size copy never
+        # reads past the cache; overlapped rows are re-masked below.
+        return jnp.minimum(blk * bk, s_max - bk)
+
     def k_dma(slot, blk):
         return pltpu.make_async_copy(
-            k_hbm.at[bb, hh, pl.ds(blk * bk, bk), :], k_buf.at[slot], sems.at[0, slot]
+            k_hbm.at[bb, hh, pl.ds(_dma_start(blk), bk), :], k_buf.at[slot], sems.at[0, slot]
         )
 
     def v_dma(slot, blk):
         return pltpu.make_async_copy(
-            v_hbm.at[bb, hh, pl.ds(blk * bk, bk), :], v_buf.at[slot], sems.at[1, slot]
+            v_hbm.at[bb, hh, pl.ds(_dma_start(blk), bk), :], v_buf.at[slot], sems.at[1, slot]
         )
 
     k_dma(0, 0).start()
@@ -84,8 +90,10 @@ def _decode_kernel(
             q.astype(kb.dtype), kb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (G, BK)
-        k_pos = i * bk + jax.lax.broadcasted_iota(jnp.int32, (g, bk), 1)
+        k_pos = _dma_start(i) + jax.lax.broadcasted_iota(jnp.int32, (g, bk), 1)
         ok = jnp.logical_and(k_pos < kv_valid, k_pos >= kv_start)
+        # clamped final block: drop rows already attended by earlier blocks
+        ok = jnp.logical_and(ok, k_pos >= i * bk)
         if window is not None:
             ok = jnp.logical_and(ok, k_pos > kv_valid - 1 - window)
         s = jnp.where(ok, s, NEG_INF)

@@ -172,6 +172,24 @@ def _int4_kernel(x_lo_ref, x_hi_ref, p_ref, s_lo_ref, s_hi_ref, z_lo_ref, z_hi_r
         o_ref[:] = acc_ref[:]
 
 
+def _pick_int4_block_j(khalf: int, group: int, block_j: int):
+    """Largest k-block ≤ block_j that is a multiple of `group` AND divides
+    khalf exactly (the hi-nibble slab starts at khalf = (khalf//bj)*bj, so a
+    non-dividing bj mis-indexes the hi slab — e.g. Qwen2's khalf=4480 with
+    bj=256 leaves a 128-column remainder).  None if no such block exists.
+
+    Mosaic constraints: the scales block is (bj/group, bn), whose sublane dim
+    must be a multiple of 8 -> bj % (8*group) == 0; bj is also the lane dim of
+    the x slabs, so it must be a multiple of 128."""
+    step = max(8 * group, 128)
+    if step % (8 * group) or step % 128:
+        step = np.lcm(8 * group, 128)
+    for bj in range((min(block_j, khalf) // step) * step, step - 1, -step):
+        if khalf % bj == 0:
+            return bj
+    return None
+
+
 def int4_matmul(x: jax.Array, packed_t: jax.Array, scales_t: jax.Array, group: int = 32,
                 zeros_t: Optional[jax.Array] = None,
                 *, block_m: int = 256, block_n: int = 512, block_j: int = 256) -> jax.Array:
@@ -185,16 +203,18 @@ def int4_matmul(x: jax.Array, packed_t: jax.Array, scales_t: jax.Array, group: i
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
 
-    if not _use_pallas():
+    bj = _pick_int4_block_j(khalf, group, block_j)
+    if not _use_pallas() or bj is None:
+        # bj None: no k-block size divides K/2 evenly — the hi-nibble BlockSpec
+        # index maps (jk + khalf//bj) would point short of the true hi slab, so
+        # take the always-correct dequant + XLA dot path instead.
         w = dequant_int4(packed_t, scales_t, group, zeros_t)
         y = x2.astype(jnp.float32) @ w
         return y.reshape(*orig_shape[:-1], n)
 
     bm = min(block_m, m)
     bn = min(block_n, n)
-    bj = min(block_j, khalf)
     ngb = bj // group
-    assert bj % group == 0, f"block_j {bj} must be a multiple of group {group}"
     nhalf_blocks = khalf // bj
     grid = (pl.cdiv(m, bm), pl.cdiv(n, bn), pl.cdiv(khalf, bj))
 

@@ -201,6 +201,35 @@ void repack_int4(const float* w, int64_t n, int64_t k, int64_t group,
 // Quantization to ggml blocks (offline quantizer hot loop)
 // ---------------------------------------------------------------------------
 
+// float -> half with round-to-nearest-even (bit-matches numpy's
+// astype(float16) and ggml's conversion, subnormals included)
+static inline uint16_t f32_to_f16_rne(float x) {
+    uint32_t f;
+    std::memcpy(&f, &x, 4);
+    uint32_t sign = (f >> 16) & 0x8000;
+    uint32_t fexp = (f >> 23) & 0xFF;
+    uint32_t mant = f & 0x7FFFFF;
+    if (fexp == 0xFF) return (uint16_t)(sign | 0x7C00 | (mant ? 0x200 : 0));
+    int32_t exp = (int32_t)fexp - 127 + 15;
+    if (exp >= 31) return (uint16_t)(sign | 0x7C00);
+    if (exp <= 0) {  // subnormal half (or underflow to zero)
+        if (exp < -10) return (uint16_t)sign;
+        mant |= 0x800000;
+        uint32_t shift = (uint32_t)(14 - exp);
+        uint32_t q = mant >> shift;
+        uint32_t rem = mant & ((1u << shift) - 1);
+        uint32_t half = 1u << (shift - 1);
+        if (rem > half || (rem == half && (q & 1))) q++;
+        return (uint16_t)(sign | q);  // carry into exp bit = smallest normal: correct
+    }
+    uint32_t q = mant >> 13;
+    uint32_t rem = mant & 0x1FFF;
+    if (rem > 0x1000 || (rem == 0x1000 && (q & 1))) q++;
+    uint32_t h = ((uint32_t)exp << 10) + q;  // mantissa carry propagates into exp
+    if (h >= 0x7C00) h = 0x7C00;
+    return (uint16_t)(sign | h);
+}
+
 void quant_q8_0(const float* x, uint8_t* out, int64_t n_blocks) {
 #pragma omp parallel for schedule(static)
     for (int64_t b = 0; b < n_blocks; b++) {
@@ -210,16 +239,7 @@ void quant_q8_0(const float* x, uint8_t* out, int64_t n_blocks) {
         for (int i = 0; i < 32; i++) amax = std::max(amax, std::fabs(v[i]));
         float d = amax / 127.0f;
         float inv = d != 0.f ? 1.0f / d : 0.0f;
-        // store fp16 d — round via float->half bit math
-        uint32_t f;
-        std::memcpy(&f, &d, 4);
-        uint32_t sign = (f >> 16) & 0x8000;
-        int32_t exp = ((f >> 23) & 0xFF) - 127 + 15;
-        uint32_t mant = f & 0x7FFFFF;
-        uint16_t h;
-        if (exp <= 0) h = (uint16_t)sign;
-        else if (exp >= 31) h = (uint16_t)(sign | 0x7C00);
-        else h = (uint16_t)(sign | (exp << 10) | (mant >> 13));
+        uint16_t h = f32_to_f16_rne(d);
         std::memcpy(blk, &h, 2);
         int8_t* q = (int8_t*)(blk + 2);
         for (int i = 0; i < 32; i++) q[i] = (int8_t)std::nearbyint(v[i] * inv);

@@ -179,3 +179,35 @@ def test_stacked_scan_matches_unrolled():
     l_ref = model.loss(ids, ids)
     l_out = stacked.loss(ids, ids)
     np.testing.assert_allclose(float(l_out), float(l_ref), rtol=1e-5)
+
+
+def test_quant_rollback_accept():
+    """QuantKVCache composes with tree speculative decoding (ADVICE r1)."""
+    from mllm_tpu.kv.cache import QuantKVCache
+
+    cache = QuantKVCache.init(1, 1, 16, 1, 4)
+    base = jnp.arange(1, 5, dtype=jnp.float32)[None, :, None, None] * jnp.ones((1, 4, 1, 4))
+    cache = cache.update_layer(0, base, base).advance(4)
+    draft = (10 + jnp.arange(4, dtype=jnp.float32))[None, :, None, None] * jnp.ones((1, 4, 1, 4))
+    cache = cache.update_layer(0, draft, draft)
+    cache = cache.rollback_accept(4, jnp.asarray([0, 2, 0, 0], jnp.int32), 2)
+    assert int(cache.pos) == 6
+    k0 = np.asarray(cache.layer(0)[0])[0, 0]  # dequantized [S, D]
+    np.testing.assert_allclose(k0[4, 0], 10.0, rtol=2e-2)
+    np.testing.assert_allclose(k0[5, 0], 12.0, rtol=2e-2)
+
+
+def test_decode_attention_partial_final_block_interpret():
+    """max_len not a multiple of block_k: the final DMA block is clamped
+    in-bounds and overlapped rows re-masked (ADVICE r1, medium)."""
+    from mllm_tpu.nn.attention import sdpa
+    from mllm_tpu.ops.decode_attention import decode_attention
+
+    B, H, HKV, D, SKV = 2, 4, 2, 128, 384  # 384 = 256 + partial 128
+    q = jax.random.normal(jax.random.PRNGKey(3), (B, 1, H, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(4), (B, HKV, SKV, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(5), (B, HKV, SKV, D), jnp.float32)
+    for valid in (300, 384):
+        ref = sdpa(q, k, v, q_offset=valid - 1, kv_valid_len=valid, causal=False)
+        out = decode_attention(q, k, v, kv_valid_len=valid, block_k=256, interpret=True)
+        assert float(jnp.max(jnp.abs(ref - out))) < 1e-2

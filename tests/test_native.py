@@ -61,3 +61,22 @@ def test_native_bpe_merge():
     # no applicable merges
     out = tbl.merge(np.array([5, 6, 7], np.int32))
     assert out.tolist() == [5, 6, 7]
+
+
+def test_quant_q8_0_scale_fp16_rne_bit_exact():
+    """Native f32->f16 narrowing must round-to-nearest-even like numpy
+    (ADVICE r1, low) — includes tiny blocks that hit the subnormal-half path."""
+    rng = np.random.default_rng(0)
+    w = np.concatenate([
+        rng.standard_normal(32 * 500).astype(np.float32),
+        (rng.standard_normal(32 * 100) * 1e-5).astype(np.float32),
+        (rng.standard_normal(32 * 100) * 1e-7).astype(np.float32),
+    ])
+    out = native.quant_q8_0(w)
+    if out is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    d_nat = out.reshape(-1, 34)[:, :2].copy().view(np.float16)[:, 0]
+    amax = np.max(np.abs(w.reshape(-1, 32)), axis=1)
+    d_np = (amax / 127.0).astype(np.float16)
+    np.testing.assert_array_equal(d_nat.view(np.uint16), d_np.view(np.uint16))

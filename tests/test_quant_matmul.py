@@ -68,3 +68,16 @@ def test_int4_matmul_fallback():
     out = np.asarray(int4_matmul(jnp.asarray(x), jnp.asarray(p), jnp.asarray(s), 32))
     wd = np.asarray(dequant_int4(jnp.asarray(p), jnp.asarray(s), 32))
     np.testing.assert_allclose(out, x @ wd, rtol=1e-4, atol=1e-4)
+
+
+def test_pick_int4_block_j():
+    """K-block selection must divide K/2 exactly (ADVICE r1, high): Qwen2's
+    down_proj has K=8960 -> khalf=4480, where the old fixed bj=256 mis-indexed
+    the hi-nibble slab by 128 columns."""
+    from mllm_tpu.ops.quant_matmul import _pick_int4_block_j
+
+    assert _pick_int4_block_j(4480, 32, 256) is None  # 4480 has no 256-mult divisor
+    assert _pick_int4_block_j(512, 32, 256) == 256
+    assert _pick_int4_block_j(4096, 32, 256) == 256
+    assert _pick_int4_block_j(2048, 64, 512) == 512
+    assert _pick_int4_block_j(40, 32, 256) is None  # 40 % 32 != 0: no valid block

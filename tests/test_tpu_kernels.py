@@ -132,3 +132,34 @@ def test_padded_head_vision_attention():
     out = attend_padded_head(q, k, v, causal=False)
     assert out.shape == ref.shape
     assert float(jnp.max(jnp.abs(ref - out))) < 2e-2
+
+
+def test_int4_matmul_kernel_qwen2_downproj_geometry():
+    """K=8960 (khalf=4480): regression for the hi-nibble slab mis-index when
+    block_j didn't divide khalf (ADVICE r1, high)."""
+    from mllm_tpu.ops.quant_matmul import int4_matmul, repack_float_to_int4
+
+    M, K, N = 8, 8960, 256
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((M, K)).astype(np.float32)
+    w = rng.standard_normal((N, K)).astype(np.float32)
+    packed, scales = repack_float_to_int4(w, 32)
+    from mllm_tpu.ops.quant_matmul import dequant_int4
+    wd = np.asarray(dequant_int4(jnp.asarray(packed), jnp.asarray(scales), 32))
+    ref = x @ wd
+    out = np.asarray(int4_matmul(jnp.asarray(x), jnp.asarray(packed), jnp.asarray(scales), 32))
+    rel = np.max(np.abs(ref - out)) / np.max(np.abs(ref))
+    assert rel < 1e-2
+
+
+def test_decode_attention_partial_final_block_tpu():
+    """s_max not a multiple of block_k on hardware (clamped final DMA)."""
+    from mllm_tpu.ops.decode_attention import decode_attention
+
+    B, H, HKV, D, SKV = 2, 8, 2, 128, 640
+    q = jax.random.normal(jax.random.PRNGKey(3), (B, 1, H, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(4), (B, HKV, SKV, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(5), (B, HKV, SKV, D), jnp.float32)
+    ref = sdpa(q, k, v, q_offset=599, kv_valid_len=600, causal=False)
+    out = decode_attention(q, k, v, kv_valid_len=600, block_k=512)
+    assert float(jnp.max(jnp.abs(ref - out))) < 1e-2
