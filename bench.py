@@ -46,10 +46,11 @@ TINYLLAMA = TextConfig(
 )
 
 CONFIGS = {
-    # name: (text config, quant mode, batch)
+    # name: (text config, quant mode, batch[, kv cache dtype])
     "qwen2vl-2b-int8-b8": (QWEN2VL_2B_LM, "int8", 8),
     "qwen2vl-2b-int8-b32": (QWEN2VL_2B_LM, "int8", 32),
     "qwen2vl-2b-int8": (QWEN2VL_2B_LM, "int8", 1),
+    "qwen2vl-2b-int8-kvq8-b8": (QWEN2VL_2B_LM, "int8", 8, "int8"),
     "qwen2vl-2b-int4": (QWEN2VL_2B_LM, "int4", 1),
     "qwen2vl-2b-bf16": (QWEN2VL_2B_LM, None, 1),
     "qwen1.5-0.5b-bf16": (QWEN15_05B, None, 1),
@@ -61,21 +62,64 @@ DECODE_TOKENS = 128
 MAX_LEN = 2048
 
 
+ROPE_TABLE_LEN = 4096  # covers MAX_LEN + decode; keeps on-device table build cheap
+
+
 def build_model(cfg: TextConfig, quant):
-    """Random-weight model (the bench measures compute, not checkpoints);
-    init + quantize on CPU to avoid relay transfers."""
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        model = CausalLM.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    """Synthetic-weight model (the bench measures compute, not checkpoints;
+    real checkpoints are not available in the bench environment).
+
+    Everything is generated ON THE DEVICE: round 1 spent ~78 s per config in
+    host-side PRNG + quantization + a ~20 MB/s relay transfer of the 2 GB
+    model.  Here each distinct weight shape is one small jitted
+    uniform-fill program, quantization runs as on-device jnp programs, and
+    the rope tables are computed from a 64-float inv_freq vector — nothing
+    bulk ever crosses the host-device link."""
+    import functools
+
+    from mllm_tpu.nn.layers import RotaryEmbedding, rope_inv_freq
+
+    dev = jax.devices()[0]
+
+    @functools.partial(jax.jit, static_argnames=("shape", "dtype"))
+    def _fill(key, shape, dtype):
+        return jax.random.uniform(key, shape, dtype, -0.02, 0.02)
+
+    with jax.default_device(dev):
+        abs_model = jax.eval_shape(
+            lambda: CausalLM.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+        )
+        leaves, treedef = jax.tree_util.tree_flatten(abs_model)
+        keys = jax.random.split(jax.random.PRNGKey(0), max(len(leaves), 1))
+        filled = []
+        for leaf, key in zip(leaves, keys):
+            if leaf.ndim <= 1:  # norm gains / biases: keep activations sane
+                filled.append(jnp.ones(leaf.shape, leaf.dtype))
+            else:
+                filled.append(_fill(key, tuple(leaf.shape), leaf.dtype))
+        model = jax.tree_util.tree_unflatten(treedef, filled)
+
+        # rope tables, computed on-device from the tiny inv_freq vector
+        inv = jnp.asarray(rope_inv_freq(cfg.head_dim_, cfg.rope_theta, cfg.rope_partial))
+
+        @jax.jit
+        def _tables(inv):
+            ang = jnp.arange(ROPE_TABLE_LEN, dtype=jnp.float32)[:, None] * inv[None, :]
+            return jnp.sin(ang), jnp.cos(ang)
+
+        sin, cos = _tables(inv)
+        rot_dim = int(cfg.head_dim_ * cfg.rope_partial)
+        model = model.replace(rope=RotaryEmbedding(sin, cos, cfg.rope_style, rot_dim))
         if quant:
             from mllm_tpu.ops.quantize_model import quantize_model
 
-            model = quantize_model(model, quant)
-    return jax.device_put(model, jax.devices()[0])
+            model = quantize_model(model, quant, on_device=True)
+    return model
 
 
 def bench_config(name: str) -> dict:
-    cfg, quant, batch = CONFIGS[name]
+    cfg, quant, batch, *rest = CONFIGS[name]
+    kv_dtype = rest[0] if rest else "bf16"
     t0 = time.perf_counter()
     model = build_model(cfg, quant)
     t_load = time.perf_counter() - t0
@@ -85,10 +129,10 @@ def bench_config(name: str) -> dict:
     scfg = SamplingConfig(max_new_tokens=DECODE_TOKENS)
 
     # TTFT: prefill alone (fresh cache each run)
-    cache = model.init_cache(batch, MAX_LEN, jnp.bfloat16)
+    cache = model.init_cache(batch, MAX_LEN, jnp.bfloat16, kv_dtype=kv_dtype)
     logits, cache2 = _prefill(model, cache, padded, PROMPT_LEN)
     np.asarray(logits)
-    cache = model.init_cache(batch, MAX_LEN, jnp.bfloat16)
+    cache = model.init_cache(batch, MAX_LEN, jnp.bfloat16, kv_dtype=kv_dtype)
     t0 = time.perf_counter()
     logits, cache2 = _prefill(model, cache, padded, PROMPT_LEN)
     np.asarray(logits)
@@ -97,7 +141,7 @@ def bench_config(name: str) -> dict:
 
     if batch == 1:
         def run():
-            cache = model.init_cache(1, MAX_LEN, jnp.bfloat16)
+            cache = model.init_cache(1, MAX_LEN, jnp.bfloat16, kv_dtype=kv_dtype)
             toks, n = generate_compiled(model, padded, cache, PROMPT_LEN,
                                         DECODE_TOKENS, scfg, eos_token_id=-7)
             return np.asarray(toks)
@@ -118,7 +162,7 @@ def bench_config(name: str) -> dict:
                 return jnp.argmax(logits, -1).astype(jnp.int32), cache
             return jax.lax.fori_loop(0, steps, body, (tok, cache))
 
-        cache = model.init_cache(batch, MAX_LEN, jnp.bfloat16)
+        cache = model.init_cache(batch, MAX_LEN, jnp.bfloat16, kv_dtype=kv_dtype)
         logits, cache = _prefill(model, cache, padded, PROMPT_LEN)
         tok = jnp.argmax(logits, -1).astype(jnp.int32)
         # warm-up MUST use the same static step count as the timed run
@@ -139,6 +183,7 @@ def bench_config(name: str) -> dict:
         "batch": batch,
         "load_s": round(t_load, 2),
         "compile_s": round(t_compile, 1),
+        "kv": kv_dtype,
         "ttft_s": round(ttft, 4),
         "prefill_tps": round(batch * PROMPT_LEN / ttft, 1),
         "decode_tps": round(decode_tps, 1),

@@ -45,7 +45,7 @@ def _prefill(model, cache: KVCache, input_ids, true_len: int):
     hidden, cache = model.hidden_states(input_ids, cache)
     last = hidden[:, true_len - 1 : true_len, :]
     logits = model.logits(last)
-    cache = KVCache(cache.k, cache.v, jnp.asarray(true_len, jnp.int32))
+    cache = cache.with_pos(true_len)
     return logits[:, 0, :], cache
 
 
@@ -152,7 +152,7 @@ def generate_compiled(
     hidden, cache = model.hidden_states(input_ids, cache)
     last = hidden[:, true_len - 1 : true_len, :]
     logits = model.logits(last)[:, 0, :]
-    cache = KVCache(cache.k, cache.v, jnp.asarray(true_len, jnp.int32))
+    cache = cache.with_pos(true_len)
 
     key = jax.random.PRNGKey(seed)
     tok0 = sample_token(key, logits, scfg)
@@ -184,7 +184,7 @@ def _prefill_ragged(model, cache: KVCache, input_ids, pad_lens, true_len: int):
     hidden, cache = model.hidden_states(input_ids, cache, pad_lens=pad_lens)
     last = hidden[:, true_len - 1 : true_len, :]
     logits = model.logits(last)
-    cache = KVCache(cache.k, cache.v, jnp.asarray(true_len, jnp.int32))
+    cache = cache.with_pos(true_len)
     return logits[:, 0, :], cache
 
 

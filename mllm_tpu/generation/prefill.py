@@ -25,10 +25,14 @@ from ..kv.cache import KVCache
 
 
 @functools.partial(jax.jit, donate_argnames=("cache",))
-def _chunk_step(model, cache: KVCache, chunk_ids):
-    """Run one prompt chunk; returns last-position logits and updated cache."""
-    logits, cache = model(chunk_ids, cache, last_only=True)
-    return logits[:, 0, :] if logits.ndim == 3 else logits, cache
+def _chunk_step(model, cache: KVCache, chunk_ids, last_idx):
+    """Run one prompt chunk; logits are taken at position `last_idx` (traced)
+    within the chunk, so the final (padded) chunk yields the true last token's
+    logits directly — no tail-correction step or cache rewind needed."""
+    hidden, cache = model.hidden_states(chunk_ids, cache)
+    last = jax.lax.dynamic_slice_in_dim(hidden, last_idx, 1, axis=1)
+    logits = model.logits(last)
+    return logits[:, 0, :], cache
 
 
 def chunked_prefill(model, cache: KVCache, input_ids: np.ndarray, true_len: int,
@@ -48,15 +52,10 @@ def chunked_prefill(model, cache: KVCache, input_ids: np.ndarray, true_len: int,
     logits = None
     for c in range(n_chunks):
         piece = jnp.asarray(ids[:, c * chunk : (c + 1) * chunk])
-        logits, cache = _chunk_step(model, cache, piece)
+        last_idx = min(true_len - 1 - c * chunk, chunk - 1)
+        logits, cache = _chunk_step(model, cache, piece, jnp.asarray(last_idx, jnp.int32))
     # cache.pos advanced by n_chunks*chunk; rewind the padding slack
-    cache = KVCache(cache.k, cache.v, jnp.asarray(start_pos + true_len, jnp.int32))
-    # logits correspond to the padded chunk's final position; recompute the
-    # true last token's logits if padding pushed past it
-    if padded_len != true_len:
-        last_tok = jnp.asarray(ids[:, true_len - 1 : true_len])
-        cache = KVCache(cache.k, cache.v, jnp.asarray(start_pos + true_len - 1, jnp.int32))
-        logits, cache = _chunk_step_single(model, cache, last_tok)
+    cache = cache.with_pos(start_pos + true_len)
     return logits, cache
 
 
@@ -82,7 +81,8 @@ class PromptCache:
         if length is not None:
             key = key[:length]
         # deep copy: the caller will donate its cache buffers into decode steps
-        self._entries[key] = KVCache(jnp.copy(cache.k), jnp.copy(cache.v), jnp.copy(cache.pos))
+        # (tree.map keeps this generic over KVCache / QuantKVCache)
+        self._entries[key] = jax.tree.map(jnp.copy, cache)
         self._entries.move_to_end(key)
         while len(self._entries) > self.max_entries:
             self._entries.popitem(last=False)
@@ -99,7 +99,7 @@ class PromptCache:
         self._entries.move_to_end(best_key)
         c = self._entries[best_key]
         # copy so the cached entry survives donation by the caller
-        return KVCache(jnp.copy(c.k), jnp.copy(c.v), c.pos), len(best_key)
+        return jax.tree.map(jnp.copy, c), len(best_key)
 
     def __len__(self):
         return len(self._entries)
@@ -115,7 +115,7 @@ def prefill_with_prompt_cache(model, cache: KVCache, input_ids: np.ndarray,
     if hit is not None and matched > 0:
         cache = hit
         if matched == true_len:  # full hit: recompute last-token logits
-            cache = KVCache(cache.k, cache.v, jnp.asarray(true_len - 1, jnp.int32))
+            cache = cache.with_pos(true_len - 1)
             logits, cache = _chunk_step_single(model, cache, jnp.asarray(ids[:, true_len - 1 : true_len]))
             return logits, cache, matched
         suffix = ids[:, matched:true_len]

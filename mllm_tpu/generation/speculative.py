@@ -102,7 +102,7 @@ def speculative_generate(
         stats.accepted += acc
 
         # rewind write head: valid entries = base..base+acc (out[-1] + accepted)
-        cache = KVCache(cache.k, cache.v, jnp.asarray(base + acc + 1, jnp.int32))
+        cache = cache.with_pos(base + acc + 1)
 
         for t in new_tokens:
             out.append(t)

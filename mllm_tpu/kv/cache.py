@@ -78,6 +78,10 @@ class KVCache(Module):
     def advance(self, n) -> "KVCache":
         return KVCache(self.k, self.v, self.pos + jnp.asarray(n, jnp.int32))
 
+    def with_pos(self, pos) -> "KVCache":
+        """Same storage, write head at `pos` (cache-type-generic)."""
+        return KVCache(self.k, self.v, jnp.asarray(pos, jnp.int32))
+
     def reset(self) -> "KVCache":
         """Reference `clear_kvcache` equivalent — just rewind the write head."""
         return KVCache(self.k, self.v, jnp.zeros((), jnp.int32))
@@ -130,6 +134,7 @@ class QuantKVCache(Module):
     @staticmethod
     def init(n_layers: int, batch: int, max_len: int, n_kv_heads: int, head_dim: int,
              dtype=None) -> "QuantKVCache":
+        max_len = -(-max_len // 128) * 128  # fused decode kernel tile alignment
         shape = (n_layers, batch, n_kv_heads, max_len, head_dim)
         sshape = shape[:-1]
         return QuantKVCache(
@@ -179,6 +184,15 @@ class QuantKVCache(Module):
     def advance(self, n) -> "QuantKVCache":
         return QuantKVCache(self.k, self.v, self.k_scale, self.v_scale,
                             self.pos + jnp.asarray(n, jnp.int32))
+
+    def with_pos(self, pos) -> "QuantKVCache":
+        return QuantKVCache(self.k, self.v, self.k_scale, self.v_scale,
+                            jnp.asarray(pos, jnp.int32))
+
+    def layer_quant(self, layer: int):
+        """Raw int8 K/V + scales for the fused decode kernel:
+        (k int8 [B,H,S,D], v int8, k_scale f32 [B,H,S], v_scale f32)."""
+        return self.k[layer], self.v[layer], self.k_scale[layer], self.v_scale[layer]
 
     def reset(self) -> "QuantKVCache":
         return QuantKVCache(self.k, self.v, self.k_scale, self.v_scale,

@@ -376,7 +376,7 @@ def vtp_prefill(
         x = x + h
         x = x + blk.mlp(blk.post_attn_norm(x))
     x = lm.norm(x)
-    cache = KVCache(cache.k, cache.v, jnp.asarray(s_new, jnp.int32))
+    cache = cache.with_pos(s_new)
     return lm.logits(x[:, -1:, :])[:, 0, :], cache
 
 
@@ -403,7 +403,7 @@ def _vl_prefill(model, cache, input_ids, patches, grid_thw, positions, true_len:
     logits, cache = model(input_ids, cache, patches=patches, grid_thw=grid_thw,
                           positions=positions, last_only=False)
     last = logits[:, true_len - 1, :]
-    cache = KVCache(cache.k, cache.v, jnp.asarray(true_len, jnp.int32))
+    cache = cache.with_pos(true_len)
     return last, cache
 
 
@@ -426,7 +426,7 @@ def vl_generate_compiled(model, input_ids, patches, grid_thw, positions, cache,
     logits, cache = model(input_ids, cache, patches=patches, grid_thw=grid_thw,
                           positions=positions, last_only=False)
     last = logits[:, true_len - 1, :]
-    cache = KVCache(cache.k, cache.v, jnp.asarray(true_len, jnp.int32))
+    cache = cache.with_pos(true_len)
     tok0 = jnp.argmax(last, axis=-1).astype(jnp.int32)
     tokens = jnp.full((max_new_tokens,), -1, jnp.int32).at[0].set(tok0[0])
     pos0 = jnp.asarray(true_len + mrope_delta, jnp.int32)

@@ -18,7 +18,7 @@ import numpy as np
 
 from ..core.config import TextConfig
 from ..kv.cache import KVCache
-from ..nn.attention import attend
+from ..nn.attention import attend, attend_from_cache
 from ..nn.layers import (
     ACT_FN,
     Embedding,
@@ -97,28 +97,34 @@ class Attention(Module):
         q = rope(q, positions)
         k = rope(k, positions)
 
-        if cache is not None:
-            cache = cache.update_layer(layer_idx, k, v)
-            k_full, v_full = cache.layer(layer_idx)
-            q_offset, kv_valid = cache.pos, cache.pos + s
-        else:  # cacheless (training / scoring) path
-            k_full = jnp.transpose(k, (0, 2, 1, 3))
-            v_full = jnp.transpose(v, (0, 2, 1, 3))
-            q_offset, kv_valid = 0, None
-
         scale = None
         if cfg.query_pre_attn_scalar:
             scale = cfg.query_pre_attn_scalar**-0.5
-        out = attend(
-            q, k_full, v_full,
-            q_offset=q_offset,
-            kv_valid_len=kv_valid,
-            kv_start=kv_start,
-            causal=True,
-            window=self._window(),
-            scale=scale,
-            logit_softcap=cfg.attn_logit_softcap,
-        )
+        if cache is not None:
+            cache = cache.update_layer(layer_idx, k, v)
+            out = attend_from_cache(
+                q, cache, layer_idx,
+                q_offset=cache.pos,
+                kv_valid_len=cache.pos + s,
+                kv_start=kv_start,
+                causal=True,
+                window=self._window(),
+                scale=scale,
+                logit_softcap=cfg.attn_logit_softcap,
+            )
+        else:  # cacheless (training / scoring) path
+            k_full = jnp.transpose(k, (0, 2, 1, 3))
+            v_full = jnp.transpose(v, (0, 2, 1, 3))
+            out = attend(
+                q, k_full, v_full,
+                q_offset=0,
+                kv_valid_len=None,
+                kv_start=kv_start,
+                causal=True,
+                window=self._window(),
+                scale=scale,
+                logit_softcap=cfg.attn_logit_softcap,
+            )
         out = out.reshape(b, s, h * hd)
         return self.o_proj(out), cache
 
@@ -223,8 +229,19 @@ class CausalLM(Module):
         )
         return CausalLM(embed, blocks, norm, lm_head, rope, cfg)
 
-    def init_cache(self, batch: int, max_len: int, dtype=jnp.bfloat16) -> KVCache:
+    def init_cache(self, batch: int, max_len: int, dtype=jnp.bfloat16,
+                   kv_dtype: str = "bf16"):
+        """kv_dtype: 'bf16'/'f32' (dense, from `dtype`) or 'int8'/'q8' — the
+        reference's KVCache_TYPE knob (/root/reference/mllm/Types.hpp:26-33):
+        int8 halves cache HBM (2x context per chip) and streams through the
+        fused quant decode kernel."""
         cfg = self.cfg
+        if kv_dtype in ("int8", "q8", "q8_0"):
+            from ..kv.cache import QuantKVCache
+
+            return QuantKVCache.init(
+                cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.head_dim_
+            )
         return KVCache.init(
             cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.head_dim_, dtype
         )

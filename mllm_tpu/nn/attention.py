@@ -112,6 +112,38 @@ def attend_padded_head(q, k, v, *, causal=False, scale=None, pad_to: int = 128):
     return out[:, :s, :, :d]
 
 
+def attend_from_cache(
+    q, cache, layer_idx, *, q_offset=0, kv_valid_len=None, kv_start=None,
+    causal=True, window=None, bias=None, scale=None, logit_softcap=None,
+):
+    """Attention reading K/V straight from the cache object.
+
+    For QuantKVCache on the TPU decode path this streams int8 K/V + scales
+    through the fused quant kernel (the SageAttention-KVQ8 counterpart) —
+    never materializing a dequantized max_len cache.  Everything else
+    dequantizes the layer once and takes the standard `attend` dispatch."""
+    from ..kv.cache import QuantKVCache
+    from ..utils.runtime import on_tpu as _on_tpu
+
+    if isinstance(cache, QuantKVCache):
+        sq, d = q.shape[1], q.shape[3]
+        if (_on_tpu() and sq == 1 and d % 128 == 0 and cache.max_len % 128 == 0
+                and bias is None and logit_softcap is None):
+            from ..ops.decode_attention import decode_attention_quant
+
+            kq, vq, ks, vs = cache.layer_quant(layer_idx)
+            return decode_attention_quant(
+                q, kq, vq, ks, vs, kv_valid_len=kv_valid_len, kv_start=kv_start,
+                scale=scale, window=window,
+            )
+    k_full, v_full = cache.layer(layer_idx)
+    return attend(
+        q, k_full, v_full, q_offset=q_offset, kv_valid_len=kv_valid_len,
+        kv_start=kv_start, causal=causal, window=window, bias=bias, scale=scale,
+        logit_softcap=logit_softcap,
+    )
+
+
 def attend(
     q, k, v, *, q_offset=0, kv_valid_len=None, kv_start=None, causal=True, window=None,
     bias=None, scale=None, logit_softcap=None, impl: str = "auto",
@@ -142,7 +174,9 @@ def attend(
                 impl = "decode" if forced == "pallas" else "xla"
             else:
                 b_, skv_ = q.shape[0], k.shape[2]
-                impl = "decode" if (b_ > 1 or skv_ > 2048) else "xla"
+                # kernel requires 128-aligned cache length (clamped final DMA)
+                ok_len = skv_ % 128 == 0
+                impl = "decode" if (ok_len and (b_ > 1 or skv_ > 2048)) else "xla"
         elif sq % 128 == 0:
             impl = "flash"
         else:

@@ -26,7 +26,10 @@ import numpy as np
 
 
 def _is_array(x) -> bool:
-    return isinstance(x, (jax.Array, np.ndarray)) or hasattr(x, "__jax_array__")
+    # ShapeDtypeStruct included so abstract modules (jax.eval_shape output)
+    # flatten with the same child structure as concrete ones.
+    return (isinstance(x, (jax.Array, np.ndarray, jax.ShapeDtypeStruct))
+            or hasattr(x, "__jax_array__"))
 
 
 def _is_child(x) -> bool:

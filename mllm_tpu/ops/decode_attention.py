@@ -56,7 +56,9 @@ def _decode_kernel(
         # The final block may be partial (s_max not a multiple of bk, kv_valid
         # in the tail): clamp the slice start so the fixed-size copy never
         # reads past the cache; overlapped rows are re-masked below.
-        return jnp.minimum(blk * bk, s_max - bk)
+        # The min runs in 128-row units and multiplies after, so Mosaic can
+        # prove the tile-divisibility of the dynamic start.
+        return jnp.minimum(blk * (bk // 128), (s_max - bk) // 128) * 128
 
     def k_dma(slot, blk):
         return pltpu.make_async_copy(
@@ -117,6 +119,171 @@ def _decode_kernel(
     o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
 
 
+def _decode_quant_kernel(
+    scalars_ref,  # SMEM (1 + B,) int32: [kv_valid_len, kv_start_0..]
+    q_ref,  # VMEM (1, 1, G, D)
+    k_hbm,  # HBM  (B, H_kv, S, D) int8
+    v_hbm,  # HBM  (B, H_kv, S, D) int8
+    ks_hbm,  # HBM (B, H_kv, 1, S) f32 — per-token K scales, seq on lanes
+    vs_hbm,  # HBM (B, H_kv, 1, S) f32
+    o_ref,  # VMEM (1, 1, G, D)
+    k_buf,  # scratch VMEM (2, BK, D) int8
+    v_buf,
+    ks_buf,  # scratch VMEM (2, 1, BK) f32
+    vs_buf,
+    sems,  # DMA semaphores (4, 2)
+    *,
+    scale: float,
+    window: Optional[int],
+    bk: int,
+    s_max: int,
+):
+    """int8-KV fused decode attention (SageAttention-KVQ8 counterpart,
+    /root/reference/mllm/backends/cpu/compute/SageAttentionKVQ8.hpp).
+
+    The per-token K scale is folded into the score row and the V scale into
+    the probability row — both on the tiny (G, BK) score matrix — so the only
+    per-element work on the streamed int8 data is the int8->bf16 convert.
+    HBM traffic is half the bf16 kernel's (+1.6% for the scale vectors)."""
+    bb = pl.program_id(0)
+    hh = pl.program_id(1)
+    kv_valid = scalars_ref[0]
+    kv_start = scalars_ref[1 + bb]
+    n_blocks = pl.cdiv(kv_valid, bk)
+    g, d = q_ref.shape[2], q_ref.shape[3]
+    q = (q_ref[0, 0] * scale).astype(jnp.bfloat16)  # (G, D)
+
+    def _dma_start(blk):
+        # min in 128-row units, multiplied after: provably tile-divisible
+        return jnp.minimum(blk * (bk // 128), (s_max - bk) // 128) * 128
+
+    def dmas(slot, blk):
+        st = _dma_start(blk)
+        return (
+            pltpu.make_async_copy(k_hbm.at[bb, hh, pl.ds(st, bk), :], k_buf.at[slot], sems.at[0, slot]),
+            pltpu.make_async_copy(v_hbm.at[bb, hh, pl.ds(st, bk), :], v_buf.at[slot], sems.at[1, slot]),
+            pltpu.make_async_copy(ks_hbm.at[bb, hh, :, pl.ds(st, bk)], ks_buf.at[slot], sems.at[2, slot]),
+            pltpu.make_async_copy(vs_hbm.at[bb, hh, :, pl.ds(st, bk)], vs_buf.at[slot], sems.at[3, slot]),
+        )
+
+    for c in dmas(0, 0):
+        c.start()
+
+    def body(i, carry):
+        m_prev, l_prev, acc = carry
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < n_blocks)
+        def _prefetch():
+            for c in dmas(nxt, i + 1):
+                c.start()
+
+        for c in dmas(slot, i):
+            c.wait()
+
+        kb = k_buf[slot].astype(jnp.bfloat16)  # (BK, D)
+        s = jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )  # (G, BK)
+        s = s * ks_buf[slot]  # fold per-token K scale into the score row
+
+        k_pos = _dma_start(i) + jax.lax.broadcasted_iota(jnp.int32, (g, bk), 1)
+        ok = jnp.logical_and(k_pos < kv_valid, k_pos >= kv_start)
+        ok = jnp.logical_and(ok, k_pos >= i * bk)
+        if window is not None:
+            ok = jnp.logical_and(ok, k_pos > kv_valid - 1 - window)
+        s = jnp.where(ok, s, NEG_INF)
+
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = (p * vs_buf[slot]).astype(jnp.bfloat16)  # fold V scale into probs
+        acc = acc * alpha + jax.lax.dot_general(
+            pv, v_buf[slot].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc
+
+    m0 = jnp.full((g, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((g, 1), jnp.float32)
+    acc0 = jnp.zeros((g, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
+    l = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "window", "block_k", "interpret")
+)
+def decode_attention_quant(
+    q: jax.Array,  # [B, 1, H, D]
+    k: jax.Array,  # [B, H_kv, S, D] int8
+    v: jax.Array,  # int8
+    k_scale: jax.Array,  # [B, H_kv, S] f32
+    v_scale: jax.Array,
+    *,
+    kv_valid_len=None,
+    kv_start=None,
+    scale: Optional[float] = None,
+    window: Optional[int] = None,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    b, sq, h, d = q.shape
+    assert sq == 1
+    hkv, s_max = k.shape[1], k.shape[2]
+    assert s_max % 128 == 0, "quant decode kernel needs max_len % 128 == 0"
+    g = h // hkv
+    if scale is None:
+        scale = d**-0.5
+    bk = min(block_k, s_max)
+    if kv_valid_len is None:
+        kv_valid_len = s_max
+    if kv_start is None:
+        kv_start = jnp.zeros((b,), jnp.int32)
+    scalars = jnp.concatenate([
+        jnp.asarray(kv_valid_len, jnp.int32).reshape(1),
+        jnp.asarray(kv_start, jnp.int32).reshape(b),
+    ])
+
+    qg = q.reshape(b, hkv, g, d)
+    # seq on the lane axis so scale slices DMA as (1, bk) 2-D tiles
+    ks = k_scale.astype(jnp.float32)[:, :, None, :]  # [B, H, 1, S]
+    vs = v_scale.astype(jnp.float32)[:, :, None, :]
+
+    kernel = functools.partial(
+        _decode_quant_kernel, scale=scale, window=window, bk=bk, s_max=s_max
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, hkv),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, g, d), lambda bb, hh: (bb, hh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, g, d), lambda bb, hh: (bb, hh, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, bk, d), jnp.int8),
+            pltpu.VMEM((2, bk, d), jnp.int8),
+            pltpu.VMEM((2, 1, bk), jnp.float32),
+            pltpu.VMEM((2, 1, bk), jnp.float32),
+            pltpu.SemaphoreType.DMA((4, 2)),
+        ],
+        interpret=interpret,
+    )(scalars, qg, k, v, ks, vs)
+    return out.reshape(b, 1, h, d)
+
+
 @functools.partial(
     jax.jit, static_argnames=("scale", "window", "block_k", "interpret")
 )
@@ -135,6 +302,7 @@ def decode_attention(
     b, sq, h, d = q.shape
     assert sq == 1, "decode_attention is single-token; use flash_attention for prefill"
     hkv, s_max = k.shape[1], k.shape[2]
+    assert s_max % 128 == 0, "decode kernel needs cache max_len % 128 == 0"
     g = h // hkv
     if scale is None:
         scale = d**-0.5

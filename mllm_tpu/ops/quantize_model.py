@@ -42,10 +42,43 @@ class QuantEmbedHead(Module):
         return qm.int8_matmul(x, self.qweight_t, self.scales)
 
 
-def _quant_linear(lin: Linear, mode: str, min_size: int):
-    w = np.asarray(lin.weight, np.float32)
-    if w.size < min_size or w.shape[1] % 64 != 0:
+@jax.jit
+def _q8_device(w):
+    """Per-out-channel symmetric int8, computed on-device (no host round trip):
+    float [N, K] -> (int8 [K, N], scales f32 [N])."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=1)
+    sc = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(wf / sc[:, None]), -127, 127).astype(jnp.int8)
+    return q.T, sc
+
+
+@jax.jit
+def _q4_device(w):
+    """Group-32 symmetric int4 planar pack on-device:
+    float [N, K] -> (packed uint8 [K/2, N], scales f32 [K/32, N])."""
+    n, k = w.shape
+    wg = w.astype(jnp.float32).reshape(n, k // 32, 32)
+    amax = jnp.max(jnp.abs(wg), axis=-1)
+    sc = jnp.where(amax > 0, amax / 7.0, 1.0)
+    v = jnp.clip(jnp.round(wg / sc[..., None]), -8, 7).astype(jnp.int8).reshape(n, k)
+    vt = v.T
+    lo = (vt[: k // 2] & 0x0F).astype(jnp.uint8)
+    hi = (vt[k // 2 :] & 0x0F).astype(jnp.uint8)
+    return lo | (hi << 4), sc.T
+
+
+def _quant_linear(lin: Linear, mode: str, min_size: int, on_device: bool):
+    shape = lin.weight.shape
+    if np.prod(shape) < min_size or shape[1] % 64 != 0:
         return lin
+    if on_device:
+        if mode == "int8":
+            qv, sc = _q8_device(lin.weight)
+            return QuantLinear(qv, sc, lin.bias)
+        packed, scales = _q4_device(lin.weight)
+        return Int4Linear(packed, scales, 32, None, lin.bias)
+    w = np.asarray(lin.weight, np.float32)
     if mode == "int8":
         qv, sc = qm.repack_float_to_int8(w)
         return QuantLinear(jnp.asarray(qv), jnp.asarray(sc), lin.bias)
@@ -54,12 +87,17 @@ def _quant_linear(lin: Linear, mode: str, min_size: int):
 
 
 def quantize_model(model, mode: Literal["int8", "int4"] = "int8",
-                   min_size: int = 1 << 16, quant_embed_head: bool = True):
-    """Return a copy of `model` with big Linears quantized."""
+                   min_size: int = 1 << 16, quant_embed_head: bool = True,
+                   on_device: bool = False):
+    """Return a copy of `model` with big Linears quantized.
+
+    on_device=True quantizes with jitted jnp programs where the weights live
+    (no host round trips) — the fast path when weights were generated or
+    loaded straight onto the chip."""
 
     def walk(obj):
         if isinstance(obj, Linear):
-            return _quant_linear(obj, mode, min_size)
+            return _quant_linear(obj, mode, min_size, on_device)
         if isinstance(obj, Module):
             updates = {}
             for k, v in list(obj.__dict__.items()):
@@ -80,7 +118,11 @@ def quantize_model(model, mode: Literal["int8", "int4"] = "int8",
     if quant_embed_head and getattr(model, "lm_head", 1) is None and hasattr(model, "embed_tokens"):
         emb = model.embed_tokens
         if isinstance(emb, Embedding):
-            w = np.asarray(emb.weight, np.float32)  # [V, D]
-            qv, sc = qm.repack_float_to_int8(w)  # [D, V], [V]
-            model = model.replace(embed_tokens=QuantEmbedHead(emb, jnp.asarray(qv), jnp.asarray(sc)))
+            if on_device:
+                qv, sc = _q8_device(emb.weight)
+            else:
+                w = np.asarray(emb.weight, np.float32)  # [V, D]
+                q_np, s_np = qm.repack_float_to_int8(w)  # [D, V], [V]
+                qv, sc = jnp.asarray(q_np), jnp.asarray(s_np)
+            model = model.replace(embed_tokens=QuantEmbedHead(emb, qv, sc))
     return model

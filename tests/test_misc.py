@@ -77,7 +77,8 @@ def test_quant_kv_reset_and_advance():
     assert int(c.pos) == 5
     c = c.reset()
     assert int(c.pos) == 0
-    assert c.max_len == 8 and c.n_layers == 1
+    # max_len rounds up to 128 (fused decode kernel tile alignment)
+    assert c.max_len == 128 and c.n_layers == 1
 
 
 def test_logging(capsys, monkeypatch):

@@ -163,3 +163,23 @@ def test_decode_attention_partial_final_block_tpu():
     ref = sdpa(q, k, v, q_offset=599, kv_valid_len=600, causal=False)
     out = decode_attention(q, k, v, kv_valid_len=600, block_k=512)
     assert float(jnp.max(jnp.abs(ref - out))) < 1e-2
+
+
+def test_decode_attention_quant_tpu():
+    """Fused int8-KV decode kernel on hardware vs sdpa over dequantized KV."""
+    from mllm_tpu.kv.cache import QuantKVCache
+    from mllm_tpu.ops.decode_attention import decode_attention_quant
+
+    B, H, HKV, D, SKV = 2, 8, 2, 128, 2048
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, 1, H, D), jnp.float32)
+    kf = jax.random.normal(jax.random.PRNGKey(1), (B, SKV, HKV, D), jnp.float32)
+    vf = jax.random.normal(jax.random.PRNGKey(2), (B, SKV, HKV, D), jnp.float32)
+    cache = QuantKVCache.init(1, B, SKV, HKV, D)
+    cache = cache.update_layer(0, kf, vf).advance(SKV)
+    kd, vd = cache.layer(0)
+    ref = sdpa(q, kd.astype(jnp.float32), vd.astype(jnp.float32),
+               q_offset=1500, kv_valid_len=1501, causal=False)
+    out = decode_attention_quant(
+        q, cache.k[0], cache.v[0], cache.k_scale[0], cache.v_scale[0],
+        kv_valid_len=1501)
+    assert float(jnp.max(jnp.abs(ref - out))) < 2e-2
