@@ -121,42 +121,38 @@ def speculative_generate(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("w",), donate_argnames=("cache",))
-def _tree_verify_step(model, cache: KVCache, ids, positions, bias, w: int):
-    """Forward [1, w] tree tokens with an explicit attention bias over the
-    whole cache row space; returns per-position argmax and the cache."""
+@functools.partial(jax.jit, donate_argnames=("cache",))
+def _tree_verify_step(model, cache: KVCache, ids, positions, bias, bias_win):
+    """Forward [1, w] tree tokens through the REAL DecoderBlock forward with
+    an explicit attention bias (tree ancestry + window constraints), so every
+    config-driven behavior — gemma2 pre/post-FFN norms, residual multipliers,
+    sliding windows, softcaps — matches normal decoding exactly.
+
+    bias:     [w, s_max] tree-visibility bias for global-attention layers
+    bias_win: same, additionally window-cut, for sliding-window layers
+              (pass bias again when the model has no windows)."""
     x = model.embed_tokens(ids)
     if model.cfg.embedding_multiplier != 1.0:
         x = x * jnp.asarray(model.cfg.embedding_multiplier, x.dtype)
-    from ..nn.attention import sdpa
-
     for li, blk in enumerate(model.blocks):
-        h = blk.input_norm(x)
-        attn = blk.attn
-        cfg = attn.cfg
-        b, s, _ = h.shape
-        hh, hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
-        q = attn.q_proj(h).reshape(b, s, hh, hd)
-        k = attn.k_proj(h).reshape(b, s, hkv, hd)
-        v = attn.v_proj(h).reshape(b, s, hkv, hd)
-        if attn.q_norm is not None:
-            q = attn.q_norm(q)
-            k = attn.k_norm(k)
-        q = model.rope(q, positions)
-        k = model.rope(k, positions)
-        cache = cache.update_layer(li, k, v)
-        k_full, v_full = cache.layer(li)
-        o = sdpa(q, k_full, v_full, causal=False, bias=bias)
-        h = attn.o_proj(o.reshape(b, s, hh * hd))
-        x = x + h
-        x = x + blk.mlp(blk.post_attn_norm(x))
+        b = bias_win if blk.attn._window() is not None else bias
+        x, cache = blk(x, model.rope, cache, positions, layer_idx=li,
+                       bias=b, causal=False)
     x = model.norm(x)
+    # update_layer never advances pos; the driver sets it after acceptance
     return jnp.argmax(model.logits(x), axis=-1).astype(jnp.int32)[0], cache
 
 
-def _tree_bias_full(ancestors: np.ndarray, base: int, s_max: int) -> np.ndarray:
+def _tree_bias_full(ancestors: np.ndarray, base: int, s_max: int,
+                    positions=None, window=None) -> np.ndarray:
     """[w, s_max] additive bias: cache prefix visible, draft region tree-
-    masked, tail masked.  Slot base+0 = last accepted token (root)."""
+    masked, tail masked.  Slot base+0 = last accepted token (root).
+
+    With `window` (+ `positions`, the absolute position of each tree row),
+    keys older than `window` positions are additionally masked — the
+    sliding-window variant for gemma2/mistral-class layers.  Cache slot j
+    holds absolute position j for the committed prefix; draft slot base+r
+    holds absolute position positions[r]."""
     w = len(ancestors) + 1
     bias = np.full((w, s_max), -1e30, np.float32)
     bias[:, :base] = 0.0  # committed prefix
@@ -169,7 +165,14 @@ def _tree_bias_full(ancestors: np.ndarray, base: int, s_max: int) -> np.ndarray:
         while anc != -1:
             bias[row, base + 1 + anc] = 0.0
             anc = ancestors[anc]
-    return bias
+    if window is not None:
+        if positions is None:
+            positions = np.full(w, base, np.int64)
+        slot_abs = np.concatenate([np.arange(base), np.asarray(positions[:w])])
+        slot_abs = np.concatenate([slot_abs, np.full(s_max - len(slot_abs), 1 << 30)])
+        q_abs = np.asarray(positions[:w])[:, None]
+        bias = np.where(q_abs - slot_abs[None, :] >= window, -1e30, bias)
+    return bias.astype(np.float32)
 
 
 def speculative_generate_tree(
@@ -229,15 +232,22 @@ def speculative_generate_tree(
             pos[0, 1 : 1 + n] = tree_pos
         anc_pad = np.full(w - 1, -2, np.int32)  # -2 = padding (sees nothing useful)
         anc_pad[:n] = anc
-        bias = _tree_bias_full(anc_pad[:n], base, s_max)
-        if w - 1 - n:
-            pad_rows = np.full((w - 1 - n, s_max), -1e30, np.float32)
-            pad_rows[:, :base + 1] = 0.0  # harmless: pad rows see the prefix
-            bias = np.concatenate([bias, pad_rows], axis=0)
+
+        def _full_bias(window=None):
+            b_ = _tree_bias_full(anc_pad[:n], base, s_max,
+                                 positions=pos[0], window=window)
+            if w - 1 - n:
+                pad_rows = np.full((w - 1 - n, s_max), -1e30, np.float32)
+                pad_rows[:, :base + 1] = 0.0  # harmless: pad rows see the prefix
+                b_ = np.concatenate([b_, pad_rows], axis=0)
+            return jnp.asarray(b_)
+
+        bias = _full_bias()
+        win = model.cfg.sliding_window
+        bias_win = _full_bias(window=win) if win is not None else bias
 
         preds, cache = _tree_verify_step(
-            model, cache, jnp.asarray(ids), jnp.asarray(pos),
-            jnp.asarray(bias)[None, None], w,
+            model, cache, jnp.asarray(ids), jnp.asarray(pos), bias, bias_win,
         )
         preds = np.asarray(preds)  # [w]
 

@@ -81,7 +81,10 @@ class Attention(Module):
         return None
 
     def __call__(self, x, rope: RotaryEmbedding, cache: Optional[KVCache], positions,
-                 kv_start=None, layer_idx=None):
+                 kv_start=None, layer_idx=None, bias=None, causal=True):
+        """bias/causal: tree speculative decoding passes an explicit attention
+        bias (CausalTreeMask counterpart) with causal=False — all other
+        config-driven behavior (QK-norm, windows, softcaps) stays identical."""
         cfg = self.cfg
         if layer_idx is None:
             layer_idx = self.layer_idx
@@ -107,8 +110,9 @@ class Attention(Module):
                 q_offset=cache.pos,
                 kv_valid_len=cache.pos + s,
                 kv_start=kv_start,
-                causal=True,
+                causal=causal,
                 window=self._window(),
+                bias=bias,
                 scale=scale,
                 logit_softcap=cfg.attn_logit_softcap,
             )
@@ -120,8 +124,9 @@ class Attention(Module):
                 q_offset=0,
                 kv_valid_len=None,
                 kv_start=kv_start,
-                causal=True,
+                causal=causal,
                 window=self._window(),
+                bias=bias,
                 scale=scale,
                 logit_softcap=cfg.attn_logit_softcap,
             )
@@ -181,11 +186,12 @@ class DecoderBlock(Module):
             pre_ffn, post_ffn,
         )
 
-    def __call__(self, x, rope, cache, positions, kv_start=None, layer_idx=None):
+    def __call__(self, x, rope, cache, positions, kv_start=None, layer_idx=None,
+                 bias=None, causal=True):
         rm = self.attn.cfg.residual_multiplier  # MiniCPM scale_depth/sqrt(L)
         h = self.input_norm(x)
         h, cache = self.attn(h, rope, cache, positions, kv_start=kv_start,
-                             layer_idx=layer_idx)
+                             layer_idx=layer_idx, bias=bias, causal=causal)
         if self.pre_ffn_norm is not None:  # gemma2 ordering
             h = self.pre_ffn_norm(h)
         x = x + (h if rm == 1.0 else h * jnp.asarray(rm, h.dtype))

@@ -105,3 +105,28 @@ def test_lookup_multi():
     assert len(traces) >= 1
     firsts = [t[0] for t in traces]
     assert len(set(firsts)) == len(firsts)  # deduped by first token
+
+
+def test_tree_speculative_equals_greedy_gemma2_flavor():
+    """Tree SD must reproduce plain greedy for families with post-FFN norms,
+    softcaps, residual multipliers and sliding windows (VERDICT r1 weak #4:
+    the old hand-rolled verify silently dropped these)."""
+    from mllm_tpu.generation.speculative import speculative_generate_tree
+
+    cfg = TextConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=512,
+        eos_token_id=-3, rope_theta=10000.0,
+        post_norm=True, sliding_window=16, sliding_window_pattern=2,
+        logit_softcap=30.0, attn_logit_softcap=50.0, residual_multiplier=0.9,
+    )
+    model = CausalLM.init(jax.random.PRNGKey(7), cfg)
+    ids = np.array([[5, 9, 2, 7, 5, 9, 2, 7, 5, 9]], np.int32)
+
+    cache_a = model.init_cache(1, 256, jnp.float32)
+    scfg = SamplingConfig(max_new_tokens=24, temperature=0.0)
+    ref, _ = generate(model, ids, cache_a, scfg)
+
+    cache_b = model.init_cache(1, 256, jnp.float32)
+    out, _, stats = speculative_generate_tree(model, ids, cache_b, max_new_tokens=24)
+    assert out == ref.tokens, (out, ref.tokens, stats)
