@@ -60,7 +60,7 @@ class MLAAttention(Module):
         self.layer_idx = layer_idx
 
     def __call__(self, x, rope: RotaryEmbedding, cache: Optional[KVCache], positions,
-                 kv_start=None, layer_idx=None):
+                 kv_start=None, layer_idx=None, bias=None, causal=True):
         cfg, mla = self.cfg, self.mla
         if layer_idx is None:
             layer_idx = self.layer_idx
@@ -103,7 +103,7 @@ class MLAAttention(Module):
             q_offset, kv_valid = 0, None
 
         out = sdpa(q, k_full, v_full, q_offset=q_offset, kv_valid_len=kv_valid,
-                   kv_start=kv_start, causal=True, scale=scale)
+                   kv_start=kv_start, causal=causal, bias=bias, scale=scale)
         return self.o_proj(out.reshape(b, s, h * mla.v_head_dim)), cache
 
 
