@@ -150,6 +150,37 @@ class Qwen2VLVisionTower(Module):
         self.inv_freq = inv_freq  # [head_dim/4]
         self.cfg = cfg
 
+    @staticmethod
+    def init(key, cfg: Qwen2VLVisionConfig, dtype=jnp.float32):
+        """Random-weight tower (bench / structural tests)."""
+        d = cfg.embed_dim
+        patch_in = cfg.in_channels * cfg.temporal_patch_size * cfg.patch_size**2
+        merge_dim = d * cfg.spatial_merge_size**2
+        keys = jax.random.split(key, cfg.depth + 4)
+        pe = PatchEmbed(jax.random.uniform(keys[0], (d, patch_in), dtype, -0.02, 0.02))
+        blocks = []
+        for i in range(cfg.depth):
+            ks = jax.random.split(keys[i + 1], 4)
+            blocks.append(VisionSdpaBlock(
+                LayerNorm.init(d, dtype=dtype),
+                Linear.init(ks[0], d, 3 * d, True, dtype),
+                Linear.init(ks[1], d, d, True, dtype),
+                LayerNorm.init(d, dtype=dtype),
+                Linear.init(ks[2], d, cfg.mlp_hidden, True, dtype),
+                Linear.init(ks[3], cfg.mlp_hidden, d, True, dtype),
+                cfg.num_heads, cfg.hidden_act,
+            ))
+        merger = PatchMerger(
+            LayerNorm.init(d, dtype=dtype),
+            Linear.init(keys[-2], merge_dim, merge_dim, True, dtype),
+            Linear.init(keys[-1], merge_dim, cfg.hidden_size, True, dtype),
+            merge_dim,
+        )
+        hq = (d // cfg.num_heads) // 4
+        inv_freq = 1.0 / (10000.0 ** (np.arange(0, hq * 2, 2, dtype=np.float64) / (hq * 2)))
+        return Qwen2VLVisionTower(pe, ModuleList(blocks), merger,
+                                  jnp.asarray(inv_freq, jnp.float32), cfg)
+
     def rot_pos_emb(self, grid_thw: tuple[int, int, int]) -> tuple[np.ndarray, np.ndarray]:
         """cos/sin [S, head_dim/2*2] for the merged-patch ordering."""
         t, h, w = grid_thw
@@ -165,12 +196,26 @@ class Qwen2VLVisionTower(Module):
         emb = jnp.concatenate([freqs, freqs], axis=-1)  # [S, hd]
         return jnp.cos(emb), jnp.sin(emb)
 
+    def stack(self) -> "Qwen2VLVisionTower":
+        """Leaf-stack the (uniform) ViT blocks for `lax.scan` — O(1)-depth
+        compile and tighter scheduling than 32 unrolled blocks."""
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *self.blocks.mods)
+        out = self.replace(blocks=ModuleList([]))
+        out.__dict__["stacked_blocks"] = stacked
+        return out
+
     def __call__(self, patches, grid_thw: tuple[int, int, int]):
         """patches: [S, C*tps*ps*ps] -> merged embeds [S/ms^2, hidden_size]."""
         cos, sin = self.rot_pos_emb(grid_thw)
         x = self.patch_embed(patches)
-        for blk in self.blocks:
-            x = blk(x, cos, sin)
+        stacked = getattr(self, "stacked_blocks", None)
+        if stacked is not None:
+            def body(xc, blk):
+                return blk(xc, cos, sin), None
+            x, _ = jax.lax.scan(body, x, stacked)
+        else:
+            for blk in self.blocks:
+                x = blk(x, cos, sin)
         return self.merger(x)
 
 
@@ -238,6 +283,10 @@ class Qwen2VLForConditionalGeneration(Module):
     def init_cache(self, batch: int, max_len: int, dtype=jnp.bfloat16) -> KVCache:
         return self.lm.init_cache(batch, max_len, dtype)
 
+    def stack(self) -> "Qwen2VLForConditionalGeneration":
+        """Leaf-stack both towers' uniform blocks for lax.scan."""
+        return self.replace(visual=self.visual.stack(), lm=self.lm.stack())
+
     def embed(self, input_ids: jnp.ndarray, image_embeds: Optional[jnp.ndarray]):
         """Token embeddings with image embeds spliced at image-pad positions
         (reference index_put/where splice, modeling_qwen2_vl.hpp:381-404)."""
@@ -251,23 +300,47 @@ class Qwen2VLForConditionalGeneration(Module):
             x = jnp.where(is_img[..., None], img_at.astype(x.dtype), x)
         return x
 
-    def forward_text(self, x, positions, cache: Optional[KVCache], last_only=True):
-        """Decoder trunk with M-RoPE positions [3, B, S]."""
+    def forward_text(self, x, positions, cache: Optional[KVCache], last_only=True,
+                     last_pos: Optional[int] = None):
+        """Decoder trunk with M-RoPE positions [3, B, S].
+
+        last_pos: static index of the true final token (ragged prefill) — the
+        LM head then runs on ONE position instead of the padded S (the vocab
+        matmul at S~1k is otherwise the biggest single cost of prefill)."""
         lm = self.lm
-        for blk in lm.blocks:
+
+        def run_block(x, cache, blk, layer_idx):
             h = blk.input_norm(x)
-            h, cache = _mrope_attn(blk.attn, h, self.mrope, cache, positions)
+            h, cache = _mrope_attn(blk.attn, h, self.mrope, cache, positions,
+                                   layer_idx=layer_idx)
             x = x + h
             x = x + blk.mlp(blk.post_attn_norm(x))
+            return x, cache
+
+        stacked = getattr(lm, "stacked_blocks", None)
+        if stacked is not None:
+            n = getattr(lm, "n_stacked")
+            def body(carry, inp):
+                xc, cc = carry
+                blk, idx = inp
+                xc, cc = run_block(xc, cc, blk, idx)
+                return (xc, cc), None
+            (x, cache), _ = jax.lax.scan(body, (x, cache),
+                                         (stacked, jnp.arange(n, dtype=jnp.int32)))
+        else:
+            for blk in lm.blocks:
+                x, cache = run_block(x, cache, blk, None)
         x = lm.norm(x)
         if cache is not None:
             cache = cache.advance(x.shape[1])
-        if last_only:
+        if last_pos is not None:
+            x = x[:, last_pos : last_pos + 1, :]
+        elif last_only:
             x = x[:, -1:, :]
         return lm.logits(x), cache
 
     def __call__(self, input_ids, cache, patches=None, grid_thw=None, positions=None,
-                 last_only=True):
+                 last_only=True, last_pos: Optional[int] = None):
         """input_ids [B, S]; patches [Sp, C*tps*ps*ps]; positions [3, B, S]."""
         image_embeds = None
         if patches is not None:
@@ -277,12 +350,14 @@ class Qwen2VLForConditionalGeneration(Module):
             pos0 = cache.pos if cache is not None else jnp.zeros((), jnp.int32)
             p = pos0 + jnp.arange(x.shape[1], dtype=jnp.int32)[None, :]
             positions = jnp.broadcast_to(p[None], (3,) + p.shape)
-        return self.forward_text(x, positions, cache, last_only)
+        return self.forward_text(x, positions, cache, last_only, last_pos)
 
 
-def _mrope_attn(attn, x, mrope, cache, positions):
+def _mrope_attn(attn, x, mrope, cache, positions, layer_idx=None):
     """Attention using M-RoPE instead of the standard rope."""
     cfg = attn.cfg
+    if layer_idx is None:
+        layer_idx = attn.layer_idx
     b, s, _ = x.shape
     h, hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
     q = attn.q_proj(x).reshape(b, s, h, hd)
@@ -291,8 +366,8 @@ def _mrope_attn(attn, x, mrope, cache, positions):
     q = mrope(q, positions)
     k = mrope(k, positions)
     if cache is not None:
-        cache = cache.update_layer(attn.layer_idx, k, v)
-        k_full, v_full = cache.layer(attn.layer_idx)
+        cache = cache.update_layer(layer_idx, k, v)
+        k_full, v_full = cache.layer(layer_idx)
         q_offset, kv_valid = cache.pos, cache.pos + s
     else:
         k_full = jnp.transpose(k, (0, 2, 1, 3))
@@ -392,6 +467,31 @@ def _last_query(lm, mrope, x, positions, layer: int):
 
 
 # ---------------------------------------------------------------------------
+# On-device preprocess (rescale + normalize + 3D patchify as jnp ops)
+# ---------------------------------------------------------------------------
+
+
+def device_patchify(pixel, mean, std, patch_size: int = 14,
+                    temporal_patch_size: int = 2, merge_size: int = 2):
+    """uint8 [T, H, W, C] on device -> patch matrix [T/tps*h/ps*w/ps, C*tps*ps*ps].
+
+    Bit-for-bit the numpy Qwen2VLImageProcessor.patchify layout
+    (processor/image.py) with rescale (1/255) + CLIP normalize fused in, so
+    the whole preprocess runs inside the encoder program — the TPU-native
+    replacement for the reference's host-side convertPatches
+    (/root/reference/mllm/models/qwen2_vl/processing_qwen2_vl.hpp:119-179)."""
+    x = pixel.astype(jnp.float32) * (1.0 / 255.0)
+    x = (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
+    x = jnp.transpose(x, (0, 3, 1, 2))  # [T, C, H, W]
+    t, c, h, w = x.shape
+    ps, tps, ms = patch_size, temporal_patch_size, merge_size
+    gt, gh, gw = t // tps, h // ps, w // ps
+    x = x.reshape(gt, tps, c, gh // ms, ms, ps, gw // ms, ms, ps)
+    x = jnp.transpose(x, (0, 3, 6, 4, 7, 2, 1, 5, 8))
+    return x.reshape(gt * gh * gw, c * tps * ps * ps)
+
+
+# ---------------------------------------------------------------------------
 # Generation (prefill with vision -> compiled decode loop)
 # ---------------------------------------------------------------------------
 
@@ -401,10 +501,34 @@ import functools as _functools
 @_functools.partial(jax.jit, static_argnames=("true_len", "grid_thw"), donate_argnames=("cache",))
 def _vl_prefill(model, cache, input_ids, patches, grid_thw, positions, true_len: int):
     logits, cache = model(input_ids, cache, patches=patches, grid_thw=grid_thw,
-                          positions=positions, last_only=False)
-    last = logits[:, true_len - 1, :]
+                          positions=positions, last_pos=true_len - 1)
     cache = cache.with_pos(true_len)
-    return last, cache
+    return logits[:, 0, :], cache
+
+
+@_functools.partial(jax.jit, static_argnames=("true_len", "grid_thw"), donate_argnames=("cache",))
+def vl_image_prefill(model, cache, input_ids, pixel, positions, true_len: int,
+                     grid_thw):
+    """The e2e image-prefill hot path as ONE device program:
+    normalize+patchify -> vision tower -> image-token splice -> LM prefill.
+
+    `pixel` is the resized uint8 frame stack [T, H, W, 3] (host does only
+    decode + bicubic smart_resize — shape-dependent); everything else is
+    fused.  Counterpart of the reference's preprocess->encode->prefill chain
+    (processing_qwen2_vl.hpp:330-428 feeding modeling_qwen2_vl.hpp:381-404).
+    Returns (last-token logits [B, V], cache at true_len)."""
+    from ..processor.image import CLIP_MEAN, CLIP_STD
+
+    vc = model.visual.cfg
+    if pixel.shape[0] % vc.temporal_patch_size:  # single frame: duplicate on
+        # device (halves the host->device transfer vs sending T=2)
+        reps = vc.temporal_patch_size - pixel.shape[0] % vc.temporal_patch_size
+        pixel = jnp.concatenate([pixel] + [pixel[-1:]] * reps, axis=0)
+    patches = device_patchify(pixel, CLIP_MEAN, CLIP_STD, vc.patch_size,
+                              vc.temporal_patch_size, vc.spatial_merge_size)
+    logits, cache = model(input_ids, cache, patches=patches, grid_thw=grid_thw,
+                          positions=positions, last_pos=true_len - 1)
+    return logits[:, 0, :], cache.with_pos(true_len)
 
 
 @_functools.partial(jax.jit, donate_argnames=("cache",))
@@ -424,10 +548,9 @@ def vl_generate_compiled(model, input_ids, patches, grid_thw, positions, cache,
     """Whole VL generation (vision encode + prefill + greedy decode) as ONE
     device program."""
     logits, cache = model(input_ids, cache, patches=patches, grid_thw=grid_thw,
-                          positions=positions, last_only=False)
-    last = logits[:, true_len - 1, :]
+                          positions=positions, last_pos=true_len - 1)
     cache = cache.with_pos(true_len)
-    tok0 = jnp.argmax(last, axis=-1).astype(jnp.int32)
+    tok0 = jnp.argmax(logits[:, 0, :], axis=-1).astype(jnp.int32)
     tokens = jnp.full((max_new_tokens,), -1, jnp.int32).at[0].set(tok0[0])
     pos0 = jnp.asarray(true_len + mrope_delta, jnp.int32)
 

@@ -107,8 +107,11 @@ def attend_padded_head(q, k, v, *, causal=False, scale=None, pad_to: int = 128):
     qp = jnp.pad(q, ((0, 0), (0, pad_s), (0, 0), (0, pad_d)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad_skv), (0, pad_d)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad_skv), (0, pad_d)))
+    # one k block covering the whole (padded) kv axis: the kernel takes its
+    # one-shot softmax path (no online-softmax rescale traffic) — measured
+    # fastest for dense vision attention at S ~ 1.5-4k.
     out = flash_attention(qp, kp, vp, causal=False, kv_valid_len=skv, scale=scale,
-                          block_q=256, block_k=512)
+                          block_q=256, block_k=min(skv + pad_skv, 2048))
     return out[:, :s, :, :d]
 
 

@@ -30,7 +30,7 @@ NEG_INF = -1e30
 
 def _flash_kernel(
     scalars_ref,  # SMEM (2 + B,) int32: [q_offset, kv_valid_len, kv_start_0..]
-    q_ref,  # (1, 1, BQ, D)
+    q_ref,  # (1, 1, BQ, D)  — q pre-scaled by scale*log2(e) in the wrapper
     k_ref,  # (1, 1, BK, D)
     v_ref,  # (1, 1, BK, D)
     o_ref,  # (1, 1, BQ, D)
@@ -38,11 +38,12 @@ def _flash_kernel(
     l_ref,  # scratch (BQ, 128) f32
     acc_ref,  # scratch (BQ, D) f32
     *,
-    scale: float,
     causal: bool,
     window: Optional[int],
     bq: int,
     bk: int,
+    need_tail_mask: bool,
+    have_kv_start: bool,
 ):
     iq = pl.program_id(2)
     ik = pl.program_id(3)
@@ -76,32 +77,52 @@ def _flash_kernel(
         q = q_ref[0, 0]  # (BQ, D)
         k = k_ref[0, 0]  # (BK, D)
         v = v_ref[0, 0]
+        # q carries scale*log2(e): softmax statistics run in base-2 space
+        # (exp2 is the VPU-native transcendental; exp lowers to exp2+mul).
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s = s * scale
 
-        q_pos = q_offset + iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-        k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-        ok = jnp.logical_and(k_pos < kv_valid, k_pos >= kv_start)
+        # masking: causal needs the full 2-iota mask; the non-causal path only
+        # masks the kv tail / pad prefix — and skips entirely when the wrapper
+        # proved every position valid (dense vision attention hot path).
         if causal:
+            q_pos = q_offset + iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+            ok = jnp.logical_and(k_pos < kv_valid, k_pos >= kv_start)
             ok = jnp.logical_and(ok, k_pos <= q_pos)
             if window is not None:
                 ok = jnp.logical_and(ok, k_pos > q_pos - window)
-        s = jnp.where(ok, s, NEG_INF)
+            s = jnp.where(ok, s, NEG_INF)
+        elif need_tail_mask or have_kv_start:
+            k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+            ok = k_pos < kv_valid
+            if have_kv_start:
+                ok = jnp.logical_and(ok, k_pos >= kv_start)
+            s = jnp.where(ok, s, NEG_INF)
 
-        m_prev = m_ref[:, :1]  # (BQ, 1)
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)  # (BQ, BK)
-        alpha = jnp.exp(m_prev - m_new)  # (BQ, 1)
-        l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+        if nk == 1:  # one-shot softmax: no running-state rescale needed
+            m_new = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp2(s - m_new)
+            l_new = jnp.sum(p, axis=1, keepdims=True)
+            acc_ref[:] = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+        else:
+            m_prev = m_ref[:, :1]  # (BQ, 1)
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp2(s - m_new)  # (BQ, BK)
+            alpha = jnp.exp2(m_prev - m_new)  # (BQ, 1)
+            l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+            l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
     @pl.when(ik == nk - 1)
     def _finalize():
@@ -137,8 +158,14 @@ def flash_attention(
     bq = min(block_q, sq)
     bk = min(block_k, skv)
 
+    # static mask elision: when the caller's kv_valid_len is a Python int that
+    # covers the whole (padded) kv axis, no tail masking is needed at all.
+    need_tail_mask = not (isinstance(kv_valid_len, int) and kv_valid_len >= skv)
+    have_kv_start = kv_start is not None
+
     if kv_valid_len is None:
         kv_valid_len = skv
+        need_tail_mask = False
     if kv_start is None:
         kv_start = jnp.zeros((b,), jnp.int32)
     scalars = jnp.concatenate([
@@ -146,11 +173,15 @@ def flash_attention(
         jnp.asarray(kv_start, jnp.int32).reshape(b),
     ])
 
-    qt = jnp.transpose(q, (0, 2, 1, 3))  # [B, H, Sq, D]
+    # fold scale and log2(e) into q once: the kernel's softmax runs in base-2
+    # space with unscaled scores (saves two (BQ, BK) VPU passes per block).
+    qt = q * jnp.asarray(scale * 1.4426950408889634, q.dtype)
+    qt = jnp.transpose(qt, (0, 2, 1, 3))  # [B, H, Sq, D]
     grid = (b, h, pl.cdiv(sq, bq), pl.cdiv(skv, bk))
 
     kernel = functools.partial(
-        _flash_kernel, scale=scale, causal=causal, window=window, bq=bq, bk=bk
+        _flash_kernel, causal=causal, window=window, bq=bq, bk=bk,
+        need_tail_mask=need_tail_mask, have_kv_start=have_kv_start,
     )
 
     out = pl.pallas_call(

@@ -45,34 +45,36 @@ class QuantEmbedHead(Module):
 @jax.jit
 def _q8_device(w):
     """Per-out-channel symmetric int8, computed on-device (no host round trip):
-    float [N, K] -> (int8 [K, N], scales f32 [N])."""
+    float [..., N, K] -> (int8 [..., K, N], scales f32 [..., N]).
+    Leading dims pass through (lax.scan leaf-stacked layers)."""
     wf = w.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(wf), axis=1)
+    amax = jnp.max(jnp.abs(wf), axis=-1)
     sc = jnp.where(amax > 0, amax / 127.0, 1.0)
-    q = jnp.clip(jnp.round(wf / sc[:, None]), -127, 127).astype(jnp.int8)
-    return q.T, sc
+    q = jnp.clip(jnp.round(wf / sc[..., None]), -127, 127).astype(jnp.int8)
+    return jnp.swapaxes(q, -1, -2), sc
 
 
 @jax.jit
 def _q4_device(w):
     """Group-32 symmetric int4 planar pack on-device:
-    float [N, K] -> (packed uint8 [K/2, N], scales f32 [K/32, N])."""
-    n, k = w.shape
-    wg = w.astype(jnp.float32).reshape(n, k // 32, 32)
+    float [..., N, K] -> (packed uint8 [..., K/2, N], scales f32 [..., K/32, N])."""
+    n, k = w.shape[-2], w.shape[-1]
+    lead = w.shape[:-2]
+    wg = w.astype(jnp.float32).reshape(*lead, n, k // 32, 32)
     amax = jnp.max(jnp.abs(wg), axis=-1)
     sc = jnp.where(amax > 0, amax / 7.0, 1.0)
-    v = jnp.clip(jnp.round(wg / sc[..., None]), -8, 7).astype(jnp.int8).reshape(n, k)
-    vt = v.T
-    lo = (vt[: k // 2] & 0x0F).astype(jnp.uint8)
-    hi = (vt[k // 2 :] & 0x0F).astype(jnp.uint8)
-    return lo | (hi << 4), sc.T
+    v = jnp.clip(jnp.round(wg / sc[..., None]), -8, 7).astype(jnp.int8).reshape(*lead, n, k)
+    vt = jnp.swapaxes(v, -1, -2)  # [..., K, N]
+    lo = (vt[..., : k // 2, :] & 0x0F).astype(jnp.uint8)
+    hi = (vt[..., k // 2 :, :] & 0x0F).astype(jnp.uint8)
+    return lo | (hi << 4), jnp.swapaxes(sc, -1, -2)
 
 
 def _quant_linear(lin: Linear, mode: str, min_size: int, on_device: bool):
     shape = lin.weight.shape
-    if np.prod(shape) < min_size or shape[1] % 64 != 0:
+    if np.prod(shape) < min_size or shape[-1] % 64 != 0:
         return lin
-    if on_device:
+    if on_device or lin.weight.ndim > 2:  # stacked layers always quantize on-device
         if mode == "int8":
             qv, sc = _q8_device(lin.weight)
             return QuantLinear(qv, sc, lin.bias)

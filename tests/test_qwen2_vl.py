@@ -183,3 +183,67 @@ def test_vtp_prefill(tiny_vl):
                                   posj, keep_ratio=0.5, prune_layer=1)
     assert int(cache2.pos) == ids.shape[1] - 2  # 4 img tokens -> keep 2
     assert np.isfinite(np.asarray(lg_half)).all()
+
+
+def test_device_patchify_matches_numpy():
+    """On-device preprocess == numpy Qwen2VLImageProcessor.patchify exactly."""
+    from mllm_tpu.models.qwen2_vl import device_patchify
+    from mllm_tpu.processor.image import CLIP_MEAN, CLIP_STD, Qwen2VLImageProcessor, rescale_normalize
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (56, 84, 3), np.uint8)  # 4x6 grid of 14px patches
+    proc = Qwen2VLImageProcessor()
+    pix = rescale_normalize(img, CLIP_MEAN, CLIP_STD).transpose(2, 0, 1)
+    pix = np.stack([pix, pix])  # T=2
+    ref_patches, grid = proc.patchify(pix)
+
+    dev = device_patchify(jnp.asarray(np.stack([img, img])), CLIP_MEAN, CLIP_STD)
+    assert grid == (1, 4, 6)
+    np.testing.assert_allclose(np.asarray(dev), ref_patches, rtol=1e-6, atol=1e-6)
+
+
+def test_vl_image_prefill_fused(tiny_vl):
+    """The fused preprocess+encode+prefill program == the unfused path."""
+    from mllm_tpu.models.qwen2_vl import get_rope_index, vl_image_prefill
+    from mllm_tpu.processor.image import CLIP_MEAN, CLIP_STD, Qwen2VLImageProcessor, rescale_normalize
+
+    hf, d = tiny_vl
+    ours, cfg = _ours(d)
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (56, 56, 3), np.uint8)  # grid (1, 4, 4)
+    grid = (1, 4, 4)
+
+    proc = Qwen2VLImageProcessor()
+    pix = rescale_normalize(img, CLIP_MEAN, CLIP_STD).transpose(2, 0, 1)
+    patches, g2 = proc.patchify(np.stack([pix, pix]))
+    assert g2 == grid
+
+    ids = np.array([[10, 20, VSTART] + [IMG] * 4 + [30, 40, 50]], np.int64)
+    pos, _ = get_rope_index(ids[0], [grid], IMG, VID, 2)
+    posj = jnp.asarray(pos[:, None, :].astype(np.int32))
+
+    cache0 = ours.init_cache(1, 32, jnp.float32)
+    ref_logits, cache0 = ours(jnp.asarray(ids, jnp.int32), cache0,
+                              patches=jnp.asarray(patches), grid_thw=grid,
+                              positions=posj, last_only=True)
+
+    cache1 = ours.init_cache(1, 32, jnp.float32)
+    fused, cache1 = vl_image_prefill(ours, cache1, jnp.asarray(ids, jnp.int32),
+                                     jnp.asarray(np.stack([img, img])), posj,
+                                     int(ids.shape[1]), grid)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref_logits)[:, 0],
+                               rtol=2e-5, atol=2e-5)
+    assert int(cache1.pos) == ids.shape[1]
+
+
+def test_vision_tower_random_init_runs():
+    from mllm_tpu.models.qwen2_vl import Qwen2VLVisionConfig, Qwen2VLVisionTower
+    import jax
+
+    vc = Qwen2VLVisionConfig(depth=2, embed_dim=32, hidden_size=48, num_heads=4)
+    tower = Qwen2VLVisionTower.init(jax.random.PRNGKey(0), vc)
+    patches = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (16, 3 * 2 * 14 * 14)).astype(np.float32))
+    out = tower(patches, (1, 4, 4))
+    assert out.shape == (4, 48)
+    assert np.isfinite(np.asarray(out)).all()
