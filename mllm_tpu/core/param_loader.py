@@ -146,7 +146,14 @@ def load_vocab(path: str | os.PathLike):
     for _ in range(count):
         (tid, tlen) = struct.unpack_from("<ii", data, pos)
         pos += 8
-        tok = data[pos : pos + tlen].decode("utf-8", errors="replace")
+        raw = data[pos : pos + tlen]
+        try:
+            tok = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            # sentencepiece byte-fallback tokens are stored as raw bytes
+            # 0x00..0xFF in reference .mllm vocabs (llama2_vocab.mllm
+            # ids 3..258) — keep them as latin-1 chars, not U+FFFD.
+            tok = raw.decode("latin-1")
         pos += tlen
         (score,) = struct.unpack_from("<f", data, pos)
         pos += 4

@@ -44,10 +44,24 @@ class Tokenizer:
         return "".join(self.id_to_token[i] for i in ids if 0 <= i < len(self.id_to_token))
 
     # -- public surface -----------------------------------------------------
-    def add_special_tokens(self, tokens: Iterable[str]):
-        for t in tokens:
-            if t in self.token_to_id:
-                self.special_tokens[t] = self.token_to_id[t]
+    def add_special_tokens(self, tokens):
+        """Register special tokens for split-out-and-emit handling.
+
+        `tokens` is an iterable of strings already present in the vocab, or a
+        {token: id} mapping to register NEW ids beyond the vocab file — the
+        reference hardcodes extended specials the same way (e.g. Qwen2-VL's
+        <|image_pad|> = 151655, models/qwen2_vl/tokenization_qwen2_vl.hpp)."""
+        items = tokens.items() if isinstance(tokens, dict) else ((t, None) for t in tokens)
+        for t, tid in items:
+            if tid is None:
+                tid = self.token_to_id.get(t)
+                if tid is None:
+                    continue
+            self.token_to_id[t] = tid
+            if tid >= len(self.id_to_token):
+                self.id_to_token.extend([""] * (tid + 1 - len(self.id_to_token)))
+            self.id_to_token[tid] = t
+            self.special_tokens[t] = tid
         self._special_re = None
 
     def _split_specials(self, text: str):

@@ -177,10 +177,24 @@ class SentencePieceBPE(Tokenizer):
     SPACE = "▁"
 
     def __init__(self, token_to_id, id_to_token, scores: list[float],
-                 special_tokens=None, add_bos: bool = True, add_prefix_space: bool = True):
+                 special_tokens=None, add_bos: bool = True, add_prefix_space: bool = True,
+                 space_marker: str | None = None):
         super().__init__(token_to_id, id_to_token, special_tokens)
         self.scores = scores
         self.add_prefix_space = add_prefix_space
+        # The reference's vocab writer (tools/convertor/vocab.py) stores the
+        # sentencepiece "▁" marker as a literal space in .mllm vocab files
+        # (the C++ BPE works on raw spaces) — auto-detect which convention
+        # this vocab uses unless told explicitly.
+        if space_marker is None:
+            space_marker = "▁" if ("▁" in token_to_id or "▁the" in token_to_id) else " "
+        self.SPACE = space_marker
+        # byte-fallback block: either <0xXX> tokens or a contiguous raw-byte
+        # block (reference .mllm convention: ids base..base+255 hold bytes)
+        self._byte_id0 = None
+        nul = token_to_id.get("\x00")
+        if nul is not None and nul + 255 < len(id_to_token) and id_to_token[nul + 255] == "\xff":
+            self._byte_id0 = nul
         # build merge ranks from vocab: pair (a,b) mergeable if a+b in vocab;
         # rank by score of merged token (higher score = earlier merge)
         self._merge_score = {}
@@ -214,6 +228,8 @@ class SentencePieceBPE(Tokenizer):
             else:  # byte fallback
                 for b in sym.encode("utf-8"):
                     bt = self.token_to_id.get(f"<0x{b:02X}>")
+                    if bt is None and self._byte_id0 is not None:
+                        bt = self._byte_id0 + b
                     if bt is not None:
                         ids.append(bt)
         return ids
@@ -228,6 +244,9 @@ class SentencePieceBPE(Tokenizer):
                 byte_buf.clear()
 
         for i in ids:
+            if self._byte_id0 is not None and self._byte_id0 <= i < self._byte_id0 + 256:
+                byte_buf.append(i - self._byte_id0)
+                continue
             tok = self.id_to_token[i] if 0 <= i < len(self.id_to_token) else ""
             if len(tok) == 6 and tok.startswith("<0x") and tok.endswith(">"):
                 byte_buf.append(int(tok[3:5], 16))
@@ -236,3 +255,61 @@ class SentencePieceBPE(Tokenizer):
             out.append(tok.replace(self.SPACE, " "))
         flush_bytes()
         return "".join(out)
+
+
+CLIP_PATTERN = (
+    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+    r"|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
+)
+
+
+class ClipBPE(Tokenizer):
+    """CLIP word-suffix BPE: lowercasing, whitespace cleanup, and a `</w>`
+    end-of-word marker on the final symbol of every word.
+
+    Counterpart of the reference CLIP tokenizer
+    (/root/reference/mllm/models/clip/tokenization_clip.hpp) reading the same
+    clip_vocab.mllm (magic 23333) + clip_merges.txt assets; byte-level
+    alphabet via the GPT-2 bytes-to-unicode map.
+    """
+
+    END = "</w>"
+
+    def __init__(self, token_to_id, id_to_token, merge_rank: dict[tuple[str, str], int],
+                 special_tokens=None):
+        super().__init__(token_to_id, id_to_token, special_tokens)
+        self.merge_rank = merge_rank
+        self.pattern = regex.compile(CLIP_PATTERN, regex.IGNORECASE)
+        self._cache: dict[str, tuple[str, ...]] = {}
+
+    def _bpe(self, units: str) -> tuple[str, ...]:
+        hit = self._cache.get(units)
+        if hit is None:
+            word = tuple(units[:-1]) + (units[-1] + self.END,)
+            hit = bpe_merge(word, self.merge_rank)
+            if len(self._cache) < 65536:
+                self._cache[units] = hit
+        return hit
+
+    def encode_ordinary(self, text: str) -> list[int]:
+        # HF CLIPTokenizer's non-ftfy path: BasicTokenizer cleanup (lowercase,
+        # CJK char isolation, NO accent strip, NO punct split), then the CLIP
+        # regex over the space-joined words.
+        from .wordpiece import basic_tokenize
+
+        text = " ".join(basic_tokenize(text, lowercase=True, strip_accents=False,
+                                       split_on_punc=False))
+        ids: list[int] = []
+        for m in self.pattern.finditer(text):
+            units = text_to_byte_units(m.group())
+            if not units:
+                continue
+            for tok in self._bpe(units):
+                tid = self.token_to_id.get(tok)
+                if tid is not None:
+                    ids.append(tid)
+        return ids
+
+    def decode_ordinary(self, ids: Iterable[int]) -> str:
+        toks = [self.id_to_token[i] for i in ids if 0 <= i < len(self.id_to_token)]
+        return byte_units_to_text("".join(toks)).replace(self.END, " ").strip()

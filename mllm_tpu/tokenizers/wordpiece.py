@@ -16,24 +16,41 @@ def _is_punct(ch: str) -> bool:
     return unicodedata.category(ch).startswith("P")
 
 
-def basic_tokenize(text: str, lowercase: bool = True) -> list[str]:
-    """BERT BasicTokenizer: clean, CJK-split, lowercase+strip accents, punct-split."""
+def _is_cjk(cp: int) -> bool:
+    return ((0x4E00 <= cp <= 0x9FFF) or (0x3400 <= cp <= 0x4DBF)
+            or (0x20000 <= cp <= 0x2A6DF) or (0x2A700 <= cp <= 0x2B73F)
+            or (0x2B740 <= cp <= 0x2B81F) or (0x2B820 <= cp <= 0x2CEAF)
+            or (0xF900 <= cp <= 0xFAFF) or (0x2F800 <= cp <= 0x2FA1F))
+
+
+def basic_tokenize(text: str, lowercase: bool = True, strip_accents=None,
+                   split_on_punc: bool = True) -> list[str]:
+    """BERT BasicTokenizer: clean, CJK-split, lowercase (+accent strip unless
+    strip_accents=False), optional punct-split.  CLIP's text cleanup is this
+    with strip_accents=False, split_on_punc=False."""
     out = []
-    text = "".join(" " if ch in ("\t", "\n", "\r") or unicodedata.category(ch) == "Zs" else ch
-                   for ch in text if ord(ch) != 0 and unicodedata.category(ch) != "Cc")
+    text = "".join(
+        " " if ch in ("\t", "\n", "\r") or unicodedata.category(ch) == "Zs" else ch
+        for ch in text
+        if ord(ch) != 0 and ord(ch) != 0xFFFD
+        and not (unicodedata.category(ch) in ("Cc", "Cf") and ch not in ("\t", "\n", "\r"))
+    )
     # CJK chars get surrounding spaces
     spaced = []
     for ch in text:
-        cp = ord(ch)
-        if (0x4E00 <= cp <= 0x9FFF) or (0x3400 <= cp <= 0x4DBF) or (0xF900 <= cp <= 0xFAFF):
+        if _is_cjk(ord(ch)):
             spaced.extend([" ", ch, " "])
         else:
             spaced.append(ch)
     for word in "".join(spaced).split():
         if lowercase:
             word = word.lower()
+        if strip_accents is True or (strip_accents is None and lowercase):
             word = "".join(c for c in unicodedata.normalize("NFD", word)
                            if unicodedata.category(c) != "Mn")
+        if not split_on_punc:
+            out.append(word)
+            continue
         # split punctuation
         cur = ""
         for ch in word:
