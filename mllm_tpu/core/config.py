@@ -36,6 +36,7 @@ class TextConfig:
     rope_style: str = "hf"  # 'hf' (GPT-NeoX half) | 'llama' (interleaved)
     rope_partial: float = 1.0  # partial-rotary factor (phi/stablelm/openelm)
     rope_scaling: Optional[tuple] = None  # frozen dict items, see rope_scaling_dict
+    rope_int8: bool = False  # int8 sin/cos tables (reference IRoPE, PhoneLM NPU path)
     tie_word_embeddings: bool = True
     attention_bias: bool = True  # qwen2 uses qkv bias
     o_proj_bias: bool = False

@@ -229,10 +229,18 @@ class CausalLM(Module):
         lm_head = None
         if not cfg.tie_word_embeddings:
             lm_head = Linear.init(keys[-1], cfg.hidden_size, cfg.vocab_size, False, dtype)
-        rope = RotaryEmbedding.make(
-            cfg.head_dim_, cfg.max_position_embeddings, cfg.rope_theta,
-            cfg.rope_style, cfg.rope_partial, cfg.rope_scaling_dict(),
-        )
+        if cfg.rope_int8:  # reference IRoPE (int8 tables) — PhoneLM NPU path
+            from ..nn.layers import IRotaryEmbedding
+
+            rope = IRotaryEmbedding.make(
+                cfg.head_dim_, cfg.max_position_embeddings, cfg.rope_theta,
+                cfg.rope_style, cfg.rope_partial,
+            )
+        else:
+            rope = RotaryEmbedding.make(
+                cfg.head_dim_, cfg.max_position_embeddings, cfg.rope_theta,
+                cfg.rope_style, cfg.rope_partial, cfg.rope_scaling_dict(),
+            )
         return CausalLM(embed, blocks, norm, lm_head, rope, cfg)
 
     def init_cache(self, batch: int, max_len: int, dtype=jnp.bfloat16,

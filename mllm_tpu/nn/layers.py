@@ -319,6 +319,60 @@ def ntk_scale_theta(theta: float, head_dim: int, factor: float) -> float:
     return theta * factor ** (head_dim / (head_dim - 2))
 
 
+def longrope_scale(inv_freq: np.ndarray, rope_scaling: dict, max_position: int,
+                   theta: float) -> tuple[np.ndarray, float]:
+    """Phi3 LongRope: per-frequency long/short rescale factors + attention
+    scaling (reference op/CPUNTKRoPE.cpp get_sin_cos_emb_hf; HF
+    _compute_longrope_parameters).  Returns (inv_freq, attention_factor).
+
+    Long factors apply when the table is built past the original context
+    (the reference selects by current seq_len — same branch once the
+    sequence exceeds the original window)."""
+    orig = rope_scaling.get("original_max_position_embeddings", max_position)
+    ext = rope_scaling.get("long_factor") if max_position > orig else rope_scaling.get("short_factor")
+    if ext is not None:
+        ext = np.asarray(ext, np.float64)
+        inv_freq = inv_freq / ext
+    scale = max_position / orig
+    attn = rope_scaling.get("attention_factor")
+    if attn is None:
+        attn = math.sqrt(1 + math.log(scale) / math.log(orig)) if scale > 1.0 else 1.0
+    return inv_freq, float(attn)
+
+
+def yarn_scale(inv_freq: np.ndarray, rope_scaling: dict, max_position: int,
+               theta: float, rot_dim: int) -> tuple[np.ndarray, float]:
+    """YaRN frequency blending (HF _compute_yarn_parameters): high-frequency
+    bands extrapolate (unscaled), low-frequency bands interpolate (/factor),
+    with a linear ramp between beta_fast/beta_slow correction dims and
+    sqrt-log attention temperature."""
+    factor = float(rope_scaling.get("factor", 1.0))
+    orig = rope_scaling.get("original_max_position_embeddings", max_position)
+    beta_fast = float(rope_scaling.get("beta_fast", 32.0))
+    beta_slow = float(rope_scaling.get("beta_slow", 1.0))
+
+    def correction_dim(num_rot: float) -> float:
+        return (rot_dim * math.log(orig / (num_rot * 2 * math.pi))) / (2 * math.log(theta))
+
+    low = max(math.floor(correction_dim(beta_fast)), 0)
+    high = min(math.ceil(correction_dim(beta_slow)), rot_dim // 2 - 1)
+    ramp = np.clip((np.arange(rot_dim // 2, dtype=np.float64) - low) / max(high - low, 1e-3), 0, 1)
+    extrap = 1.0 - ramp  # 1 for high-freq dims, 0 for low-freq dims
+    out = (inv_freq / factor) * (1 - extrap) + inv_freq * extrap
+
+    attn = rope_scaling.get("attention_factor")
+    if attn is None:
+        mscale = rope_scaling.get("mscale")
+        def get_mscale(s, m=1.0):
+            return 0.1 * m * math.log(s) + 1.0 if s > 1.0 else 1.0
+        if mscale is not None:  # deepseek-yarn variant
+            attn = get_mscale(factor, mscale) / get_mscale(
+                factor, rope_scaling.get("mscale_all_dim", 0.0))
+        else:
+            attn = get_mscale(factor)
+    return out, float(attn)
+
+
 class RotaryEmbedding(Module):
     """Precomputed sin/cos tables applied by position index.
 
@@ -344,6 +398,8 @@ class RotaryEmbedding(Module):
         dtype=jnp.float32,
     ):
         inv = rope_inv_freq(head_dim, theta, partial)
+        rot_dim = int(head_dim * partial) // 2 * 2
+        attn_scale = 1.0
         if rope_scaling:
             typ = rope_scaling.get("rope_type", rope_scaling.get("type", ""))
             if typ == "llama3":
@@ -359,19 +415,57 @@ class RotaryEmbedding(Module):
                 inv = rope_inv_freq(head_dim, theta2, partial)
             elif typ == "linear":
                 inv = inv / rope_scaling.get("factor", 1.0)
+            elif typ == "longrope":
+                inv, attn_scale = longrope_scale(inv, rope_scaling, max_position, theta)
+            elif typ == "yarn":
+                inv, attn_scale = yarn_scale(inv, rope_scaling, max_position, theta, rot_dim)
         t = np.arange(max_position, dtype=np.float64)
         freqs = np.outer(t, inv)  # [max_pos, rot/2]
         return RotaryEmbedding(
-            jnp.asarray(np.sin(freqs), dtype),
-            jnp.asarray(np.cos(freqs), dtype),
+            jnp.asarray(np.sin(freqs) * attn_scale, dtype),
+            jnp.asarray(np.cos(freqs) * attn_scale, dtype),
             style,
-            rot_dim=int(head_dim * partial) // 2 * 2,
+            rot_dim=rot_dim,
         )
 
     def __call__(self, x, positions):
         """x: [..., S, H, D] (seq axis = -3); positions: broadcastable to [..., S]."""
         sin = jnp.take(self.sin, positions, axis=0)[..., None, :]  # [..., S, 1, rot/2]
         cos = jnp.take(self.cos, positions, axis=0)[..., None, :]
+        return apply_rotary(x, sin, cos, self.style, self.rot_dim)
+
+
+class IRotaryEmbedding(Module):
+    """int8-quantized sin/cos RoPE tables (reference IRoPE, Layer.hpp:639,
+    op/CPUIRoPE.cpp: tables stored as round(sin*127), dequantized /127 at
+    apply time — the NPU-memory-friendly RoPE used by PhoneLM).
+
+    Same apply semantics as RotaryEmbedding; tables cost 4x less HBM.
+    """
+
+    def __init__(self, sin_q: jax.Array, cos_q: jax.Array, style: str = "hf",
+                 rot_dim: int | None = None):
+        self.sin_q = sin_q  # int8 [max_pos, rot/2]
+        self.cos_q = cos_q
+        self.style = style
+        self.rot_dim = rot_dim if rot_dim is not None else 2 * sin_q.shape[-1]
+
+    @staticmethod
+    def make(head_dim: int, max_position: int = 32768, theta: float = 10000.0,
+             style: str = "hf", partial: float = 1.0):
+        inv = rope_inv_freq(head_dim, theta, partial)
+        t = np.arange(max_position, dtype=np.float64)
+        freqs = np.outer(t, inv)
+        # reference quantization rule: round(v / max_abs * 127); max_abs == 1
+        sq = np.clip(np.round(np.sin(freqs) * 127.0), -127, 127).astype(np.int8)
+        cq = np.clip(np.round(np.cos(freqs) * 127.0), -127, 127).astype(np.int8)
+        return IRotaryEmbedding(jnp.asarray(sq), jnp.asarray(cq), style,
+                                rot_dim=int(head_dim * partial) // 2 * 2)
+
+    def __call__(self, x, positions):
+        inv127 = jnp.float32(1.0 / 127.0)
+        sin = jnp.take(self.sin_q, positions, axis=0)[..., None, :].astype(jnp.float32) * inv127
+        cos = jnp.take(self.cos_q, positions, axis=0)[..., None, :].astype(jnp.float32) * inv127
         return apply_rotary(x, sin, cos, self.style, self.rot_dim)
 
 
