@@ -60,7 +60,8 @@ class MLAAttention(Module):
         self.layer_idx = layer_idx
 
     def __call__(self, x, rope: RotaryEmbedding, cache: Optional[KVCache], positions,
-                 kv_start=None, layer_idx=None, bias=None, causal=True):
+                 kv_start=None, layer_idx=None, bias=None, causal=True, ring=None):
+        assert ring is None, "sequence-parallel ring attention not supported for MLA"
         cfg, mla = self.cfg, self.mla
         if layer_idx is None:
             layer_idx = self.layer_idx

@@ -81,10 +81,14 @@ class Attention(Module):
         return None
 
     def __call__(self, x, rope: RotaryEmbedding, cache: Optional[KVCache], positions,
-                 kv_start=None, layer_idx=None, bias=None, causal=True):
+                 kv_start=None, layer_idx=None, bias=None, causal=True, ring=None):
         """bias/causal: tree speculative decoding passes an explicit attention
         bias (CausalTreeMask counterpart) with causal=False — all other
-        config-driven behavior (QK-norm, windows, softcaps) stays identical."""
+        config-driven behavior (QK-norm, windows, softcaps) stays identical.
+
+        ring: optional (mesh, axis) — cacheless long-context path runs exact
+        ring attention with the sequence sharded over that mesh axis
+        (sequence parallelism; no reference counterpart, SURVEY §2.11)."""
         cfg = self.cfg
         if layer_idx is None:
             layer_idx = self.layer_idx
@@ -116,6 +120,13 @@ class Attention(Module):
                 scale=scale,
                 logit_softcap=cfg.attn_logit_softcap,
             )
+        elif ring is not None:  # sequence-parallel exact ring attention
+            from ..parallel.ring_attention import ring_attention
+
+            assert bias is None and self._window() is None and cfg.attn_logit_softcap is None, \
+                "ring attention supports plain causal/dense attention only"
+            mesh, axis = ring
+            out = ring_attention(q, k, v, mesh, axis=axis, causal=causal, scale=scale)
         else:  # cacheless (training / scoring) path
             k_full = jnp.transpose(k, (0, 2, 1, 3))
             v_full = jnp.transpose(v, (0, 2, 1, 3))
@@ -187,11 +198,11 @@ class DecoderBlock(Module):
         )
 
     def __call__(self, x, rope, cache, positions, kv_start=None, layer_idx=None,
-                 bias=None, causal=True):
+                 bias=None, causal=True, ring=None):
         rm = self.attn.cfg.residual_multiplier  # MiniCPM scale_depth/sqrt(L)
         h = self.input_norm(x)
         h, cache = self.attn(h, rope, cache, positions, kv_start=kv_start,
-                             layer_idx=layer_idx, bias=bias, causal=causal)
+                             layer_idx=layer_idx, bias=bias, causal=causal, ring=ring)
         if self.pre_ffn_norm is not None:  # gemma2 ordering
             h = self.pre_ffn_norm(h)
         x = x + (h if rm == 1.0 else h * jnp.asarray(rm, h.dtype))
@@ -277,11 +288,13 @@ class CausalLM(Module):
         return out
 
     def hidden_states(self, input_ids, cache: Optional[KVCache], inputs_embeds=None,
-                      pad_lens=None):
+                      pad_lens=None, ring=None):
         """Run the trunk; returns (hidden [B,S,D], cache with pos advanced).
 
         pad_lens: [B] number of left-pad tokens per sequence (ragged batching);
         rope positions shift back by pad_lens and the pad prefix is masked.
+        ring: (mesh, axis) — cacheless sequence-parallel trunk via ring
+        attention (mllm_tpu/parallel/ring_attention.py).
         """
         x = inputs_embeds if inputs_embeds is not None else self.embed_tokens(input_ids)
         if self.cfg.embedding_multiplier != 1.0:
@@ -309,18 +322,20 @@ class CausalLM(Module):
                 def body(carry, inp):
                     blk, idx = inp
                     xc, _ = blk(carry, self.rope, None, positions, kv_start=kv_start,
-                                layer_idx=idx)
+                                layer_idx=idx, ring=ring)
                     return xc, None
                 x, _ = jax.lax.scan(body, x, (stacked, jnp.arange(n, dtype=jnp.int32)))
         else:
             for blk in self.blocks:
-                x, cache = blk(x, self.rope, cache, positions, kv_start=kv_start)
+                x, cache = blk(x, self.rope, cache, positions, kv_start=kv_start,
+                               ring=ring)
         x = self.norm(x)
         return x, (cache.advance(s) if cache is not None else None)
 
-    def loss(self, input_ids, targets, mask=None):
-        """Next-token cross-entropy (cacheless forward) — the training path."""
-        hidden, _ = self.hidden_states(input_ids, None)
+    def loss(self, input_ids, targets, mask=None, ring=None):
+        """Next-token cross-entropy (cacheless forward) — the training path.
+        ring: (mesh, axis) runs the trunk with sequence-parallel ring attention."""
+        hidden, _ = self.hidden_states(input_ids, None, ring=ring)
         logits = self.logits(hidden)  # [B, S, V] f32
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]

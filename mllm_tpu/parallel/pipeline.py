@@ -93,3 +93,38 @@ def stack_stages(block_params_list, n_stages: int):
         chunk = block_params_list[si * per : (si + 1) * per]
         stages.append(jax.tree.map(lambda *xs: jnp.stack(xs), *chunk))
     return jax.tree.map(lambda *xs: jnp.stack(xs), *stages)
+
+
+def pipeline_lm_hidden(model, input_ids, mesh: Mesh, axis: str = "pp",
+                       n_microbatches: int = 4):
+    """Cacheless CausalLM trunk as a GPipe pipeline of REAL DecoderBlocks.
+
+    The model's decoder layers are split into mesh.shape[axis] stages (one
+    per device); the batch is split into microbatches that flow stage-to-
+    stage over ICI.  Embedding / final norm / lm_head stay replicated.
+    Returns hidden states [B, S, D] identical to model.hidden_states."""
+    b, s = input_ids.shape
+    assert b % n_microbatches == 0, f"batch {b} % microbatches {n_microbatches}"
+    n_stages = mesh.shape[axis]
+
+    # uniform static aux required for leaf-stacking (layer_idx differs)
+    blocks = [blk.replace(attn=blk.attn.replace(layer_idx=0)) for blk in model.blocks]
+    stage_params = stack_stages(blocks, n_stages)
+
+    x = model.embed_tokens(input_ids)
+    if model.cfg.embedding_multiplier != 1.0:
+        x = x * jnp.asarray(model.cfg.embedding_multiplier, x.dtype)
+    positions = jnp.arange(s, dtype=jnp.int32)[None, :]
+    rope = model.rope
+
+    def stage_fn(stage_blocks, h):
+        # stage_blocks: DecoderBlock pytree stacked [layers_per_stage, ...]
+        def body(hc, blk):
+            out, _ = blk(hc, rope, None, positions)
+            return out, None
+        h, _ = jax.lax.scan(body, h, stage_blocks)
+        return h
+
+    xmb = x.reshape(n_microbatches, b // n_microbatches, s, x.shape[-1])
+    out = pipeline_forward(stage_params, xmb, stage_fn, mesh, axis=axis)
+    return model.norm(out.reshape(b, s, -1))

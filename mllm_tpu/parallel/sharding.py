@@ -51,14 +51,18 @@ _EXPERT = re.compile(r"experts\..*\.weight")
 
 def param_spec(path: str, ndim: int) -> P:
     if _EMBED.search(path):
-        return P("tp", None)
-    if _COLUMN.search(path):
-        return P("tp", None)
-    if _ROW.search(path):
-        return P(None, "tp")
-    if _COLUMN_BIAS.search(path):
-        return P("tp")
-    return P()  # replicated
+        spec = P("tp", None)
+    elif _COLUMN.search(path):
+        spec = P("tp", None)
+    elif _ROW.search(path):
+        spec = P(None, "tp")
+    elif _COLUMN_BIAS.search(path):
+        spec = P("tp")
+    else:
+        return P()  # replicated
+    if ndim == len(spec) + 1:  # leaf-stacked (lax.scan) layers: [L, ...]
+        spec = P(None, *spec)
+    return spec
 
 
 def shard_model(model, mesh: Mesh):
@@ -70,7 +74,7 @@ def shard_model(model, mesh: Mesh):
         if hasattr(leaf, "ndim"):
             spec = param_spec(pstr, leaf.ndim)
             # guard: axis size must divide the sharded dim
-            spec = _validate_spec(spec, leaf.shape, mesh)
+            spec = _validate_spec(spec, leaf.shape, mesh, path=pstr)
             out.append(jax.device_put(leaf, NamedSharding(mesh, spec)))
         else:
             out.append(leaf)
@@ -92,7 +96,7 @@ def shard_batch(x, mesh: Mesh):
     return jax.device_put(x, NamedSharding(mesh, spec))
 
 
-def _validate_spec(spec: P, shape, mesh: Mesh) -> P:
+def _validate_spec(spec: P, shape, mesh: Mesh, path: str = "") -> P:
     new = []
     for i, ax in enumerate(spec):
         if ax is None:
@@ -102,6 +106,13 @@ def _validate_spec(spec: P, shape, mesh: Mesh) -> P:
         if i < len(shape) and shape[i] % size == 0:
             new.append(ax)
         else:
+            # correctness-preserving but a perf cliff: surface it
+            from ..utils.log import log_warn
+
+            log_warn("sharding dropped: dim not divisible by mesh axis",
+                     param=path or "<anon>", dim=i,
+                     size=int(shape[i]) if i < len(shape) else -1,
+                     axis=str(ax), axis_size=int(size))
             new.append(None)
     return P(*new)
 
@@ -141,3 +152,46 @@ def sgd_train_step(model, batch_ids, batch_targets, lr: float = 1e-3):
 def sharded_forward(model, input_ids, cache: Optional[KVCache]):
     """Sharded inference forward (prefill or decode depending on S)."""
     return model(input_ids, cache, last_only=True)
+
+
+def sharded_generate(model, input_ids, mesh: Mesh, max_new_tokens: int,
+                     max_len: int, eos_token_id: int = -1,
+                     cache_dtype=jnp.float32):
+    """Greedy generation of a REAL CausalLM under a (dp, tp) mesh: tp-sharded
+    prefill + a fully-compiled decode loop over the tp-sharded KV cache.
+    GSPMD inserts the ICI collectives from the parameter/cache shardings.
+
+    Returns tokens [B, max_new_tokens] (-1 padded after EOS).  Token-exact vs
+    the single-device path (tests/test_parallel.py)."""
+    import functools
+
+    model = shard_model(model, mesh)
+    b, true_len = input_ids.shape
+    cache = shard_cache(model.init_cache(b, max_len, cache_dtype), mesh)
+
+    @functools.partial(jax.jit, static_argnames=("steps",), donate_argnames=("cache",))
+    def run(model, cache, ids, steps):
+        logits, cache = model(ids, cache, last_only=True)
+        tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        tokens = jnp.full((b, steps), -1, jnp.int32).at[:, 0].set(tok)
+        done = tok == eos_token_id
+
+        def body(state):
+            i, tok, cache, tokens, done = state
+            logits, cache = model(tok[:, None], cache, last_only=True)
+            nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+            nxt = jnp.where(done, -1, nxt)
+            tokens = tokens.at[:, i].set(nxt)
+            return i + 1, nxt, cache, tokens, done | (nxt == eos_token_id)
+
+        def cond(state):
+            i, tok, cache, tokens, done = state
+            return (i < steps) & ~jnp.all(done)
+
+        _, _, cache, tokens, _ = jax.lax.while_loop(
+            cond, body, (jnp.asarray(1), tok, cache, tokens, done))
+        return tokens
+
+    with jax.set_mesh(mesh):
+        ids = shard_batch(jnp.asarray(input_ids, jnp.int32), mesh)
+        return run(model, cache, ids, max_new_tokens)

@@ -141,3 +141,63 @@ def test_ring_attention_matches_full(cpu8):
                   causal=False)
     out_nc = ring_attention(q, k, v, mesh, axis="sp", causal=False)
     np.testing.assert_allclose(np.asarray(out_nc), np.asarray(ref_nc), rtol=2e-4, atol=2e-5)
+
+
+def test_tp8_generate_token_exact(cpu8):
+    """REAL CausalLM generate (prefill + compiled decode loop) under tp=8:
+    token-for-token vs the single-device greedy path (VERDICT item 5)."""
+    from mllm_tpu.parallel.sharding import sharded_generate
+
+    model, cfg = _tiny(l=2)
+    ids = np.random.default_rng(0).integers(0, 128, (2, 12)).astype(np.int32)
+
+    # single-device greedy reference
+    cache = model.init_cache(2, 64, jnp.float32)
+    logits, cache = model(jnp.asarray(ids), cache, last_only=True)
+    ref = [np.argmax(np.asarray(logits)[:, -1, :], -1)]
+    for _ in range(7):
+        tok = jnp.asarray(ref[-1], jnp.int32)[:, None]
+        logits, cache = model(tok, cache, last_only=True)
+        ref.append(np.argmax(np.asarray(logits)[:, -1, :], -1))
+    ref = np.stack(ref, axis=1)  # [2, 8]
+
+    mesh = make_mesh(dp=1, tp=8, devices=cpu8)
+    toks = np.asarray(sharded_generate(model, ids, mesh, 8, 64))
+    np.testing.assert_array_equal(toks, ref)
+
+
+def test_pipeline_real_decoder_blocks(cpu8):
+    """GPipe pipeline whose stages are REAL DecoderBlocks == sequential trunk."""
+    from jax.sharding import Mesh as _Mesh
+
+    from mllm_tpu.parallel.pipeline import pipeline_lm_hidden
+
+    model, cfg = _tiny(l=4)  # 4 layers -> 4 stages x 1 layer
+    mesh = _Mesh(np.array(cpu8[:4]), ("pp",))
+    ids = np.random.default_rng(1).integers(0, 128, (8, 16)).astype(np.int32)
+
+    ref, _ = model.hidden_states(jnp.asarray(ids), None)
+    out = pipeline_lm_hidden(model, jnp.asarray(ids), mesh, n_microbatches=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_ring_attention_in_real_model(cpu8):
+    """CausalLM trunk with Attention routed through ring attention over an
+    'sp' mesh == the plain single-device trunk (sequence parallelism)."""
+    from jax.sharding import Mesh as _Mesh
+
+    model, cfg = _tiny(l=2)
+    mesh = _Mesh(np.array(cpu8[:4]), ("sp",))
+    ids = np.random.default_rng(2).integers(0, 128, (2, 32)).astype(np.int32)
+
+    ref, _ = model.hidden_states(jnp.asarray(ids), None)
+    with jax.set_mesh(mesh):
+        out, _ = model.hidden_states(jnp.asarray(ids), None, ring=(mesh, "sp"))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    # and the training loss path composes with it
+    tgt = np.roll(ids, -1, axis=1)
+    ref_loss = float(model.loss(jnp.asarray(ids), jnp.asarray(tgt)))
+    with jax.set_mesh(mesh):
+        sp_loss = float(model.loss(jnp.asarray(ids), jnp.asarray(tgt), ring=(mesh, "sp")))
+    assert abs(ref_loss - sp_loss) < 1e-4
