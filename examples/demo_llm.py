@@ -39,6 +39,17 @@ def main():
     ap.add_argument("--turns", type=int, default=1,
                     help=">1: repeat generation reusing the prompt cache "
                          "(prefix-reuse demo)")
+    ap.add_argument("--kv", choices=["bf16", "int8"], default="bf16",
+                    help="KV cache dtype (int8 = 2x context, fused quant "
+                         "decode kernel; reference KVCache_TYPE knob)")
+    ap.add_argument("--elastic", type=float, default=0, metavar="RATIO",
+                    help="elastic inference: activate only the first RATIO "
+                         "fraction of heads/FFN neurons (reference "
+                         "demo_elastic_llama activate_dims)")
+    ap.add_argument("--sparse", type=float, default=None, metavar="THRESH",
+                    help="predictor-sparse FFN with this threshold "
+                         "(reference modeling_sparse_llama; predictors are "
+                         "random unless shipped with the checkpoint)")
     args = ap.parse_args()
 
     from mllm_tpu.generation.generate import generate
@@ -48,6 +59,21 @@ def main():
 
     t0 = time.perf_counter()
     model, tok, cfg = auto_model(args.model, dtype=jnp.bfloat16, quant=args.quant)
+    if args.elastic:
+        from mllm_tpu.models.elastic import elastic_model
+
+        model = elastic_model(model, args.elastic, args.elastic)
+        print(f"[elastic] ratio {args.elastic}: heads {cfg.num_attention_heads}"
+              f"->{model.cfg.num_attention_heads}, ffn {cfg.intermediate_size}"
+              f"->{model.blocks.mods[0].mlp.down_proj.weight.shape[1] if hasattr(model.blocks.mods[0].mlp.down_proj, 'weight') else '?'}")
+        cfg = model.cfg
+    if args.sparse is not None:
+        from mllm_tpu.models.elastic import make_predictors, sparse_model
+        import jax as _jax
+
+        model = sparse_model(model, make_predictors(_jax.random.PRNGKey(0), model),
+                             threshold=args.sparse)
+        print(f"[sparse] predictor-gated FFN, threshold {args.sparse}")
     prof = Profiler(load_s=time.perf_counter() - t0)
     if tok is None:
         print("no tokenizer.json found in model dir", file=sys.stderr)
@@ -59,7 +85,7 @@ def main():
     ids = np.asarray(tok.encode(text, bos=True), np.int32)[None, :]
     print(f"[{cfg.model_type}] prompt tokens: {ids.shape[1]}")
 
-    cache = model.init_cache(1, args.limits, jnp.bfloat16)
+    cache = model.init_cache(1, args.limits, jnp.bfloat16, kv_dtype=args.kv)
     scfg = SamplingConfig(
         max_new_tokens=args.max_new,
         do_sample=args.temperature > 0,
