@@ -75,6 +75,7 @@ _BLOCK_INFO: dict[DataType, tuple[int, int]] = {
     DataType.Q2_K: (QK_K, QK_K // 16 + QK_K // 4 + 2 + 2),  # scales, qs, d, dmin = 84
     DataType.Q3_K: (QK_K, QK_K // 8 + QK_K // 4 + 12 + 2),  # hmask, qs, scales, d = 110
     DataType.Q2_0: (32, 2 + 8),  # fp16 d + 8B (32 x 2-bit)
+    DataType.IQ2_XXS: (QK_K, 2 + QK_K // 8 * 2),  # fp16 d + 32 uint16 = 66
 }
 
 
@@ -275,6 +276,72 @@ def dequant_q3_k(raw: np.ndarray, n_elems: int) -> np.ndarray:
     return out.reshape(-1)[:n_elems]
 
 
+def dequant_q2_0(raw: np.ndarray, n_elems: int) -> np.ndarray:
+    """mllm Q2_0 (DataType.hpp:30-35): fp16 d + 32 x 2-bit, value = (q - 2) * d.
+
+    Dequant semantics: backends/cpu/third_party/ggml/QuantizeQ2.cpp:67-84."""
+    blocks = raw.reshape(-1, 10)
+    d = _f16(blocks[:, :2].copy())[:, 0]  # [nb]
+    qs = blocks[:, 2:]  # [nb, 8], 4 values per byte
+    shifts = np.arange(4, dtype=np.uint8) * 2
+    q = ((qs[:, :, None] >> shifts[None, None, :]) & 3).astype(np.int8) - 2  # [nb,8,4]
+    out = q.reshape(-1, 32).astype(np.float32) * d[:, None]
+    return out.reshape(-1)[:n_elems]
+
+
+# IQ2_XXS codebook: 256 rows of 8 values from {8, 25, 43} (E8-lattice grid,
+# ggml iq2xxs_grid — a data table required for bit-compatibility, stored
+# base-3-packed: 2 bits per digit, value = (8, 25, 43)[digit]).
+_IQ2XXS_GRID_PACKED = (
+    "AAACAAUACAAKABEAFAAgACIAKAAqAEEARABQAFgAYQBkAIAAggCKAKIAAQEEARABFQFAAYQB"
+    "mAEAAgICIgKCAgEEBAQQBCEEJARABEIESARgBIEEhASQBKQEAAUCBQgFIAVGBWkFgAWRBQkG"
+    "EAZABoQGpAYACAUICAgUCCgIQQhECFAIUgiICAQJQAkCChQKARAEEBAQIRBAEGAQhBCQEJUQ"
+    "ABEIESARUBFaEYARJBJFEgAUCBQgFCUUSRSAFBgVYhUAFhYWARgEGBAYQBiBGAAZBRmgGVEa"
+    "ACACIAogRCBhIIAggiApIUghACICIgEkBCQQJEAkViQAJUElZCWQJggoICiUKEQqAUAEQBBA"
+    "GEAhQCRAQEBIQFZAYECBQIRAkEAAQSBBYUGAQYVBAUIQQkhCVkJoQgBECEQgRIBEmUQSRSRF"
+    "AEYBSARIEEhASEVIAElYSWFJgklFSpBKAFAIUBFQGVAgUIBQiFAEUUJRpFGRUpBUklQKVQFW"
+    "VFYAWBFYGVhkWEBZCFoEYBBgQGBoYABhVWEYYmBiAGQFZBBlEmWEZUJoAIACgAqAQYCCgASB"
+    "GIFAgRGCAYQEhBCEFYRAhGCEAIVGhZSFCYZAhmCGAogEiRGKBJAQkCSQQJChkBaRgJFFkgCU"
+    "IpRElFGVgZggmQKgUKCFoAmhAKIYpFCoBKk="
+)
+
+
+def _iq2xxs_grid() -> np.ndarray:
+    """Decode the packed codebook -> uint8 [256, 8]."""
+    import base64
+
+    packed = np.frombuffer(base64.b64decode(_IQ2XXS_GRID_PACKED), np.uint8)
+    digits = np.stack([(packed >> (2 * i)) & 3 for i in range(4)], axis=1).reshape(-1)
+    return np.array([8, 25, 43], np.uint8)[digits].reshape(256, 8)
+
+
+def dequant_iq2_xxs(raw: np.ndarray, n_elems: int) -> np.ndarray:
+    """ggml IQ2_XXS (DataType.hpp:49-53: fp16 d + 32 uint16 per 256 elems).
+
+    Per 32-group: 8 bytes = 4 grid-row indices + 4 x 7-bit sign codes +
+    4-bit scale; value = d*(0.5+scale)*0.25 * grid * sign
+    (QuantizeQ2.cpp:579-602).  Sign code -> 8 sign bits: bit7 is the parity
+    completion of the low 7 (ksigns_iq2xs is exactly that table)."""
+    blocks = raw.reshape(-1, 66)
+    nb = blocks.shape[0]
+    d = _f16(blocks[:, :2].copy())[:, 0]  # [nb]
+    qs = blocks[:, 2:].reshape(nb, 8, 8)  # [nb, group, 8B]
+    aux0 = qs[:, :, 0:4]  # [nb, g, 4] grid indices
+    aux1 = qs[:, :, 4:8].copy().view(np.uint32)[:, :, 0]  # [nb, g]
+    db = d[:, None] * (0.5 + (aux1 >> 28)).astype(np.float32) * 0.25  # [nb, g]
+    grid = _iq2xxs_grid()
+    vals = grid[aux0].astype(np.float32)  # [nb, g, 4, 8]
+    sign7 = (aux1[:, :, None] >> (7 * np.arange(4, dtype=np.uint32))[None, None, :]) & 127
+    parity = np.zeros_like(sign7)
+    for b in range(7):
+        parity ^= (sign7 >> b) & 1
+    sign8 = sign7 | (parity << 7)  # [nb, g, 4]
+    bits = (sign8[:, :, :, None] >> np.arange(8, dtype=np.uint32)[None, None, None, :]) & 1
+    signs = 1.0 - 2.0 * bits.astype(np.float32)  # [nb, g, 4, 8]
+    out = db[:, :, None, None] * vals * signs
+    return out.reshape(-1)[:n_elems]
+
+
 _DEQUANT = {
     DataType.Q4_0: dequant_q4_0,
     DataType.Q8_0: dequant_q8_0,
@@ -284,6 +351,8 @@ _DEQUANT = {
     DataType.Q8_K: dequant_q8_k,
     DataType.Q2_K: dequant_q2_k,
     DataType.Q3_K: dequant_q3_k,
+    DataType.Q2_0: dequant_q2_0,
+    DataType.IQ2_XXS: dequant_iq2_xxs,
 }
 
 
@@ -350,6 +419,24 @@ def quant_q8_0(x: np.ndarray) -> np.ndarray:
     out = np.empty((x.shape[0], 34), dtype=np.uint8)
     out[:, :2] = d.astype(np.float16)[:, None].view(np.uint8)
     out[:, 2:] = q.view(np.uint8)
+    return out.reshape(-1)
+
+
+def quant_q2_0(x: np.ndarray) -> np.ndarray:
+    """Quantize float array (multiple of 32) to mllm Q2_0 blocks.
+
+    Matches quantize_row_q2_0_reference (QuantizeQ2.cpp:35-59): d = -amax,
+    q = min(3, round(x/d + 2)), value = (q-2)*d."""
+    x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, 32)
+    amax = np.max(np.abs(x), axis=1)
+    d = -amax
+    inv_d = np.where(d != 0.0, 1.0 / np.where(d == 0.0, 1.0, d), 0.0)
+    q = np.minimum(3.0, np.round(x * inv_d[:, None] + 2.0)).astype(np.uint8)  # 1..3
+    shifts = np.arange(4, dtype=np.uint8) * 2
+    packed = (q.reshape(-1, 8, 4) << shifts[None, None, :]).sum(axis=2).astype(np.uint8)
+    out = np.empty((x.shape[0], 10), dtype=np.uint8)
+    out[:, :2] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 2:] = packed
     return out.reshape(-1)
 
 

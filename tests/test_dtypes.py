@@ -93,3 +93,65 @@ def test_safetensors_reader(tmp_path):
         f.write(a.tobytes())
     ld = SafetensorsLoader(tmp_path / "m.safetensors")
     np.testing.assert_array_equal(ld.load("x"), a)
+
+
+def test_q2_0_roundtrip_and_semantics():
+    """Q2_0 (mllm-specific 2-bit): quantize matches QuantizeQ2.cpp:35-59,
+    dequant matches :67-84 — verified on a handcrafted block + roundtrip."""
+    x = _rand(256)
+    raw = dt.quant_q2_0(x)
+    assert raw.size == dt.nbytes_for(dt.DataType.Q2_0, 256)
+    back = dt.decode(raw, dt.DataType.Q2_0, 256)
+    # 2-bit on gaussian data is coarse; bound the error by the step size
+    d = np.abs(x.reshape(-1, 32)).max(axis=1)
+    assert np.all(np.abs(x - back) <= (d[:, None] / 2 + 1e-6).repeat(32, 1).reshape(-1))
+
+    # handcrafted block: d = -1.0, q pattern 0..3 -> values q-2 in -2..1
+    blk = np.zeros(10, np.uint8)
+    blk[0:2] = np.array([-1.0], np.float16).view(np.uint8)
+    blk[2] = 0b11100100  # q = [0,1,2,3] -> (q-2)*d = [2,1,0,-1]
+    vals = dt.decode(blk, dt.DataType.Q2_0, 32)
+    np.testing.assert_allclose(vals[:4], [2.0, 1.0, 0.0, -1.0])
+    np.testing.assert_allclose(vals[4:], 2.0)  # remaining bytes 0 -> q=0 -> (0-2)*-1
+
+
+def test_iq2_xxs_dequant_scalar_oracle():
+    """Vectorized IQ2_XXS dequant vs an independent scalar re-derivation of
+    QuantizeQ2.cpp:579-602 on random valid blocks."""
+    rng = np.random.default_rng(3)
+    nb = 4
+    blocks = np.zeros((nb, 66), np.uint8)
+    dvals = rng.standard_normal(nb).astype(np.float16)
+    blocks[:, 0:2] = dvals[:, None].view(np.uint8)
+    # qs: per 32-group, bytes 0..3 = grid indices; bytes 4..7 = uint32 with
+    # 4x7-bit sign codes + 4-bit scale
+    gridx = rng.integers(0, 256, (nb, 8, 4), dtype=np.uint32)
+    signs = rng.integers(0, 128, (nb, 8, 4), dtype=np.uint32)
+    scales = rng.integers(0, 16, (nb, 8), dtype=np.uint32)
+    aux1 = (signs[..., 0] | (signs[..., 1] << 7) | (signs[..., 2] << 14)
+            | (signs[..., 3] << 21) | (scales << 28)).astype(np.uint32)
+    qs = blocks[:, 2:].reshape(nb, 8, 8)
+    qs[:, :, 0:4] = gridx.astype(np.uint8)
+    qs[:, :, 4:8] = aux1[:, :, None].view(np.uint8).reshape(nb, 8, 4)
+
+    got = dt.decode(blocks.reshape(-1), dt.DataType.IQ2_XXS, nb * 256).reshape(nb, 256)
+
+    grid = dt._iq2xxs_grid()
+    ksigns_head = [0, 129, 130, 3, 132, 5, 6, 135, 136, 9, 10, 139, 12, 141, 142, 15]
+    for i, want in enumerate(ksigns_head):  # spot-check parity rule vs ggml table
+        par = bin(i).count("1") & 1
+        assert (i | (par << 7)) == want
+
+    exp = np.zeros((nb, 256), np.float32)
+    for b in range(nb):
+        d = float(np.float32(dvals[b]))
+        for g in range(8):
+            db = d * (0.5 + float(scales[b, g])) * 0.25
+            for l in range(4):
+                row = grid[gridx[b, g, l]]
+                code = int(signs[b, g, l])
+                sbits = code | ((bin(code).count("1") & 1) << 7)
+                for j in range(8):
+                    s = -1.0 if (sbits >> j) & 1 else 1.0
+                    exp[b, g * 32 + l * 8 + j] = db * float(row[j]) * s
+    np.testing.assert_allclose(got, exp, rtol=1e-6)

@@ -38,7 +38,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("input")
     ap.add_argument("output")
-    ap.add_argument("dtype", choices=["Q4_0", "Q8_0", "Q4_K", "Q6_K"])
+    ap.add_argument("dtype", choices=["Q4_0", "Q8_0", "Q4_K", "Q6_K", "Q2_0"])
     args = ap.parse_args()
 
     quant_fn = {
@@ -46,6 +46,7 @@ def main():
         "Q8_0": (dt.quant_q8_0, dt.DataType.Q8_0),
         "Q4_K": (dt.quant_q4_k, dt.DataType.Q4_K),
         "Q6_K": (dt.quant_q6_k, dt.DataType.Q6_K),
+        "Q2_0": (dt.quant_q2_0, dt.DataType.Q2_0),
     }[args.dtype]
 
     src = ParamLoader(args.input)
