@@ -78,20 +78,24 @@ def _int8_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref):
 
 
 def int8_matmul(x: jax.Array, qweight_t: jax.Array, scales: jax.Array,
-                *, block_m: int = 256, block_n: int = 512, block_k: int = 512) -> jax.Array:
-    """y[..., N] = x[..., K] @ (qweight_t[K, N] * scales[None, :]) — f32 out."""
+                *, block_m: int = 256, block_n: int = 512, block_k: int = 512,
+                interpret: bool = False) -> jax.Array:
+    """y[..., N] = x[..., K] @ (qweight_t[K, N] * scales[None, :]) — f32 out.
+
+    interpret=True runs the Pallas kernel in interpreter mode on any backend
+    (CI coverage of the kernel path without a chip)."""
     orig_shape = x.shape
     k, n = qweight_t.shape
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
 
-    if not _use_pallas():  # portable f32 path (CPU / tests)
+    if not _use_pallas() and not interpret:  # portable f32 path (CPU / tests)
         y = jax.lax.dot_general(
             x2.astype(jnp.float32), qweight_t.astype(jnp.float32),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         ) * scales[None, :]
         return y.reshape(*orig_shape[:-1], n)
-    if _int8_impl() == "xla":
+    if _int8_impl() == "xla" and not interpret:
         # per-out-channel scales commute past the contraction: let XLA fuse the
         # int8->bf16 convert into the dot read and scale the (small) output.
         # Beats the Pallas kernel at model level (463 vs 312 tok/s on the 2B
@@ -117,6 +121,7 @@ def int8_matmul(x: jax.Array, qweight_t: jax.Array, scales: jax.Array,
         out_specs=pl.BlockSpec((bm, bn), lambda im, jn, ik: (im, jn), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        interpret=interpret,
     )(x2.astype(jnp.bfloat16), qweight_t, scales.reshape(1, n))
     return y.reshape(*orig_shape[:-1], n)
 
@@ -192,7 +197,8 @@ def _pick_int4_block_j(khalf: int, group: int, block_j: int):
 
 def int4_matmul(x: jax.Array, packed_t: jax.Array, scales_t: jax.Array, group: int = 32,
                 zeros_t: Optional[jax.Array] = None,
-                *, block_m: int = 256, block_n: int = 512, block_j: int = 256) -> jax.Array:
+                *, block_m: int = 256, block_n: int = 512, block_j: int = 256,
+                interpret: bool = False) -> jax.Array:
     """y[..., N] = x[..., K] @ dequant(packed_t) — f32 out.
 
     packed_t: uint8 [K/2, N] planar; scales_t/zeros_t: f32 [K/G, N].
@@ -204,7 +210,7 @@ def int4_matmul(x: jax.Array, packed_t: jax.Array, scales_t: jax.Array, group: i
     m = x2.shape[0]
 
     bj = _pick_int4_block_j(khalf, group, block_j)
-    if not _use_pallas() or bj is None:
+    if (not _use_pallas() and not interpret) or bj is None:
         # bj None: no k-block size divides K/2 evenly — the hi-nibble BlockSpec
         # index maps (jk + khalf//bj) would point short of the true hi slab, so
         # take the always-correct dequant + XLA dot path instead.
@@ -244,6 +250,7 @@ def int4_matmul(x: jax.Array, packed_t: jax.Array, scales_t: jax.Array, group: i
         out_specs=pl.BlockSpec((bm, bn), lambda im, jn, jk: (im, jn), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        interpret=interpret,
     )(xb, xb, packed_t, scales_t, scales_t, zeros_t, zeros_t)
     return y.reshape(*orig_shape[:-1], n)
 

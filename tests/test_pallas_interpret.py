@@ -1,0 +1,90 @@
+"""Pallas kernels in interpreter mode — runs in the default (CPU) suite.
+
+Closes the "green suite never executes a Pallas kernel" gap: the same kernel
+bodies that run on the chip are executed here via pallas interpret mode
+against the XLA/numpy oracles.  Hardware-compiled parity stays in
+tests/test_tpu_kernels.py (MLLM_RUN_TPU_TESTS=1).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mllm_tpu.nn.attention import sdpa
+
+
+def test_flash_attention_interpret_causal_window():
+    from mllm_tpu.ops.flash_attention import flash_attention
+
+    B, SQ, H, HKV, D, SKV = 1, 128, 4, 2, 64, 256
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, SQ, H, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, HKV, SKV, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, HKV, SKV, D), jnp.float32)
+    ref = sdpa(q, k, v, q_offset=0, kv_valid_len=SQ, causal=True)
+    out = flash_attention(q, k, v, q_offset=0, kv_valid_len=SQ, causal=True,
+                          block_q=128, block_k=128, interpret=True)
+    assert float(jnp.max(jnp.abs(ref - out))) < 2e-2
+
+    # chunked-prefill offset + sliding window in one go
+    ref2 = sdpa(q[:, :128], k, v, q_offset=128, kv_valid_len=SKV, causal=True, window=64)
+    out2 = flash_attention(q[:, :128], k, v, q_offset=128, kv_valid_len=SKV,
+                           causal=True, window=64, block_q=128, block_k=128,
+                           interpret=True)
+    assert float(jnp.max(jnp.abs(ref2 - out2))) < 2e-2
+
+
+def test_decode_attention_interpret():
+    from mllm_tpu.ops.decode_attention import decode_attention
+
+    B, H, HKV, D, S = 2, 4, 2, 64, 512
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, 1, H, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, HKV, S, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, HKV, S, D), jnp.float32)
+    valid = 300
+    ref = sdpa(q, k, v, q_offset=valid - 1, kv_valid_len=valid, causal=True)
+    out = decode_attention(q, k, v, kv_valid_len=jnp.int32(valid), block_k=256,
+                           interpret=True)
+    assert float(jnp.max(jnp.abs(ref - out))) < 2e-2
+
+
+def test_int8_matmul_interpret():
+    from mllm_tpu.ops.quant_matmul import int8_matmul, repack_float_to_int8
+
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((256, 512), dtype=np.float32) * 0.05  # [N, K]
+    x = jnp.asarray(rng.standard_normal((8, 512), dtype=np.float32))
+    qv, sc = repack_float_to_int8(w)
+    ref = int8_matmul(x, jnp.asarray(qv), jnp.asarray(sc))  # portable path
+    out = int8_matmul(x.astype(jnp.bfloat16), jnp.asarray(qv), jnp.asarray(sc),
+                      block_m=8, block_n=256, block_k=256, interpret=True)
+    rel = float(jnp.max(jnp.abs(ref - out)) / (jnp.max(jnp.abs(ref)) + 1e-9))
+    assert rel < 2e-2
+
+
+def test_int4_matmul_interpret_sym_and_asym():
+    from mllm_tpu.ops.quant_matmul import (
+        dequant_int4, int4_matmul, repack_float_to_int4, repack_q4_k)
+    from mllm_tpu.core import dtypes as dt
+
+    rng = np.random.default_rng(1)
+    N, K = 256, 1024
+    w = rng.standard_normal((N, K), dtype=np.float32) * 0.05
+    x = jnp.asarray(rng.standard_normal((8, K), dtype=np.float32))
+
+    p, s = repack_float_to_int4(w, 32)
+    ref = x @ dequant_int4(jnp.asarray(p), jnp.asarray(s), 32)
+    out = int4_matmul(x.astype(jnp.bfloat16), jnp.asarray(p), jnp.asarray(s), 32,
+                      block_m=8, block_n=256, block_j=256, interpret=True)
+    rel = float(jnp.max(jnp.abs(ref - out)) / (jnp.max(jnp.abs(ref)) + 1e-9))
+    assert rel < 2e-2
+
+    # asymmetric path through a real ggml Q4_K container
+    raw = dt.quant_q4_k(w.reshape(-1)).reshape(N, -1)
+    p4, s4, z4 = repack_q4_k(raw.reshape(-1), N, K)
+    ref2 = x @ dequant_int4(jnp.asarray(p4), jnp.asarray(s4), 32, jnp.asarray(z4))
+    out2 = int4_matmul(x.astype(jnp.bfloat16), jnp.asarray(p4), jnp.asarray(s4), 32,
+                       jnp.asarray(z4), block_m=8, block_n=256, block_j=256,
+                       interpret=True)
+    rel2 = float(jnp.max(jnp.abs(ref2 - out2)) / (jnp.max(jnp.abs(ref2)) + 1e-9))
+    assert rel2 < 2e-2
