@@ -75,11 +75,12 @@ def make_linear(loader, prefix: str, out_f: int, in_f: int, dtype,
     if ldt is not None and dt.is_quantized(ldt):
         raw = loader.raw(wname)
         if ldt == dt.DataType.Q4_0:
-            packed, scales = qm.repack_q4_0(np.asarray(raw), out_f, in_f)
-            return Int4Linear(jnp.asarray(packed), jnp.asarray(scales), 32, None, bias)
-        if ldt == dt.DataType.Q4_K:
-            packed, scales, zeros = qm.repack_q4_k(np.asarray(raw), out_f, in_f)
+            packed, scales, zeros = qm.prepare_int4(*qm.repack_q4_0(np.asarray(raw), out_f, in_f))
             return Int4Linear(jnp.asarray(packed), jnp.asarray(scales), 32, jnp.asarray(zeros), bias)
+        if ldt == dt.DataType.Q4_K:
+            p_, s_, z_ = qm.repack_q4_k(np.asarray(raw), out_f, in_f)
+            p_, s_, z_ = qm.prepare_int4(p_, s_, 32, z_)
+            return Int4Linear(jnp.asarray(p_), jnp.asarray(s_), 32, jnp.asarray(z_), bias)
         if ldt in (dt.DataType.Q8_0, dt.DataType.Q8_0F):
             qv, sc = qm.repack_q8_0(np.asarray(raw), out_f, in_f)
             return QuantLinear(jnp.asarray(qv), jnp.asarray(sc), bias)
@@ -92,8 +93,8 @@ def make_linear(loader, prefix: str, out_f: int, in_f: int, dtype,
         qv, sc = qm.repack_float_to_int8(w)
         return QuantLinear(jnp.asarray(qv), jnp.asarray(sc), bias)
     if quant == "int4":
-        packed, scales = qm.repack_float_to_int4(w, 32)
-        return Int4Linear(jnp.asarray(packed), jnp.asarray(scales), 32, None, bias)
+        packed, scales, zeros = qm.prepare_int4(*qm.repack_float_to_int4(w, 32))
+        return Int4Linear(jnp.asarray(packed), jnp.asarray(scales), 32, jnp.asarray(zeros), bias)
     return Linear(jnp.asarray(w, dtype), bias)
 
 
@@ -213,6 +214,6 @@ def _maybe_quant_from_float(w: np.ndarray, dtype, quant: QuantMode):
         qv, sc = qm.repack_float_to_int8(w)
         return QuantLinear(jnp.asarray(qv), jnp.asarray(sc), None)
     if quant == "int4":
-        packed, scales = qm.repack_float_to_int4(w, 32)
-        return Int4Linear(jnp.asarray(packed), jnp.asarray(scales), 32, None, None)
+        packed, scales, zeros = qm.prepare_int4(*qm.repack_float_to_int4(w, 32))
+        return Int4Linear(jnp.asarray(packed), jnp.asarray(scales), 32, jnp.asarray(zeros), None)
     return Linear(jnp.asarray(w, dtype), None)

@@ -122,14 +122,16 @@ class QuantLinear(Module):
 
 
 class Int4Linear(Module):
-    """Linear over int4 group-quantized weight (TPU-native planar int4 layout).
+    """Linear over int4 group-quantized weight (canonical planar layout).
 
-    packed_t [in//2, out] uint8 (planar nibbles), scales_t [in//G, out] f32,
-    optional zeros_t for asymmetric k-quants (Q4_K).
+    Operands come from ops.quant_matmul.prepare_int4: packed_t [khp, out]
+    uint8 excess-8/Q4_K nibbles (khp = in//2 padded to the kernel block),
+    scales_t/zeros_t f32 [2*khp/G, out].  Decode runs the group-partial
+    Pallas kernel (faster than int8 on-chip); prefill dequants + XLA dot.
     """
 
     def __init__(self, packed_t: jax.Array, scales_t: jax.Array, group: int,
-                 zeros_t: Optional[jax.Array] = None, bias: Optional[jax.Array] = None):
+                 zeros_t: jax.Array = None, bias: Optional[jax.Array] = None):
         self.packed_t = packed_t
         self.scales_t = scales_t
         self.group = group

@@ -137,8 +137,22 @@ def _expand_groups(s, group):
     return jnp.broadcast_to(s[:, None, :], (ng, group, bn)).reshape(ng * group, bn)
 
 
-def _int4_kernel(x_lo_ref, x_hi_ref, p_ref, s_lo_ref, s_hi_ref, z_lo_ref, z_hi_ref,
-                 o_ref, acc_ref, *, group, asym):
+def _int4_gb_kernel(x_lo_ref, x_hi_ref, p_ref, s_lo_ref, s_hi_ref,
+                    z_lo_ref, z_hi_ref, o_ref, acc_ref, *, group):
+    """Group-partial int4 GEMV/GEMM kernel.
+
+    Per-weight work is nibble unpack ONLY (2 int ops + 1 convert): scales and
+    zero-points are applied to per-32-group PARTIAL SUMS, using
+
+        y += sum_g  s[g,n] * (x_g . q_g)  +  z[g,n] * (x_g . 1)
+
+    where q are the raw excess-8 / Q4_K nibbles (0..15).  This is what makes
+    int4 decode faster than int8 on the chip (13.2 us vs 16.1 us on the
+    flagship's [8,1536]x[1536,8960], ideal 8.5): the earlier per-weight
+    dequant (`w = (nib-8)*s` over the whole block) was VPU-bound at ~2.3x
+    that.  Replaces the ggml vec_dot int4 microkernels
+    (/root/reference/mllm/backends/cpu/third_party/ggml/VecDotQ4.cpp) with an
+    MXU/VPU split instead of NEON horizontal adds."""
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -146,113 +160,162 @@ def _int4_kernel(x_lo_ref, x_hi_ref, p_ref, s_lo_ref, s_hi_ref, z_lo_ref, z_hi_r
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    s_lo = _expand_groups(s_lo_ref[:], group)  # (BJ, BN)
-    s_hi = _expand_groups(s_hi_ref[:], group)
-    if asym:  # unsigned nibbles 0..15, affine dequant
-        packed = p_ref[:].astype(jnp.int32)  # Mosaic lacks u8->f32 casts
-        lo = (packed & 0x0F).astype(jnp.float32)  # k slab [jk*BJ, jk*BJ+BJ)
-        hi = ((packed >> 4) & 0x0F).astype(jnp.float32)  # k slab K/2 + [...]
-        w_lo = lo * s_lo + _expand_groups(z_lo_ref[:], group)
-        w_hi = hi * s_hi + _expand_groups(z_hi_ref[:], group)
-    else:  # signed two's-complement nibbles (int32 ops; Mosaic lacks i8 shifts)
-        p32 = p_ref[:].astype(jnp.int32)
-        lo4 = p32 & 0x0F
-        hi4 = (p32 >> 4) & 0x0F
-        lo = (lo4 - ((lo4 & 8) * 2)).astype(jnp.float32)
-        hi = (hi4 - ((hi4 & 8) * 2)).astype(jnp.float32)
-        w_lo = lo * s_lo
-        w_hi = hi * s_hi
-
-    acc_ref[:] += jax.lax.dot_general(
-        x_lo_ref[:], w_lo.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    acc_ref[:] += jax.lax.dot_general(
-        x_hi_ref[:], w_hi.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    p32 = p_ref[:].astype(jnp.int32)
+    lo = (p32 & 0x0F).astype(jnp.bfloat16)  # [bj, bn] raw nibbles 0..15
+    hi = (p32 >> 4).astype(jnp.bfloat16)
+    bj, bn = lo.shape
+    ngb = bj // group
+    xl = x_lo_ref[:]
+    xh = x_hi_ref[:]
+    acc = jnp.zeros_like(acc_ref)
+    for g in range(ngb):  # static unroll: ngb = bj/32 (24 at bj=768)
+        sl = slice(g * group, (g + 1) * group)
+        p_lo = jax.lax.dot_general(xl[:, sl], lo[sl, :], (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        p_hi = jax.lax.dot_general(xh[:, sl], hi[sl, :], (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        xs_l = jnp.sum(xl[:, sl], axis=1, keepdims=True).astype(jnp.float32)
+        xs_h = jnp.sum(xh[:, sl], axis=1, keepdims=True).astype(jnp.float32)
+        acc = (acc + p_lo * s_lo_ref[g:g + 1, :] + xs_l * z_lo_ref[g:g + 1, :]
+               + p_hi * s_hi_ref[g:g + 1, :] + xs_h * z_hi_ref[g:g + 1, :])
+    acc_ref[:] += acc
 
     @pl.when(ik == nk - 1)
     def _():
         o_ref[:] = acc_ref[:]
 
 
-def _pick_int4_block_j(khalf: int, group: int, block_j: int):
-    """Largest k-block ≤ block_j that is a multiple of `group` AND divides
-    khalf exactly (the hi-nibble slab starts at khalf = (khalf//bj)*bj, so a
-    non-dividing bj mis-indexes the hi slab — e.g. Qwen2's khalf=4480 with
-    bj=256 leaves a 128-column remainder).  None if no such block exists.
-
-    Mosaic constraints: the scales block is (bj/group, bn), whose sublane dim
-    must be a multiple of 8 -> bj % (8*group) == 0; bj is also the lane dim of
-    the x slabs, so it must be a multiple of 128."""
-    step = max(8 * group, 128)
-    if step % (8 * group) or step % 128:
-        step = np.lcm(8 * group, 128)
-    for bj in range((min(block_j, khalf) // step) * step, step - 1, -step):
-        if khalf % bj == 0:
-            return bj
-    return None
+_INT4_BJ_CANDIDATES = (768, 512, 256)  # multiples of 8*G=256 (Mosaic sublane rule)
 
 
-def int4_matmul(x: jax.Array, packed_t: jax.Array, scales_t: jax.Array, group: int = 32,
-                zeros_t: Optional[jax.Array] = None,
-                *, block_m: int = 256, block_n: int = 512, block_j: int = 256,
+def _pick_int4_pad(khalf: int) -> tuple[int, int]:
+    """(block_j, padded khalf): smallest padding first, then largest block."""
+    best = None
+    for bj in _INT4_BJ_CANDIDATES:
+        khp = -(-khalf // bj) * bj
+        if best is None or khp < best[1]:
+            best = (bj, khp)
+    return best
+
+
+def prepare_int4(packed_t, scales_t, group: int = 32, zeros_t=None):
+    """Legacy planar operands -> canonical kernel operands.
+
+    In:  packed [K/2, N] planar (signed two's-complement nibbles when
+         zeros_t is None, raw 0..15 Q4_K nibbles otherwise),
+         scales/zeros f32 [K/G, N] (lo-half rows then hi-half rows).
+    Out: (packed_e8 [khp, N] uint8, scales [2*khp/G, N], zeros [2*khp/G, N])
+         with khp = K/2 padded to a kernel block multiple; padded region has
+         zero scale/zero so it contributes nothing.  Signed nibbles become
+         excess-8 (q^0x88) with zeros = -8*scales, unifying both layouts on
+         the affine kernel.  Works on numpy (load time) or jnp (on-device
+         quantization) arrays."""
+    xp = jnp if isinstance(packed_t, jax.Array) else np
+    *lead, kh, n = packed_t.shape
+    lead = tuple(lead)  # stacked (lax.scan) models carry a leading layer axis
+    if zeros_t is None:
+        packed_t = (packed_t ^ 0x88).astype(xp.uint8)
+        zeros_t = (-8.0 * scales_t).astype(xp.float32)
+    bj, khp = _pick_int4_pad(kh)
+    pad = khp - kh
+    if pad:
+        ng = kh // group
+        zc = xp.zeros(lead + (pad // group, n), xp.float32)
+        scales_t = xp.concatenate(
+            [scales_t[..., :ng, :], zc, scales_t[..., ng:, :], zc], axis=-2)
+        zeros_t = xp.concatenate(
+            [zeros_t[..., :ng, :], zc, zeros_t[..., ng:, :], zc], axis=-2)
+        packed_t = xp.concatenate(
+            [packed_t, xp.zeros(lead + (pad, n), xp.uint8)], axis=-2)
+    return packed_t, scales_t, zeros_t
+
+
+def _pick_int4_bn(n: int, cap: int = 2048) -> int:
+    """Largest divisor of n that is a multiple of 128 and <= cap (measured
+    fastest at the largest such block: 1792 for N=8960)."""
+    best = 128
+    for d in range(128, cap + 1, 128):
+        if n % d == 0:
+            best = d
+    return best if n % best == 0 else min(n, cap)
+
+
+def int4_matmul(x: jax.Array, packed_e8: jax.Array, scales_p: jax.Array,
+                group: int = 32, zeros_p: jax.Array = None,
+                *, block_m: int = 256, block_n: int = 0, block_j: int = 0,
                 interpret: bool = False) -> jax.Array:
-    """y[..., N] = x[..., K] @ dequant(packed_t) — f32 out.
+    """y[..., N] = x[..., K] @ dequant(canonical int4 operands) — f32 out.
 
-    packed_t: uint8 [K/2, N] planar; scales_t/zeros_t: f32 [K/G, N].
-    """
+    Operands come from `prepare_int4` (packed_e8 [khp>=K/2, N] excess-8 /
+    Q4_K nibbles; scales_p/zeros_p f32 [2*khp/G, N]).  Decode shapes
+    (m <= 32) run the group-partial Pallas kernel; larger m (prefill) is
+    MXU-bound, where dequant + XLA dot wins."""
     orig_shape = x.shape
-    khalf, n = packed_t.shape
-    k = khalf * 2
+    k = orig_shape[-1]
+    khalf = k // 2
+    khp, n = packed_e8.shape
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
+    if zeros_p is None:
+        raise ValueError("canonical int4 operands require zeros (prepare_int4)")
 
-    bj = _pick_int4_block_j(khalf, group, block_j)
-    if (not _use_pallas() and not interpret) or bj is None:
-        # bj None: no k-block size divides K/2 evenly — the hi-nibble BlockSpec
-        # index maps (jk + khalf//bj) would point short of the true hi slab, so
-        # take the always-correct dequant + XLA dot path instead.
-        w = dequant_int4(packed_t, scales_t, group, zeros_t)
+    if (not _use_pallas() and not interpret) or m > 32:
+        w = dequant_int4_canonical(packed_e8, scales_p, zeros_p, group, k)
         y = x2.astype(jnp.float32) @ w
         return y.reshape(*orig_shape[:-1], n)
 
+    bj = block_j or _pick_int4_pad(khalf)[0]
+    if khp % bj:  # operands prepared with a different block quantum
+        bj = next(b for b in _INT4_BJ_CANDIDATES if khp % b == 0)
+    bn = block_n or _pick_int4_bn(n)
     bm = min(block_m, m)
-    bn = min(block_n, n)
     ngb = bj // group
-    nhalf_blocks = khalf // bj
-    grid = (pl.cdiv(m, bm), pl.cdiv(n, bn), pl.cdiv(khalf, bj))
+    nhb = khp // bj
+    grid = (pl.cdiv(m, bm), pl.cdiv(n, bn), nhb)
 
-    asym = zeros_t is not None
-    if zeros_t is None:
-        zeros_t = scales_t  # dummy operand, ignored by the kernel
-
-    kernel = functools.partial(_int4_kernel, group=group, asym=asym)
+    pad = khp - khalf
     xb = x2.astype(jnp.bfloat16)
+    if pad:
+        zeros_x = jnp.zeros((m, pad), xb.dtype)
+        xb = jnp.concatenate([xb[:, :khalf], zeros_x, xb[:, khalf:], zeros_x], axis=1)
+
+    kernel = functools.partial(_int4_gb_kernel, group=group)
     y = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            # x lo slab: cols [jk*2*bj ... ] — wait: lo slab covers k=[jk*bj, jk*bj+bj)
+            # x lo slab: k = [jk*bj, jk*bj+bj)  in the padded-x layout
             pl.BlockSpec((bm, bj), lambda im, jn, jk: (im, jk), memory_space=pltpu.VMEM),
-            # x hi slab: k = K/2 + [jk*bj, jk*bj+bj)
-            pl.BlockSpec((bm, bj), lambda im, jn, jk: (im, jk + nhalf_blocks),
+            # x hi slab: k = khp + [jk*bj, jk*bj+bj)
+            pl.BlockSpec((bm, bj), lambda im, jn, jk: (im, jk + nhb),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bj, bn), lambda im, jn, jk: (jk, jn), memory_space=pltpu.VMEM),
             pl.BlockSpec((ngb, bn), lambda im, jn, jk: (jk, jn), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ngb, bn), lambda im, jn, jk: (jk + nhalf_blocks, jn),
+            pl.BlockSpec((ngb, bn), lambda im, jn, jk: (jk + nhb, jn),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ngb, bn), lambda im, jn, jk: (jk, jn), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ngb, bn), lambda im, jn, jk: (jk + nhalf_blocks, jn),
+            pl.BlockSpec((ngb, bn), lambda im, jn, jk: (jk + nhb, jn),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda im, jn, jk: (im, jn), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         interpret=interpret,
-    )(xb, xb, packed_t, scales_t, scales_t, zeros_t, zeros_t)
+    )(xb, xb, packed_e8, scales_p, scales_p, zeros_p, zeros_p)
     return y.reshape(*orig_shape[:-1], n)
+
+
+def dequant_int4_canonical(packed_e8, scales_p, zeros_p, group: int, k: int):
+    """Dequant canonical operands -> f32 [K, N] (fallback + prefill path)."""
+    khp, n = packed_e8.shape
+    khalf = k // 2
+    s_full = jnp.repeat(scales_p, group, axis=0)  # [2*khp, N]
+    z_full = jnp.repeat(zeros_p, group, axis=0)
+    lo = (packed_e8 & 0x0F).astype(jnp.float32)
+    hi = (packed_e8 >> 4).astype(jnp.float32)
+    q = jnp.concatenate([lo, hi], axis=0)  # [2*khp, N]
+    w = q * s_full + z_full
+    return jnp.concatenate([w[:khalf], w[khp:khp + khalf]], axis=0)  # [K, N]
 
 
 def dequant_int4(packed_t, scales_t, group: int = 32, zeros_t=None):

@@ -79,13 +79,14 @@ def _quant_linear(lin: Linear, mode: str, min_size: int, on_device: bool):
             qv, sc = _q8_device(lin.weight)
             return QuantLinear(qv, sc, lin.bias)
         packed, scales = _q4_device(lin.weight)
-        return Int4Linear(packed, scales, 32, None, lin.bias)
+        packed, scales, zeros = qm.prepare_int4(packed, scales, 32)
+        return Int4Linear(packed, scales, 32, zeros, lin.bias)
     w = np.asarray(lin.weight, np.float32)
     if mode == "int8":
         qv, sc = qm.repack_float_to_int8(w)
         return QuantLinear(jnp.asarray(qv), jnp.asarray(sc), lin.bias)
-    packed, scales = qm.repack_float_to_int4(w, 32)
-    return Int4Linear(jnp.asarray(packed), jnp.asarray(scales), 32, None, lin.bias)
+    packed, scales, zeros = qm.prepare_int4(*qm.repack_float_to_int4(w, 32), group=32)
+    return Int4Linear(jnp.asarray(packed), jnp.asarray(scales), 32, jnp.asarray(zeros), lin.bias)
 
 
 def quantize_model(model, mode: Literal["int8", "int4"] = "int8",

@@ -64,7 +64,7 @@ def test_int8_matmul_interpret():
 
 def test_int4_matmul_interpret_sym_and_asym():
     from mllm_tpu.ops.quant_matmul import (
-        dequant_int4, int4_matmul, repack_float_to_int4, repack_q4_k)
+        dequant_int4, int4_matmul, prepare_int4, repack_float_to_int4, repack_q4_k)
     from mllm_tpu.core import dtypes as dt
 
     rng = np.random.default_rng(1)
@@ -74,8 +74,9 @@ def test_int4_matmul_interpret_sym_and_asym():
 
     p, s = repack_float_to_int4(w, 32)
     ref = x @ dequant_int4(jnp.asarray(p), jnp.asarray(s), 32)
-    out = int4_matmul(x.astype(jnp.bfloat16), jnp.asarray(p), jnp.asarray(s), 32,
-                      block_m=8, block_n=256, block_j=256, interpret=True)
+    pc, sc, zc = prepare_int4(p, s, 32)
+    out = int4_matmul(x.astype(jnp.bfloat16), jnp.asarray(pc), jnp.asarray(sc), 32,
+                      jnp.asarray(zc), block_m=8, block_n=256, interpret=True)
     rel = float(jnp.max(jnp.abs(ref - out)) / (jnp.max(jnp.abs(ref)) + 1e-9))
     assert rel < 2e-2
 
@@ -83,8 +84,20 @@ def test_int4_matmul_interpret_sym_and_asym():
     raw = dt.quant_q4_k(w.reshape(-1)).reshape(N, -1)
     p4, s4, z4 = repack_q4_k(raw.reshape(-1), N, K)
     ref2 = x @ dequant_int4(jnp.asarray(p4), jnp.asarray(s4), 32, jnp.asarray(z4))
-    out2 = int4_matmul(x.astype(jnp.bfloat16), jnp.asarray(p4), jnp.asarray(s4), 32,
-                       jnp.asarray(z4), block_m=8, block_n=256, block_j=256,
-                       interpret=True)
+    pc4, sc4, zc4 = prepare_int4(p4, s4, 32, z4)
+    out2 = int4_matmul(x.astype(jnp.bfloat16), jnp.asarray(pc4), jnp.asarray(sc4), 32,
+                       jnp.asarray(zc4), block_m=8, block_n=256, interpret=True)
     rel2 = float(jnp.max(jnp.abs(ref2 - out2)) / (jnp.max(jnp.abs(ref2)) + 1e-9))
     assert rel2 < 2e-2
+
+    # padded canonical shape (khalf with no 256-mult divisor) in kernel mode
+    K2 = 1088  # khalf=544 -> padded to 768
+    w2 = rng.standard_normal((N, K2), dtype=np.float32) * 0.05
+    x2 = jnp.asarray(rng.standard_normal((8, K2), dtype=np.float32))
+    p2, s2 = repack_float_to_int4(w2, 32)
+    ref3 = x2 @ dequant_int4(jnp.asarray(p2), jnp.asarray(s2), 32)
+    pc2, sc2, zc2 = prepare_int4(p2, s2, 32)
+    out3 = int4_matmul(x2.astype(jnp.bfloat16), jnp.asarray(pc2), jnp.asarray(sc2), 32,
+                       jnp.asarray(zc2), block_m=8, block_n=256, interpret=True)
+    rel3 = float(jnp.max(jnp.abs(ref3 - out3)) / (jnp.max(jnp.abs(ref3)) + 1e-9))
+    assert rel3 < 2e-2

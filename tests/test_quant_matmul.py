@@ -7,8 +7,10 @@ import jax.numpy as jnp
 from mllm_tpu.core import dtypes as dt
 from mllm_tpu.ops.quant_matmul import (
     dequant_int4,
+    dequant_int4_canonical,
     int4_matmul,
     int8_matmul,
+    prepare_int4,
     repack_float_to_int4,
     repack_float_to_int8,
     repack_q4_0,
@@ -65,19 +67,34 @@ def test_int4_matmul_fallback():
     M, K, N = 4, 128, 32
     x = _w(M, K, 5)
     p, s = repack_float_to_int4(_w(N, K, 6), 32)
-    out = np.asarray(int4_matmul(jnp.asarray(x), jnp.asarray(p), jnp.asarray(s), 32))
     wd = np.asarray(dequant_int4(jnp.asarray(p), jnp.asarray(s), 32))
+    pc, sc, zc = prepare_int4(p, s, 32)
+    out = np.asarray(int4_matmul(jnp.asarray(x), jnp.asarray(pc), jnp.asarray(sc), 32,
+                                 jnp.asarray(zc)))
     np.testing.assert_allclose(out, x @ wd, rtol=1e-4, atol=1e-4)
 
 
-def test_pick_int4_block_j():
-    """K-block selection must divide K/2 exactly (ADVICE r1, high): Qwen2's
-    down_proj has K=8960 -> khalf=4480, where the old fixed bj=256 mis-indexed
-    the hi-nibble slab by 128 columns."""
-    from mllm_tpu.ops.quant_matmul import _pick_int4_block_j
+def test_prepare_int4_canonical_padding():
+    """Canonical operands (ADVICE r1 follow-up): the padded layout must
+    dequant to exactly the legacy layout for every khalf, including the
+    flagship down_proj khalf=4480 that has no 256-multiple divisor."""
+    for K in (256, 8960):
+        N = 32
+        p, s = repack_float_to_int4(_w(N, K, 6), 32)
+        legacy = np.asarray(dequant_int4(jnp.asarray(p), jnp.asarray(s), 32))
+        pc, sc, zc = prepare_int4(p, s, 32)
+        assert pc.shape[0] % 256 == 0
+        got = np.asarray(dequant_int4_canonical(
+            jnp.asarray(pc), jnp.asarray(sc), jnp.asarray(zc), 32, K))
+        np.testing.assert_allclose(got, legacy, rtol=1e-5, atol=1e-5)
 
-    assert _pick_int4_block_j(4480, 32, 256) is None  # 4480 has no 256-mult divisor
-    assert _pick_int4_block_j(512, 32, 256) == 256
-    assert _pick_int4_block_j(4096, 32, 256) == 256
-    assert _pick_int4_block_j(2048, 64, 512) == 512
-    assert _pick_int4_block_j(40, 32, 256) is None  # 40 % 32 != 0: no valid block
+    # Q4_K (affine) round trip through the canonical layout
+    N, K = 4, 512
+    w = _w(N, K, 1)
+    raw = dt.quant_q4_k(w)
+    ggml = dt.dequant_q4_k(raw, N * K).reshape(N, K)
+    p, s, z = repack_q4_k(raw.reshape(N, -1), N, K)
+    pc, sc, zc = prepare_int4(p, s, 32, z)
+    got = np.asarray(dequant_int4_canonical(
+        jnp.asarray(pc), jnp.asarray(sc), jnp.asarray(zc), 32, K))
+    np.testing.assert_allclose(got.T, ggml, rtol=1e-5, atol=1e-5)

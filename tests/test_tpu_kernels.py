@@ -71,21 +71,24 @@ def test_int8_matmul_kernel():
 
 
 def test_int4_matmul_kernel():
-    from mllm_tpu.ops.quant_matmul import int4_matmul, repack_q4_0, repack_q4_k
+    from mllm_tpu.ops.quant_matmul import (
+        int4_matmul, prepare_int4, repack_q4_0, repack_q4_k)
 
     M, K, N = 8, 1024, 512
     rng = np.random.default_rng(2)
     x = rng.standard_normal((M, K)).astype(np.float32)
     w = rng.standard_normal((N, K)).astype(np.float32)
     raw = dt.quant_q4_0(w)
-    packed, scales = repack_q4_0(raw.reshape(N, -1), N, K)
+    pc, sc, zc = prepare_int4(*repack_q4_0(raw.reshape(N, -1), N, K))
     wd = dt.dequant_q4_0(raw, N * K).reshape(N, K)
-    out = np.asarray(int4_matmul(jnp.asarray(x), jnp.asarray(packed), jnp.asarray(scales), 32))
+    out = np.asarray(int4_matmul(jnp.asarray(x), jnp.asarray(pc), jnp.asarray(sc), 32,
+                                 jnp.asarray(zc)))
     rel = np.max(np.abs(x @ wd.T - out)) / np.max(np.abs(x @ wd.T))
     assert rel < 1e-2
 
     raw_k = dt.quant_q4_k(w)
     p4, s4, z4 = repack_q4_k(raw_k.reshape(N, -1), N, K)
+    p4, s4, z4 = prepare_int4(p4, s4, 32, z4)
     wd_k = dt.dequant_q4_k(raw_k, N * K).reshape(N, K)
     out4k = np.asarray(int4_matmul(jnp.asarray(x), jnp.asarray(p4), jnp.asarray(s4), 32, jnp.asarray(z4)))
     rel = np.max(np.abs(x @ wd_k.T - out4k)) / np.max(np.abs(x @ wd_k.T))
@@ -144,10 +147,12 @@ def test_int4_matmul_kernel_qwen2_downproj_geometry():
     x = rng.standard_normal((M, K)).astype(np.float32)
     w = rng.standard_normal((N, K)).astype(np.float32)
     packed, scales = repack_float_to_int4(w, 32)
-    from mllm_tpu.ops.quant_matmul import dequant_int4
+    from mllm_tpu.ops.quant_matmul import dequant_int4, prepare_int4
     wd = np.asarray(dequant_int4(jnp.asarray(packed), jnp.asarray(scales), 32))
     ref = x @ wd
-    out = np.asarray(int4_matmul(jnp.asarray(x), jnp.asarray(packed), jnp.asarray(scales), 32))
+    pc, sc, zc = prepare_int4(packed, scales, 32)
+    out = np.asarray(int4_matmul(jnp.asarray(x), jnp.asarray(pc), jnp.asarray(sc), 32,
+                                 jnp.asarray(zc)))
     rel = np.max(np.abs(ref - out)) / np.max(np.abs(ref))
     assert rel < 1e-2
 
