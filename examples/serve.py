@@ -2,11 +2,15 @@
 """Minimal production-style serving daemon.
 
 The reference is a library + CLI (no daemon); this adds the serving surface a
-TPU deployment needs: an OpenAI-style HTTP endpoint with dynamic micro-
-batching — concurrent requests that arrive within a window are left-pad
-batched through one forward (ragged_batched_generate) and fanned back out.
+TPU deployment needs: an OpenAI-style HTTP endpoint with two schedulers:
 
-  python examples/serve.py -m <model_dir> [-p 8000] [--batch-window-ms 30]
+  --engine continuous (default): slot/iteration-level continuous batching
+    (mllm_tpu/generation/engine.py) — new requests join mid-decode, no
+    convoy effect;
+  --engine window: dynamic micro-batching — requests arriving within a
+    window are left-pad batched through one forward and fanned back out.
+
+  python examples/serve.py -m <model_dir> [-p 8000] [--engine continuous]
 
   curl localhost:8000/v1/completions -d '{"prompt": "hello", "max_tokens": 32}'
   curl localhost:8000/metrics
@@ -24,6 +28,40 @@ sys.path.insert(0, ".")
 
 import numpy as np
 import jax.numpy as jnp
+
+
+class ContinuousFrontend:
+    """Adapter: ContinuousEngine scheduling + serving metrics."""
+
+    def __init__(self, model, tok, cfg, max_len=2048, max_batch=8):
+        from mllm_tpu.generation.engine import ContinuousEngine, collect
+        from mllm_tpu.utils.metrics import GLOBAL, GenerationMetrics
+
+        self.tok = tok
+        self.cfg = cfg
+        self.metrics = GLOBAL
+        self.genmetrics = GenerationMetrics(GLOBAL)
+        self._collect = collect
+        self.engine = ContinuousEngine(model, slots=max_batch, max_len=max_len,
+                                       eos_token_id=getattr(tok, "eos_token_id", None))
+
+    def submit(self, prompt_ids, max_tokens):
+        import queue as _q
+
+        t0 = time.perf_counter()
+        stream = self.engine.submit(prompt_ids, max_tokens)
+        done: _q.Queue = _q.Queue()
+
+        def drain():
+            toks = self._collect(stream)
+            dt = time.perf_counter() - t0
+            active = sum(r is not None for r in self.engine.req)
+            self.metrics.set("mllm_last_batch_size", max(active, 1))
+            self.genmetrics.record(len(prompt_ids), len(toks), dt, dt)
+            done.put(toks)
+
+        threading.Thread(target=drain, daemon=True).start()
+        return done
 
 
 class Engine:
@@ -142,12 +180,16 @@ def main():
     ap.add_argument("-q", "--quant", choices=["int8", "int4"], default=None)
     ap.add_argument("--batch-window-ms", type=int, default=30)
     ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--engine", choices=["continuous", "window"], default="continuous")
     args = ap.parse_args()
 
     from mllm_tpu.models.registry import auto_model
 
     model, tok, cfg = auto_model(args.model, dtype=jnp.bfloat16, quant=args.quant)
-    engine = Engine(model, tok, cfg, args.limits, args.batch_window_ms, args.max_batch)
+    if args.engine == "continuous":
+        engine = ContinuousFrontend(model, tok, cfg, args.limits, args.max_batch)
+    else:
+        engine = Engine(model, tok, cfg, args.limits, args.batch_window_ms, args.max_batch)
     server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(engine))
     from mllm_tpu.utils.log import log_info
 

@@ -112,6 +112,65 @@ class KVCache(Module):
         return KVCache(k, v, jnp.asarray(draft_start + n_accept, jnp.int32))
 
 
+class SlotKVCache(Module):
+    """Continuous-batching cache: per-SLOT write heads (pos is [B]).
+
+    The serving engine admits a new request into a free slot while other
+    slots keep decoding — the TPU-native analogue of slot/iteration-level
+    scheduling in production LLM servers (no reference counterpart; the
+    reference's batch path is lockstep, Module.cpp:146-205).  Decode appends
+    one token per slot at its own head via a batched scatter; admission
+    copies a freshly prefilled single-sequence cache into the slot.
+    """
+
+    def __init__(self, k: jax.Array, v: jax.Array, pos: jax.Array):
+        self.k = k
+        self.v = v
+        self.pos = pos  # [B] int32 per-slot valid lengths
+
+    @staticmethod
+    def init(n_layers: int, batch: int, max_len: int, n_kv_heads: int, head_dim: int,
+             dtype=jnp.bfloat16) -> "SlotKVCache":
+        shape = (n_layers, batch, n_kv_heads, max_len, head_dim)
+        return SlotKVCache(
+            jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+            jnp.zeros((batch,), jnp.int32),
+        )
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[3]
+
+    @property
+    def n_layers(self) -> int:
+        return self.k.shape[0]
+
+    def update_layer(self, layer: int, k_new: jax.Array, v_new: jax.Array) -> "SlotKVCache":
+        """Decode append: k_new/v_new [B, 1, H_kv, D] written at pos[b] per slot."""
+        b = k_new.shape[0]
+        bi = jnp.arange(b)
+        kn = k_new[:, 0].astype(self.k.dtype)  # [B, H, D]
+        vn = v_new[:, 0].astype(self.v.dtype)
+        k = self.k.at[layer, bi, :, self.pos, :].set(kn, mode="drop")
+        v = self.v.at[layer, bi, :, self.pos, :].set(vn, mode="drop")
+        return SlotKVCache(k, v, self.pos)
+
+    def layer(self, layer: int):
+        return self.k[layer], self.v[layer]
+
+    def advance(self, n) -> "SlotKVCache":
+        return SlotKVCache(self.k, self.v, self.pos + jnp.asarray(n, jnp.int32))
+
+    def admit(self, slot, small: "KVCache", true_len) -> "SlotKVCache":
+        """Copy a freshly prefilled 1-sequence cache into `slot` (traced ok)."""
+        z = jnp.zeros((), jnp.int32)
+        start = (z, jnp.asarray(slot, jnp.int32), z, z, z)
+        k = jax.lax.dynamic_update_slice(self.k, small.k.astype(self.k.dtype), start)
+        v = jax.lax.dynamic_update_slice(self.v, small.v.astype(self.v.dtype), start)
+        pos = self.pos.at[slot].set(jnp.asarray(true_len, jnp.int32))
+        return SlotKVCache(k, v, pos)
+
+
 class QuantKVCache(Module):
     """int8 KV cache with per-(token, head) vector scales.
 

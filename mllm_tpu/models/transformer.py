@@ -254,6 +254,48 @@ class CausalLM(Module):
             )
         return CausalLM(embed, blocks, norm, lm_head, rope, cfg)
 
+    @staticmethod
+    def init_stacked(key, cfg: TextConfig, dtype=jnp.float32) -> "CausalLM":
+        """O(1)-trace init: ONE DecoderBlock traced, `vmap`ped over layers.
+
+        Produces a leaf-stacked model (as .stack() would).  The unrolled
+        `init` traces every layer, which makes its jitted program O(L) in
+        size — catastrophic through a remote-compile relay (313 s for a
+        0.5B build vs seconds this way).  Use .unstack() for the unrolled
+        block list.  Requires structurally-uniform blocks (same restriction
+        as .stack())."""
+        k_embed, k_blocks, k_head = jax.random.split(key, 3)
+        blk_keys = jax.random.split(k_blocks, cfg.num_hidden_layers)
+        stacked = jax.vmap(lambda kk: DecoderBlock.init(kk, cfg, 0, dtype))(blk_keys)
+        embed = Embedding.init(k_embed, cfg.vocab_size, cfg.hidden_size, dtype)
+        norm = _make_norm(cfg, cfg.hidden_size)
+        lm_head = None
+        if not cfg.tie_word_embeddings:
+            lm_head = Linear.init(k_head, cfg.hidden_size, cfg.vocab_size, False, dtype)
+        rope = RotaryEmbedding.make(
+            cfg.head_dim_, cfg.max_position_embeddings, cfg.rope_theta,
+            cfg.rope_style, cfg.rope_partial, cfg.rope_scaling_dict(),
+        )
+        out = CausalLM(embed, ModuleList([]), norm, lm_head, rope, cfg)
+        out.__dict__["stacked_blocks"] = stacked
+        out.__dict__["n_stacked"] = cfg.num_hidden_layers
+        return out
+
+    def unstack(self) -> "CausalLM":
+        """Inverse of .stack(): leaf-stacked blocks -> unrolled block list."""
+        stacked = getattr(self, "stacked_blocks", None)
+        if stacked is None:
+            return self
+        n = getattr(self, "n_stacked")
+        mods = []
+        for i in range(n):
+            blk = jax.tree.map(lambda x: x[i], stacked)
+            mods.append(blk.replace(attn=blk.attn.replace(layer_idx=i)))
+        out = self.replace(blocks=ModuleList(mods))
+        out.__dict__.pop("stacked_blocks", None)
+        out.__dict__.pop("n_stacked", None)
+        return out
+
     def init_cache(self, batch: int, max_len: int, dtype=jnp.bfloat16,
                    kv_dtype: str = "bf16"):
         """kv_dtype: 'bf16'/'f32' (dense, from `dtype`) or 'int8'/'q8' — the
@@ -301,7 +343,9 @@ class CausalLM(Module):
             x = x * jnp.asarray(self.cfg.embedding_multiplier, x.dtype)
         s = x.shape[1]
         pos0 = cache.pos if cache is not None else jnp.zeros((), jnp.int32)
-        positions = pos0 + jnp.arange(s, dtype=jnp.int32)[None, :]  # [1, S]
+        if getattr(pos0, "ndim", 0) == 1:  # SlotKVCache: per-slot heads [B]
+            pos0 = pos0[:, None]
+        positions = pos0 + jnp.arange(s, dtype=jnp.int32)[None, :]  # [1 or B, S]
         kv_start = None
         if pad_lens is not None:
             positions = jnp.maximum(positions - pad_lens[:, None], 0)  # [B, S]

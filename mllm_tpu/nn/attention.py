@@ -63,16 +63,20 @@ def sdpa(
         logits = jnp.tanh(logits / logit_softcap) * logit_softcap
 
     skv = k.shape[2]
-    k_pos = jnp.arange(skv)[None, :]
-    ok = jnp.ones((sq, skv), dtype=bool)
+    # q_offset / kv_valid_len may be scalars or per-sequence [B] vectors
+    # (per-slot continuous batching) — normalize to [B?, 1, 1] broadcasting
+    qo = jnp.reshape(jnp.asarray(q_offset), (-1, 1))  # [1 or B, 1]
+    k_pos = jnp.arange(skv)
+    ok = jnp.ones((1, sq, skv), dtype=bool)
     if causal:
-        q_pos = q_offset + jnp.arange(sq)[:, None]
-        ok = k_pos <= q_pos
+        q_pos = qo + jnp.arange(sq)[None, :]  # [1 or B, sq]
+        ok = k_pos[None, None, :] <= q_pos[:, :, None]
         if window is not None:
-            ok = ok & (k_pos > q_pos - window)
+            ok = ok & (k_pos[None, None, :] > q_pos[:, :, None] - window)
     if kv_valid_len is not None:
-        ok = ok & (k_pos < kv_valid_len)
-    ok = jnp.broadcast_to(ok[None, None], logits.shape)
+        kvl = jnp.reshape(jnp.asarray(kv_valid_len), (-1, 1, 1))
+        ok = ok & (k_pos[None, None, :] < kvl)
+    ok = jnp.broadcast_to(ok[:, None], logits.shape)
     if kv_start is not None:  # left-padded batches: mask the pad prefix
         ok = ok & (jnp.arange(skv)[None, None, None, :] >= kv_start[:, None, None, None])
     logits = jnp.where(ok, logits, NEG_INF)
@@ -160,9 +164,11 @@ def attend(
     from ..utils.runtime import on_tpu as _on_tpu
 
     sq, d = q.shape[1], q.shape[3]
+    vector_valid = kv_valid_len is not None and getattr(kv_valid_len, "ndim", 0) == 1
     if impl == "auto":
         on_tpu = _on_tpu()
-        if not on_tpu or bias is not None or logit_softcap is not None or d % 128 != 0:
+        if (not on_tpu or bias is not None or logit_softcap is not None
+                or d % 128 != 0 or vector_valid):
             impl = "xla"
         elif sq == 1:
             # The HBM-resident Pallas decode kernel early-exits at the valid

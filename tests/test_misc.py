@@ -95,3 +95,34 @@ def test_logging(capsys, monkeypatch):
     assert rec["msg"] == "engine up" and rec["batch"] == 8
     monkeypatch.delenv("MLLM_LOG_JSON")
     importlib.reload(L)
+
+
+def test_init_stacked_unstack_roundtrip():
+    """init_stacked (O(1)-trace vmapped init) must interoperate with the
+    unrolled path: unstack -> stack preserves every leaf bit-for-bit and the
+    forward runs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mllm_tpu.core.config import TextConfig
+    from mllm_tpu.models.transformer import CausalLM
+
+    cfg = TextConfig(vocab_size=64, hidden_size=32, intermediate_size=64,
+                     num_hidden_layers=3, num_attention_heads=4,
+                     num_key_value_heads=2, max_position_embeddings=64,
+                     eos_token_id=-5)
+    m = CausalLM.init_stacked(jax.random.PRNGKey(0), cfg)
+    assert getattr(m, "stacked_blocks", None) is not None
+    un = m.unstack()
+    assert len(un.blocks.mods) == 3
+    assert un.blocks.mods[1].attn.layer_idx == 1
+    re = un.stack()
+    for a, b in zip(jax.tree.leaves(m), jax.tree.leaves(re)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    ids = np.arange(6, dtype=np.int32)[None, :] % 64
+    cache_s = m.init_cache(1, 16, jnp.float32)
+    ls, _ = m(ids, cache_s)
+    cache_u = un.init_cache(1, 16, jnp.float32)
+    lu, _ = un(ids, cache_u)
+    np.testing.assert_allclose(np.asarray(ls), np.asarray(lu), atol=1e-5)
