@@ -46,6 +46,9 @@ def main():
                     help="elastic inference: activate only the first RATIO "
                          "fraction of heads/FFN neurons (reference "
                          "demo_elastic_llama activate_dims)")
+    ap.add_argument("--batch", type=int, default=1,
+                    help=">1: batched generation of this many prompts "
+                         "(ragged left-pad; reference demo_qwen_batch)")
     ap.add_argument("--sparse", type=float, default=None, metavar="THRESH",
                     help="predictor-sparse FFN with this threshold "
                          "(reference modeling_sparse_llama; predictors are "
@@ -98,6 +101,23 @@ def main():
         sys.stdout.flush()
         return True
 
+    if args.batch > 1:
+        from mllm_tpu.generation.generate import ragged_batched_generate
+
+        prompts = [np.asarray(tok.encode(text, bos=True), np.int32)]
+        for i in range(1, args.batch):  # vary lengths to exercise ragged padding
+            prompts.append(prompts[0][: max(1, len(prompts[0]) - i % 5)])
+        cache = model.init_cache(args.batch, args.limits, jnp.bfloat16, kv_dtype=args.kv)
+        t0 = time.perf_counter()
+        toks, n_valid, _ = ragged_batched_generate(model, prompts, cache, scfg)
+        dt = time.perf_counter() - t0
+        for i in range(args.batch):
+            print(f"[seq {i}] {tok.decode(toks[i, : n_valid[i]].tolist())!r}")
+        total = int(n_valid.sum())
+        print(f"batch={args.batch}: {total} tokens in {dt:.2f} s "
+              f"({total / dt:.1f} tok/s aggregate)")
+        prof.report(args.model)
+        return
     if args.chunked or args.turns > 1:
         from mllm_tpu.generation.generate import _decode_step
         from mllm_tpu.generation.prefill import PromptCache, prefill_with_prompt_cache
