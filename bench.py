@@ -88,9 +88,9 @@ def build_model(cfg: TextConfig, quant, stacked: bool = False):
         m = m.replace(rope=RotaryEmbedding(jnp.sin(ang), jnp.cos(ang),
                                            cfg.rope_style, rot_dim))
         if quant:
-            from mllm_tpu.ops.quantize_model import quantize_model
+            from mllm_tpu.ops.quantize_model import fuse_projections, quantize_model
 
-            m = quantize_model(m, quant, on_device=True)
+            m = quantize_model(fuse_projections(m), quant, on_device=True)
         return m if stacked else m.unstack()
 
     with jax.default_device(dev):

@@ -43,7 +43,8 @@ class Attention(Module):
     split QKV projections, optional QK-norm, RoPE, cache append, SDPA/flash.
     """
 
-    def __init__(self, q_proj, k_proj, v_proj, o_proj, q_norm, k_norm, cfg: TextConfig, layer_idx: int):
+    def __init__(self, q_proj, k_proj, v_proj, o_proj, q_norm, k_norm, cfg: TextConfig, layer_idx: int,
+                 qkv_proj=None):
         self.q_proj = q_proj
         self.k_proj = k_proj
         self.v_proj = v_proj
@@ -52,6 +53,11 @@ class Attention(Module):
         self.k_norm = k_norm
         self.cfg = cfg
         self.layer_idx = layer_idx
+        # fused QKV (reference MultiHeadAttention fused-QKV mode,
+        # modeling_transformer.hpp:35-219): one projection, split after.
+        # Exactness-preserving vs split projections (per-output-channel
+        # quantization commutes with concatenation); set by fuse_projections.
+        self.qkv_proj = qkv_proj
 
     @staticmethod
     def init(key, cfg: TextConfig, layer_idx: int, dtype=jnp.float32):
@@ -95,9 +101,15 @@ class Attention(Module):
         b, s, _ = x.shape
         h, hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
 
-        q = self.q_proj(x).reshape(b, s, h, hd)
-        k = self.k_proj(x).reshape(b, s, hkv, hd)
-        v = self.v_proj(x).reshape(b, s, hkv, hd)
+        if self.qkv_proj is not None:  # one GEMM, fewer kernel launches
+            qkv = self.qkv_proj(x)
+            q = qkv[..., : h * hd].reshape(b, s, h, hd)
+            k = qkv[..., h * hd : (h + hkv) * hd].reshape(b, s, hkv, hd)
+            v = qkv[..., (h + hkv) * hd :].reshape(b, s, hkv, hd)
+        else:
+            q = self.q_proj(x).reshape(b, s, h, hd)
+            k = self.k_proj(x).reshape(b, s, hkv, hd)
+            v = self.v_proj(x).reshape(b, s, hkv, hd)
         if self.q_norm is not None:
             q = self.q_norm(q)
             k = self.k_norm(k)
@@ -148,11 +160,12 @@ class Attention(Module):
 class MLP(Module):
     """Gated FFN (reference FeedForward, modeling_transformer.hpp:221-239)."""
 
-    def __init__(self, gate_proj, up_proj, down_proj, act: str):
+    def __init__(self, gate_proj, up_proj, down_proj, act: str, gateup_proj=None):
         self.gate_proj = gate_proj
         self.up_proj = up_proj
         self.down_proj = down_proj
         self.act = act
+        self.gateup_proj = gateup_proj  # fused gate||up (see fuse_projections)
 
     @staticmethod
     def init(key, cfg: TextConfig, dtype=jnp.float32):
@@ -166,6 +179,11 @@ class MLP(Module):
         )
 
     def __call__(self, x):
+        if self.gateup_proj is not None:
+            gu = self.gateup_proj(x)
+            ff = gu.shape[-1] // 2
+            h = ACT_FN[self.act](gu[..., :ff]) * gu[..., ff:]
+            return self.down_proj(h)
         h = ACT_FN[self.act](self.gate_proj(x))
         if self.up_proj is not None:  # non-gated MLP (persimmon/opt-style)
             h = h * self.up_proj(x)

@@ -89,6 +89,62 @@ def _quant_linear(lin: Linear, mode: str, min_size: int, on_device: bool):
     return Int4Linear(jnp.asarray(packed), jnp.asarray(scales), 32, jnp.asarray(zeros), lin.bias)
 
 
+def fuse_projections(model):
+    """Fuse q/k/v -> one qkv projection and gate/up -> one gateup projection.
+
+    The reference's fused-QKV MultiHeadAttention mode
+    (modeling_transformer.hpp:35-219), applied as a whole-model transform.
+    Exactness-preserving: per-output-channel quantization commutes with
+    output-channel concatenation, so fuse-then-quantize == quantize on the
+    split projections.  On TPU this cuts kernel launches per decoder layer
+    from 7 to 4 — decisive for the Pallas int4 decode path where per-call
+    overhead rivals the (tiny) k/v GEMV cost.  Call BEFORE quantize_model;
+    works on unrolled or leaf-stacked (vmapped) models."""
+    from ..models.transformer import Attention, MLP
+
+    def fuse_lin(lins):
+        w = jnp.concatenate([l.weight for l in lins], axis=-2)
+        biases = [l.bias for l in lins]
+        if all(b is None for b in biases):
+            b = None
+        else:
+            b = jnp.concatenate(
+                [l.bias if l.bias is not None
+                 else jnp.zeros(l.weight.shape[:-1], l.weight.dtype)
+                 for l in lins], axis=-1)
+        return Linear(w, b)
+
+    def walk(obj):
+        if isinstance(obj, Attention):
+            if (obj.qkv_proj is None
+                    and all(type(p) is Linear for p in (obj.q_proj, obj.k_proj, obj.v_proj))):
+                fused = fuse_lin([obj.q_proj, obj.k_proj, obj.v_proj])
+                return obj.replace(qkv_proj=fused, q_proj=None, k_proj=None, v_proj=None)
+            return obj
+        if isinstance(obj, MLP):
+            if (getattr(obj, "gateup_proj", None) is None and obj.up_proj is not None
+                    and type(obj.gate_proj) is Linear and type(obj.up_proj) is Linear):
+                fused = fuse_lin([obj.gate_proj, obj.up_proj])
+                return obj.replace(gateup_proj=fused, gate_proj=None, up_proj=None)
+            return obj
+        if isinstance(obj, Module):
+            updates = {}
+            for k, v in list(obj.__dict__.items()):
+                nv = walk(v)
+                if nv is not v:
+                    updates[k] = nv
+            return obj.replace(**updates) if updates else obj
+        if isinstance(obj, list):
+            new = [walk(v) for v in obj]
+            return new if any(a is not b for a, b in zip(new, obj)) else obj
+        if isinstance(obj, tuple):
+            new = tuple(walk(v) for v in obj)
+            return new if any(a is not b for a, b in zip(new, obj)) else obj
+        return obj
+
+    return walk(model)
+
+
 def quantize_model(model, mode: Literal["int8", "int4"] = "int8",
                    min_size: int = 1 << 16, quant_embed_head: bool = True,
                    on_device: bool = False):

@@ -126,3 +126,38 @@ def test_init_stacked_unstack_roundtrip():
     cache_u = un.init_cache(1, 16, jnp.float32)
     lu, _ = un(ids, cache_u)
     np.testing.assert_allclose(np.asarray(ls), np.asarray(lu), atol=1e-5)
+
+
+def test_fuse_projections_exact():
+    """Fused qkv/gateup must be bit-compatible with split projections, both
+    in float and after int8/int4 quantization (per-output-channel scales
+    commute with output concatenation)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mllm_tpu.core.config import TextConfig
+    from mllm_tpu.models.transformer import CausalLM
+    from mllm_tpu.ops.quantize_model import fuse_projections, quantize_model
+
+    cfg = TextConfig(vocab_size=64, hidden_size=64, intermediate_size=128,
+                     num_hidden_layers=2, num_attention_heads=4,
+                     num_key_value_heads=2, max_position_embeddings=64,
+                     eos_token_id=-5)
+    m = CausalLM.init(jax.random.PRNGKey(1), cfg)
+    fused = fuse_projections(m)
+    assert fused.blocks.mods[0].attn.qkv_proj is not None
+    assert fused.blocks.mods[0].mlp.gateup_proj is not None
+
+    ids = np.arange(10, dtype=np.int32)[None, :] % 64
+
+    def logits(mm):
+        cache = mm.init_cache(1, 16, jnp.float32)
+        out, _ = mm(ids, cache, last_only=False)
+        return np.asarray(out)
+
+    np.testing.assert_allclose(logits(fused), logits(m), rtol=0, atol=1e-6)
+
+    for mode in ("int8", "int4"):
+        qs = quantize_model(m, mode, min_size=1)
+        qf = quantize_model(fused, mode, min_size=1)
+        np.testing.assert_allclose(logits(qf), logits(qs), rtol=0, atol=1e-5)
