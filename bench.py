@@ -52,6 +52,7 @@ CONFIGS = {
     "qwen2vl-2b-int8": (QWEN2VL_2B_LM, "int8", 1),
     "qwen2vl-2b-int8-kvq8-b8": (QWEN2VL_2B_LM, "int8", 8, "int8"),
     "qwen2vl-2b-int4": (QWEN2VL_2B_LM, "int4", 1),
+    "qwen2vl-2b-int4-b8": (QWEN2VL_2B_LM, "int4", 8),
     "qwen2vl-2b-bf16": (QWEN2VL_2B_LM, None, 1),
     "qwen1.5-0.5b-bf16": (QWEN15_05B, None, 1),
     "tinyllama-1.1b-int4": (TINYLLAMA, "int4", 1),

@@ -89,6 +89,69 @@ def _quant_linear(lin: Linear, mode: str, min_size: int, on_device: bool):
     return Int4Linear(jnp.asarray(packed), jnp.asarray(scales), 32, jnp.asarray(zeros), lin.bias)
 
 
+class FusedInt4MLP(Module):
+    """Gated MLP executed by the single-launch fused int4 kernel
+    (ops/fused_mlp.py).  Created by quantize_model(mode='int4') when the MLP
+    is gated with a supported activation."""
+
+    def __init__(self, gate_ops, up_ops, down_ops, act: str, block_f: int,
+                 bias=None):
+        self.gate_ops = tuple(gate_ops)
+        self.up_ops = tuple(up_ops)
+        self.down_ops = tuple(down_ops)
+        self.act = act
+        self.block_f = block_f
+        self.bias = bias  # down_proj bias (rare)
+
+    def __call__(self, x):
+        from .fused_mlp import fused_int4_mlp
+
+        y = fused_int4_mlp(x, self.gate_ops, self.up_ops, self.down_ops,
+                           act=self.act, block_f=self.block_f)
+        if self.bias is not None:
+            y = y + self.bias
+        return y.astype(x.dtype)
+
+
+def _fuse_int4_mlp(mlp, min_size: int, on_device: bool):
+    """MLP -> FusedInt4MLP when eligible, else None."""
+    from .fused_mlp import _ACT, pick_block_f
+
+    if (mlp.up_proj is None or getattr(mlp, "gateup_proj", None) is not None
+            or mlp.act not in _ACT):
+        return None
+    for lin in (mlp.gate_proj, mlp.up_proj, mlp.down_proj):
+        if type(lin) is not Linear or lin.bias is not None and lin is not mlp.down_proj:
+            return None
+        if np.prod(lin.weight.shape) < min_size or lin.weight.shape[-1] % 64:
+            return None
+    ff = mlp.gate_proj.weight.shape[-2]
+    d = mlp.gate_proj.weight.shape[-1]
+    block_f = pick_block_f(ff)
+    if block_f is None or d % 64 or ff % 64:
+        return None
+
+    def ops_over_d(lin):
+        if on_device or lin.weight.ndim > 2:
+            packed, scales = _q4_device(lin.weight)
+            return qm.prepare_int4(packed, scales, 32)
+        p, sc = qm.repack_float_to_int4(np.asarray(lin.weight, np.float32), 32)
+        p, sc, z = qm.prepare_int4(p, sc, 32)
+        return jnp.asarray(p), jnp.asarray(sc), jnp.asarray(z)
+
+    from .fused_mlp import prepare_int4_ff
+
+    if on_device or mlp.down_proj.weight.ndim > 2:
+        dp, dsc = _q4_device(mlp.down_proj.weight)
+        down_ops = prepare_int4_ff(dp, dsc, None, block_f)
+    else:
+        dp, dsc = qm.repack_float_to_int4(np.asarray(mlp.down_proj.weight, np.float32), 32)
+        dpp, dss, dzz = prepare_int4_ff(dp, dsc, None, block_f)
+        down_ops = (jnp.asarray(dpp), jnp.asarray(dss), jnp.asarray(dzz))
+    return FusedInt4MLP(ops_over_d(mlp.gate_proj), ops_over_d(mlp.up_proj),
+                        down_ops, mlp.act, block_f, bias=mlp.down_proj.bias)
+
+
 def fuse_projections(model):
     """Fuse q/k/v -> one qkv projection and gate/up -> one gateup projection.
 
@@ -154,9 +217,16 @@ def quantize_model(model, mode: Literal["int8", "int4"] = "int8",
     (no host round trips) — the fast path when weights were generated or
     loaded straight onto the chip."""
 
+    from ..models.transformer import MLP as _MLP
+
     def walk(obj):
         if isinstance(obj, Linear):
             return _quant_linear(obj, mode, min_size, on_device)
+        if mode == "int4" and type(obj) is _MLP:
+            fused = _fuse_int4_mlp(obj, min_size, on_device)
+            if fused is not None:
+                return fused
+            # fall through: quantize the individual projections
         if isinstance(obj, Module):
             updates = {}
             for k, v in list(obj.__dict__.items()):
