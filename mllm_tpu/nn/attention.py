@@ -168,8 +168,8 @@ def attend(
     if impl == "auto":
         on_tpu = _on_tpu()
         if (not on_tpu or bias is not None or logit_softcap is not None
-                or d % 128 != 0 or vector_valid):
-            impl = "xla"
+                or d % 128 != 0 or (vector_valid and sq != 1)):
+            impl = "xla"  # per-seq valid lens: only the decode kernel supports them
         elif sq == 1:
             # The HBM-resident Pallas decode kernel early-exits at the valid
             # cache length: 3-8.5x faster than XLA's full-padded-sweep

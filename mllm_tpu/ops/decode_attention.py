@@ -30,7 +30,7 @@ NEG_INF = -1e30
 
 
 def _decode_kernel(
-    scalars_ref,  # SMEM (1 + B,) int32: [kv_valid_len, kv_start_0..kv_start_{B-1}]
+    scalars_ref,  # SMEM (2B,) int32: [kv_valid_0..B-1, kv_start_0..B-1]
     q_ref,  # VMEM (1, 1, G, D)
     k_hbm,  # HBM  (B, H_kv, S, D) — full cache, DMA'd manually
     v_hbm,  # HBM  (B, H_kv, S, D)
@@ -43,11 +43,12 @@ def _decode_kernel(
     window: Optional[int],
     bk: int,
     s_max: int,
+    n_b: int,
 ):
     bb = pl.program_id(0)
     hh = pl.program_id(1)
-    kv_valid = scalars_ref[0]
-    kv_start = scalars_ref[1 + bb]  # per-sequence left-pad offset
+    kv_valid = scalars_ref[bb]  # per-sequence valid length (slot scheduling)
+    kv_start = scalars_ref[n_b + bb]  # per-sequence left-pad offset
     n_blocks = pl.cdiv(kv_valid, bk)  # traced trip count
     g, d = q_ref.shape[2], q_ref.shape[3]
     q = q_ref[0, 0] * scale  # (G, D) — fold scale into q
@@ -120,7 +121,7 @@ def _decode_kernel(
 
 
 def _decode_quant_kernel(
-    scalars_ref,  # SMEM (1 + B,) int32: [kv_valid_len, kv_start_0..]
+    scalars_ref,  # SMEM (2B,) int32: [kv_valid_0..B-1, kv_start_0..]
     q_ref,  # VMEM (1, 1, G, D)
     k_hbm,  # HBM  (B, H_kv, S, D) int8
     v_hbm,  # HBM  (B, H_kv, S, D) int8
@@ -137,6 +138,7 @@ def _decode_quant_kernel(
     window: Optional[int],
     bk: int,
     s_max: int,
+    n_b: int,
 ):
     """int8-KV fused decode attention (SageAttention-KVQ8 counterpart,
     /root/reference/mllm/backends/cpu/compute/SageAttentionKVQ8.hpp).
@@ -147,8 +149,8 @@ def _decode_quant_kernel(
     HBM traffic is half the bf16 kernel's (+1.6% for the scale vectors)."""
     bb = pl.program_id(0)
     hh = pl.program_id(1)
-    kv_valid = scalars_ref[0]
-    kv_start = scalars_ref[1 + bb]
+    kv_valid = scalars_ref[bb]
+    kv_start = scalars_ref[n_b + bb]
     n_blocks = pl.cdiv(kv_valid, bk)
     g, d = q_ref.shape[2], q_ref.shape[3]
     q = (q_ref[0, 0] * scale).astype(jnp.bfloat16)  # (G, D)
@@ -245,7 +247,7 @@ def decode_attention_quant(
     if kv_start is None:
         kv_start = jnp.zeros((b,), jnp.int32)
     scalars = jnp.concatenate([
-        jnp.asarray(kv_valid_len, jnp.int32).reshape(1),
+        jnp.broadcast_to(jnp.asarray(kv_valid_len, jnp.int32), (b,)),
         jnp.asarray(kv_start, jnp.int32).reshape(b),
     ])
 
@@ -255,7 +257,7 @@ def decode_attention_quant(
     vs = v_scale.astype(jnp.float32)[:, :, None, :]
 
     kernel = functools.partial(
-        _decode_quant_kernel, scale=scale, window=window, bk=bk, s_max=s_max
+        _decode_quant_kernel, scale=scale, window=window, bk=bk, s_max=s_max, n_b=b
     )
     out = pl.pallas_call(
         kernel,
@@ -312,14 +314,14 @@ def decode_attention(
     if kv_start is None:
         kv_start = jnp.zeros((b,), jnp.int32)
     scalars = jnp.concatenate([
-        jnp.asarray(kv_valid_len, jnp.int32).reshape(1),
+        jnp.broadcast_to(jnp.asarray(kv_valid_len, jnp.int32), (b,)),
         jnp.asarray(kv_start, jnp.int32).reshape(b),
     ])
 
     qg = q.reshape(b, hkv, g, d)  # group-major query heads
 
     kernel = functools.partial(
-        _decode_kernel, scale=scale, window=window, bk=bk, s_max=s_max
+        _decode_kernel, scale=scale, window=window, bk=bk, s_max=s_max, n_b=b
     )
 
     out = pl.pallas_call(

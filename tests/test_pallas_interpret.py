@@ -101,3 +101,20 @@ def test_int4_matmul_interpret_sym_and_asym():
                        jnp.asarray(zc2), block_m=8, block_n=256, interpret=True)
     rel3 = float(jnp.max(jnp.abs(ref3 - out3)) / (jnp.max(jnp.abs(ref3)) + 1e-9))
     assert rel3 < 2e-2
+
+
+def test_decode_attention_interpret_per_sequence_valid():
+    """Per-slot valid lengths (continuous batching): each sequence early-exits
+    and masks at its own length."""
+    from mllm_tpu.ops.decode_attention import decode_attention
+
+    B, H, HKV, D, S = 3, 4, 2, 64, 512
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, 1, H, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, HKV, S, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, HKV, S, D), jnp.float32)
+    valids = jnp.asarray([64, 300, 512], jnp.int32)
+    out = decode_attention(q, k, v, kv_valid_len=valids, block_k=256, interpret=True)
+    for i, vl in enumerate([64, 300, 512]):
+        ref = sdpa(q[i:i + 1], k[i:i + 1], v[i:i + 1], q_offset=vl - 1,
+                   kv_valid_len=vl, causal=True)
+        assert float(jnp.max(jnp.abs(ref - out[i:i + 1]))) < 2e-2, f"seq {i}"
