@@ -70,10 +70,19 @@ def _q4_device(w):
     return lo | (hi << 4), jnp.swapaxes(sc, -1, -2)
 
 
+# Below this weight count, int4's HBM saving is smaller than the Pallas
+# kernel's fixed launch cost at decode shapes — use the int8 XLA fused-convert
+# dot instead (measured: [1,1536]x[1536,2048] int4 kernel ~= int8 + overhead).
+INT4_MIN_PARAMS = 6 << 20
+
+
 def _quant_linear(lin: Linear, mode: str, min_size: int, on_device: bool):
     shape = lin.weight.shape
     if np.prod(shape) < min_size or shape[-1] % 64 != 0:
         return lin
+    n_params = int(np.prod(shape[-2:]))
+    if mode == "int4" and n_params < INT4_MIN_PARAMS:
+        mode = "int8"  # mixed precision: small projections stay int8
     if on_device or lin.weight.ndim > 2:  # stacked layers always quantize on-device
         if mode == "int8":
             qv, sc = _q8_device(lin.weight)

@@ -69,9 +69,12 @@ def test_fused_mlp_interpret_kernel_matches_fallback():
     assert rel < 2e-2
 
 
-def test_quantize_model_creates_fused_mlp_and_matches_per_linear():
+def test_quantize_model_creates_fused_mlp_and_matches_per_linear(monkeypatch):
+    import mllm_tpu.ops.quantize_model as qmod
     from mllm_tpu.models.transformer import CausalLM
     from mllm_tpu.ops.quantize_model import FusedInt4MLP, fuse_projections, quantize_model
+
+    monkeypatch.setattr(qmod, "INT4_MIN_PARAMS", 0)  # tiny test weights
 
     cfg = TextConfig(vocab_size=64, hidden_size=64, intermediate_size=256,
                      num_hidden_layers=2, num_attention_heads=4,
