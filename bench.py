@@ -170,11 +170,12 @@ def bench_image_prefill() -> dict:
 
     import functools
 
-    @functools.partial(jax.jit, static_argnames=("true_len", "grid_thw"),
-                       donate_argnames=("cache",))
-    def prefill_tok(model, cache, ids, pixel, positions, true_len, grid_thw):
-        # greedy first token ON DEVICE: pulling the [1, 151936] f32 logits
-        # back through the relay costs ~24 ms; the token is 4 bytes.
+    @functools.partial(jax.jit, static_argnames=("true_len", "grid_thw"))
+    def prefill_tok(model, ids, pixel, positions, true_len, grid_thw):
+        # fresh cache created IN-program (one fewer relay round trip than a
+        # donated-argument cache); greedy first token ON DEVICE: pulling the
+        # [1, 151936] f32 logits back through the relay costs ~24 ms.
+        cache = model.init_cache(1, 1024, jnp.bfloat16)
         last, cache = vl_image_prefill(model, cache, ids, pixel, positions,
                                        true_len, grid_thw)
         return jnp.argmax(last, axis=-1).astype(jnp.int32), cache
@@ -184,19 +185,32 @@ def bench_image_prefill() -> dict:
         from mllm_tpu.processor.image import resize
 
         frame = resize(src, h, w, "bicubic")  # host bicubic (PIL)
+        t_host = time.perf_counter() - t0
         pixel = jnp.asarray(frame[None])  # T=1; temporal dup happens on device
-        tok, cache = prefill_tok(model, cache, ids_j, pixel, positions,
+        tok, cache = prefill_tok(model, ids_j, pixel, positions,
                                  true_len, grid)
         np.asarray(tok)  # device sync (axon relay: block_until_ready unreliable)
-        return time.perf_counter() - t0, cache
+        return time.perf_counter() - t0, t_host, cache
 
-    cache = model.init_cache(1, 1024, jnp.bfloat16)
-    t_compile, cache = run(cache)  # compile
-    best = 1e9
-    for _ in range(3):
-        cache = model.init_cache(1, 1024, jnp.bfloat16)
-        dt, cache = run(cache)
-        best = min(best, dt)
+    t_compile, _, cache = run(None)  # compile
+    best, best_host = 1e9, 0.0
+    for _ in range(5):
+        dt, t_host, cache = run(None)
+        if dt < best:
+            best, best_host = dt, t_host
+    # device-resident portion: frame already uploaded (a locally-attached
+    # chip would see ~this + PCIe-trivial upload; the relay adds ~25 ms RPC
+    # per dispatch + ~850 KB upload at relay bandwidth)
+    from mllm_tpu.processor.image import resize as _rs
+
+    pixel_dev = jnp.asarray(_rs(src, h, w, "bicubic")[None])
+    np.asarray(pixel_dev.reshape(-1)[:1])
+    t_dev = 1e9
+    for _ in range(5):
+        t0 = time.perf_counter()
+        tok, _c = prefill_tok(model, ids_j, pixel_dev, positions, true_len, grid)
+        np.asarray(tok)
+        t_dev = min(t_dev, time.perf_counter() - t0)
     return {
         "config": "qwen2vl-2b-image-prefill",
         "batch": 1,
@@ -206,6 +220,10 @@ def bench_image_prefill() -> dict:
         "vision_tokens": n_vis,
         "seq_len": true_len,
         "image_prefill_ms": round(best * 1e3, 1),
+        "host_resize_ms": round(best_host * 1e3, 1),
+        "device_dispatch_ms": round(t_dev * 1e3, 1),
+        # the remainder is relay RPC + 850 KB u8 frame upload + device
+        # compute; on a locally-attached chip the upload is PCIe-trivial
         "target_ms": 100.0,
     }
 
