@@ -119,7 +119,13 @@ def from_hf_config(path_or_dict, **overrides) -> TextConfig:
     if isinstance(kw.get("eos_token_id"), list):
         kw["eos_token_id"] = tuple(kw["eos_token_id"])
     if cfg.get("rope_scaling"):
-        kw["rope_scaling"] = freeze_dict(cfg["rope_scaling"])
+        rs = dict(cfg["rope_scaling"])
+        # HF stores original_max_position_embeddings top-level (phi3 longrope);
+        # the rope builders read it from the scaling dict — carry it across
+        if "original_max_position_embeddings" not in rs and cfg.get(
+                "original_max_position_embeddings"):
+            rs["original_max_position_embeddings"] = cfg["original_max_position_embeddings"]
+        kw["rope_scaling"] = freeze_dict(rs)
     # family-specific conventions
     if mt in ("llama", "mistral", "gemma", "gemma2", "smollm", "stablelm", "phi3"):
         kw.setdefault("attention_bias", cfg.get("attention_bias", False))

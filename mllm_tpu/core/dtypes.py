@@ -431,7 +431,9 @@ def quant_q2_0(x: np.ndarray) -> np.ndarray:
     amax = np.max(np.abs(x), axis=1)
     d = -amax
     inv_d = np.where(d != 0.0, 1.0 / np.where(d == 0.0, 1.0, d), 0.0)
-    q = np.minimum(3.0, np.round(x * inv_d[:, None] + 2.0)).astype(np.uint8)  # 1..3
+    # roundf = half-away-from-zero; the operand x/d + 2 is always >= 0, so
+    # floor(v + 0.5) matches (np.round would tie-to-even and flip exact .5s)
+    q = np.minimum(3.0, np.floor(x * inv_d[:, None] + 2.0 + 0.5)).astype(np.uint8)  # 1..3
     shifts = np.arange(4, dtype=np.uint8) * 2
     packed = (q.reshape(-1, 8, 4) << shifts[None, None, :]).sum(axis=2).astype(np.uint8)
     out = np.empty((x.shape[0], 10), dtype=np.uint8)
@@ -515,6 +517,121 @@ def quant_q6_k(x: np.ndarray) -> np.ndarray:
         out[:, 128 + half * 32 : 128 + (half + 1) * 32] = qh
     out[:, 192:208] = sc.view(np.uint8)
     out[:, 208:210] = d.astype(np.float16)[:, None].view(np.uint8)
+    return out.reshape(-1)
+
+
+def quant_q8_k(x: np.ndarray) -> np.ndarray:
+    """Quantize float array (multiple of 256) to ggml Q8_K super-blocks.
+
+    Bit-compatible with quantize_row_q8_K_reference
+    (/root/reference/mllm/backends/cpu/third_party/ggml/QuantizeQ8.cpp:216-251):
+    iscale = -128/max (max = signed value of the abs-max element),
+    q = min(127, nearest_int(iscale*x)), d = 1/iscale, bsums = per-16 sums.
+    """
+    x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, QK_K)
+    nb = x.shape[0]
+    amax_idx = np.abs(x).argmax(axis=1)
+    mx = x[np.arange(nb), amax_idx]  # signed value at abs-max
+    amax = np.abs(mx)
+    iscale = np.where(amax > 0, -128.0 / np.where(mx != 0, mx, 1.0), 0.0)
+    # ggml nearest_int == round-half-to-even (magic-number add) == np.round
+    q = np.minimum(127, np.round(x * iscale[:, None])).astype(np.int8)
+    q = np.where(amax[:, None] > 0, q, np.int8(0))
+    d = np.where(iscale != 0, 1.0 / np.where(iscale != 0, iscale, 1.0), 0.0).astype(np.float32)
+    bsums = q.reshape(nb, 16, 16).astype(np.int32).sum(axis=2).astype(np.int16)
+    out = np.zeros((nb, 4 + QK_K + 32), dtype=np.uint8)
+    out[:, 0:4] = d[:, None].view(np.uint8)
+    out[:, 4 : 4 + QK_K] = q.view(np.uint8)
+    out[:, 4 + QK_K :] = bsums.view(np.uint8).reshape(nb, 32)
+    return out.reshape(-1)
+
+
+def quant_q2_k(x: np.ndarray) -> np.ndarray:
+    """Quantize float array (multiple of 256) to ggml Q2_K super-blocks.
+
+    Simplified (no ggml make_qkx2_quants search — same precedent as
+    quant_q4_k): per-16-group affine quant with 4-bit sub-scales/mins,
+    identical container layout to dequant_q2_k / QuantizeQ2.cpp.
+    """
+    x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, QK_K)
+    nb = x.shape[0]
+    g = x.reshape(nb, 16, 16)
+    gmin = np.minimum(g.min(axis=2), 0.0)  # [nb, 16]
+    gmax = np.maximum(g.max(axis=2), 0.0)
+    scale = (gmax - gmin) / 3.0  # q in 0..3
+    neg_min = -gmin
+    d = scale.max(axis=1) / 15.0  # 4-bit sub-scales
+    dmin = neg_min.max(axis=1) / 15.0
+    # round the super scales through fp16 first so sub-scale rounding sees
+    # the stored values (they are stored as f16 in the block)
+    d = d.astype(np.float16).astype(np.float32)
+    dmin = dmin.astype(np.float16).astype(np.float32)
+    d_safe = np.where(d > 0, d, 1.0)
+    dmin_safe = np.where(dmin > 0, dmin, 1.0)
+    ls = np.clip(np.round(scale / d_safe[:, None]), 0, 15).astype(np.uint8)  # [nb, 16]
+    lm = np.clip(np.round(neg_min / dmin_safe[:, None]), 0, 15).astype(np.uint8)
+    eff_scale = d[:, None] * ls.astype(np.float32)
+    eff_min = dmin[:, None] * lm.astype(np.float32)
+    es = np.where(eff_scale > 0, eff_scale, 1.0)
+    q = np.clip(np.round((g + eff_min[:, :, None]) / es[:, :, None]), 0, 3).astype(np.uint8)
+
+    out = np.zeros((nb, 84), dtype=np.uint8)
+    out[:, 0:16] = ls | (lm << 4)  # scales: low nibble = scale, high = min
+    # quants: mirror dequant_q2_k — byte b of half h packs, at 2-bit lanes
+    # `shift`, element (h*128 + shift*32 + b) with sub-group b//16
+    q256 = q.reshape(nb, 256)
+    qs = np.zeros((nb, 64), dtype=np.uint8)
+    for half in range(2):
+        for shift in range(4):
+            vals = q256[:, half * 128 + shift * 32 : half * 128 + shift * 32 + 32]
+            qs[:, half * 32 : half * 32 + 32] |= vals << (2 * shift)
+    out[:, 16:80] = qs
+    out[:, 80:82] = d.astype(np.float16)[:, None].view(np.uint8)
+    out[:, 82:84] = dmin.astype(np.float16)[:, None].view(np.uint8)
+    return out.reshape(-1)
+
+
+def quant_q3_k(x: np.ndarray) -> np.ndarray:
+    """Quantize float array (multiple of 256) to ggml Q3_K super-blocks.
+
+    Simplified (no ggml make_q3_quants search): per-16-group symmetric int3
+    (q in -4..3) with 6-bit signed sub-scales, identical container layout to
+    dequant_q3_k / QuantizeQ3.cpp.
+    """
+    x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, QK_K)
+    nb = x.shape[0]
+    g = x.reshape(nb, 16, 16)
+    amax = np.abs(g).max(axis=2)  # [nb, 16]
+    gscale = amax / 4.0  # q range -4..3
+    d = gscale.max(axis=1) / 31.0  # 6-bit signed sub-scales (use 0..31)
+    d = d.astype(np.float16).astype(np.float32)
+    d_safe = np.where(d > 0, d, 1.0)
+    aux = np.clip(np.round(gscale / d_safe[:, None]), -32, 31).astype(np.int8)  # [nb, 16]
+    eff = d[:, None] * aux.astype(np.float32)
+    es = np.where(eff != 0, eff, 1.0)
+    q = np.clip(np.round(g / es[:, :, None]), -4, 3).astype(np.int8)  # [nb,16,16]
+    q256 = (q.reshape(nb, 256) + 4).astype(np.uint8)  # 0..7
+
+    out = np.zeros((nb, 110), dtype=np.uint8)
+    qs = np.zeros((nb, 64), dtype=np.uint8)
+    hmask = np.zeros((nb, 32), dtype=np.uint8)
+    for half in range(2):
+        for shift in range(4):
+            vals = q256[:, half * 128 + shift * 32 : half * 128 + shift * 32 + 32]
+            qs[:, half * 32 : half * 32 + 32] |= (vals & 3) << (2 * shift)
+            hmask |= (vals >> 2) << (half * 4 + shift)  # 1 bit: q >= 0 after -4
+    out[:, 0:32] = hmask
+    out[:, 32:96] = qs
+    # pack 16 6-bit scales into 12 bytes (inverse of the dequant kmask scheme)
+    sa = (aux + 32).astype(np.uint8)  # 0..63
+    sc = np.zeros((nb, 12), dtype=np.uint8)
+    for j in range(8):
+        sc[:, j] = (sa[:, j] & 0xF) | ((sa[:, j + 8] & 0xF) << 4)
+    for j in range(8):
+        sc[:, 8 + j % 4] |= ((sa[:, j] >> 4) & 3) << (2 * (j // 4))
+        sc[:, 8 + j % 4] |= ((sa[:, j + 8] >> 4) & 3) << (2 * (j // 4 + 2))
+    out[:, 96:108] = sc
+    out[:, 108:110] = d.astype(np.float16)[:, None].view(np.uint8)
     return out.reshape(-1)
 
 

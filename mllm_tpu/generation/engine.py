@@ -100,8 +100,15 @@ class ContinuousEngine:
                sampling: Optional[SamplingConfig] = None) -> queue.Queue:
         """Returns a queue yielding token ids, then None when finished."""
         out: queue.Queue = queue.Queue()
-        self.pending.put(_Request(np.asarray(prompt_ids, np.int32).reshape(-1),
-                                  max_tokens, out, time.perf_counter(),
+        ids = np.asarray(prompt_ids, np.int32).reshape(-1)
+        # capacity guard: past max_len the slot cache would silently drop KV
+        # writes (SlotKVCache.update_layer mode="drop") while pos advanced,
+        # decoding over stale rows — reject instead of corrupting.
+        if len(ids) >= self.max_len:
+            raise ValueError(
+                f"prompt length {len(ids)} >= engine max_len {self.max_len}")
+        max_tokens = min(max_tokens, self.max_len - len(ids))
+        self.pending.put(_Request(ids, max_tokens, out, time.perf_counter(),
                                   sampling or SamplingConfig()))
         return out
 
@@ -124,8 +131,9 @@ class ContinuousEngine:
         logits, self.cache = _admit_step(
             self.model, self.cache, jnp.asarray(slot, jnp.int32),
             jnp.asarray(ids), jnp.asarray(min(n, bucket), jnp.int32), bucket)
-        tok = int(np.asarray(sample_token(jax.random.PRNGKey(self.steps), logits,
-                                          r.sampling))[0])
+        tok = int(np.asarray(sample_token(
+            jax.random.fold_in(jax.random.PRNGKey(self.steps), slot), logits,
+            r.sampling))[0])
         self.req[slot] = r
         self.emitted[slot] = 0
         self.cur[slot] = tok

@@ -26,7 +26,10 @@ def build_model(cfg: TextConfig, loader, dtype=jnp.bfloat16, quant=None):
     """Dispatch on model_type to the right architecture builder."""
     mt = cfg.model_type
     if mt in ("qwen2", "qwen3", "llama", "mistral", "gemma", "gemma2", "stablelm",
-              "phi3", "phonelm", "smollm", "dclm", "tinyllama"):
+              "phi3", "phonelm", "smollm", "dclm", "tinyllama", "minicpm"):
+        # minicpm dense = llama topology + scale_depth/scale_emb/dim_model_base
+        # multipliers carried in TextConfig (reference
+        # models/minicpm/modeling_minicpm.hpp:62-65,126-128)
         return load_causal_lm(loader, cfg, dtype, quant)
     if mt in ("mixtral", "qwen2_moe", "minicpm_moe", "bailing_moe", "smallthinker"):
         from .moe import load_moe_mlp

@@ -322,16 +322,21 @@ def ntk_scale_theta(theta: float, head_dim: int, factor: float) -> float:
 
 
 def longrope_scale(inv_freq: np.ndarray, rope_scaling: dict, max_position: int,
-                   theta: float) -> tuple[np.ndarray, float]:
+                   theta: float, which: str = "auto") -> tuple[np.ndarray, float]:
     """Phi3 LongRope: per-frequency long/short rescale factors + attention
-    scaling (reference op/CPUNTKRoPE.cpp get_sin_cos_emb_hf; HF
+    scaling (reference op/CPUNTKRoPE.cpp:49-52 get_sin_cos_emb_hf; HF
     _compute_longrope_parameters).  Returns (inv_freq, attention_factor).
 
-    Long factors apply when the table is built past the original context
-    (the reference selects by current seq_len — same branch once the
-    sequence exceeds the original window)."""
+    which: 'short' | 'long' | 'auto'.  The reference and HF select long
+    factors when the *runtime* seq_len exceeds the original window — callers
+    wanting exact parity build both tables and pick per call
+    (LongRopeEmbedding); 'auto' keeps the build-time heuristic
+    (max_position > orig) for one-table uses.  The attention factor is the
+    same for both branches (HF computes it from the config ratio alone)."""
     orig = rope_scaling.get("original_max_position_embeddings", max_position)
-    ext = rope_scaling.get("long_factor") if max_position > orig else rope_scaling.get("short_factor")
+    if which == "auto":
+        which = "long" if max_position > orig else "short"
+    ext = rope_scaling.get(f"{which}_factor")
     if ext is not None:
         ext = np.asarray(ext, np.float64)
         inv_freq = inv_freq / ext
@@ -418,6 +423,23 @@ class RotaryEmbedding(Module):
             elif typ == "linear":
                 inv = inv / rope_scaling.get("factor", 1.0)
             elif typ == "longrope":
+                orig = rope_scaling.get("original_max_position_embeddings", max_position)
+                if rope_scaling.get("short_factor") is not None and max_position > orig:
+                    # both branches reachable at runtime: build both tables
+                    # and select by seq_len per call (HF/reference semantics)
+                    inv_s, attn_scale = longrope_scale(inv, rope_scaling, max_position,
+                                                       theta, which="short")
+                    inv_l, _ = longrope_scale(inv, rope_scaling, max_position,
+                                              theta, which="long")
+                    t = np.arange(max_position, dtype=np.float64)
+                    fs, fl = np.outer(t, inv_s), np.outer(t, inv_l)
+                    return LongRopeEmbedding(
+                        jnp.asarray(np.sin(fs) * attn_scale, dtype),
+                        jnp.asarray(np.cos(fs) * attn_scale, dtype),
+                        jnp.asarray(np.sin(fl) * attn_scale, dtype),
+                        jnp.asarray(np.cos(fl) * attn_scale, dtype),
+                        int(orig), style, rot_dim=rot_dim,
+                    )
                 inv, attn_scale = longrope_scale(inv, rope_scaling, max_position, theta)
             elif typ == "yarn":
                 inv, attn_scale = yarn_scale(inv, rope_scaling, max_position, theta, rot_dim)
@@ -434,6 +456,39 @@ class RotaryEmbedding(Module):
         """x: [..., S, H, D] (seq axis = -3); positions: broadcastable to [..., S]."""
         sin = jnp.take(self.sin, positions, axis=0)[..., None, :]  # [..., S, 1, rot/2]
         cos = jnp.take(self.cos, positions, axis=0)[..., None, :]
+        return apply_rotary(x, sin, cos, self.style, self.rot_dim)
+
+
+class LongRopeEmbedding(Module):
+    """Phi3 LongRope with runtime long/short selection.
+
+    The reference (op/CPUNTKRoPE.cpp:49-52) and HF
+    (modeling_rope_utils.longrope_frequency_update) pick LONG rescale factors
+    when the current seq_len (= max position + 1) exceeds the original
+    pretraining window, SHORT otherwise — a per-call, data-dependent choice.
+    Both sin/cos tables are precomputed; selection is one traced `where`
+    (gathers from both tables, negligible next to the attention matmuls)."""
+
+    def __init__(self, sin_short, cos_short, sin_long, cos_long,
+                 original_max_position: int, style: str = "hf",
+                 rot_dim: int | None = None):
+        self.sin_short = sin_short  # [max_pos, rot/2]
+        self.cos_short = cos_short
+        self.sin_long = sin_long
+        self.cos_long = cos_long
+        self.original_max_position = original_max_position
+        self.style = style
+        self.rot_dim = rot_dim if rot_dim is not None else 2 * sin_short.shape[-1]
+
+    def __call__(self, x, positions):
+        pos = jnp.asarray(positions)
+        use_long = (jnp.max(pos) + 1) > self.original_max_position  # traced scalar
+        sin_s = jnp.take(self.sin_short, pos, axis=0)[..., None, :]
+        cos_s = jnp.take(self.cos_short, pos, axis=0)[..., None, :]
+        sin_l = jnp.take(self.sin_long, pos, axis=0)[..., None, :]
+        cos_l = jnp.take(self.cos_long, pos, axis=0)[..., None, :]
+        sin = jnp.where(use_long, sin_l, sin_s)
+        cos = jnp.where(use_long, cos_l, cos_s)
         return apply_rotary(x, sin, cos, self.style, self.rot_dim)
 
 

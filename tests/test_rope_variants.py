@@ -89,6 +89,45 @@ def test_phi3_longrope_short_branch_logits_match_hf(tmp_path):
     np.testing.assert_allclose(np.asarray(logits), ref, rtol=2e-3, atol=2e-3)
 
 
+def test_phi3_longrope_short_seq_on_128k_config_matches_hf(tmp_path):
+    """The runtime-selection case (round-2 advisor finding): a 128k
+    max_position config evaluated on a SHORT (< original window) sequence
+    must use SHORT factors — HF/reference select by runtime seq_len
+    (modeling_rope_utils.longrope_frequency_update; CPUNTKRoPE.cpp:49-52),
+    not by table size."""
+    import transformers
+
+    rot_half = 8
+    long_f = [1.0 + 0.35 * i for i in range(rot_half)]
+    short_f = [1.0 + 0.05 * i for i in range(rot_half)]
+    kw = dict(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=131072, original_max_position_embeddings=4096,
+        rope_theta=10000.0,
+        rope_scaling={"type": "longrope", "long_factor": long_f, "short_factor": short_f},
+        tie_word_embeddings=False, torch_dtype="float32",
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(0)
+    hf = transformers.Phi3ForCausalLM(transformers.Phi3Config(**kw)).eval()
+    d = tmp_path / "phi3lr_short"
+    hf.save_pretrained(d)
+
+    from mllm_tpu.models.registry import auto_model
+    from mllm_tpu.nn.layers import LongRopeEmbedding
+
+    model, _, cfg = auto_model(str(d), dtype=jnp.float32, with_tokenizer=False)
+    assert isinstance(model.rope, LongRopeEmbedding)  # dual-table variant
+
+    ids = np.random.default_rng(1).integers(0, 128, (1, 48)).astype(np.int64)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids)).logits.numpy()
+    cache = model.init_cache(1, 64, jnp.float32)
+    logits, _ = model(jnp.asarray(ids, jnp.int32), cache, last_only=False)
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=2e-3, atol=2e-3)
+
+
 def test_yarn_logits_match_hf(tmp_path):
     """LLaMA + YaRN rope_scaling: logits parity vs transformers."""
     import transformers

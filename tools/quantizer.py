@@ -6,7 +6,8 @@ Counterpart of /root/reference/tools/quantizer/ (main_quantize.cpp:32-50 flag
 fp32).
 
   python tools/quantizer.py model.mllm model_q4_k.mllm Q4_K
-Supported: Q4_0, Q8_0, Q4_K, Q6_K
+Supported: Q4_0, Q8_0, Q2_0, Q4_K, Q6_K, Q2_K, Q3_K, Q8_K
+(the reference's full writer set, main_quantize.cpp:36-46)
 """
 
 import argparse
@@ -38,7 +39,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("input")
     ap.add_argument("output")
-    ap.add_argument("dtype", choices=["Q4_0", "Q8_0", "Q4_K", "Q6_K", "Q2_0"])
+    ap.add_argument("dtype", choices=["Q4_0", "Q8_0", "Q4_K", "Q6_K", "Q2_0",
+                                      "Q2_K", "Q3_K", "Q8_K"])
     args = ap.parse_args()
 
     quant_fn = {
@@ -47,6 +49,9 @@ def main():
         "Q4_K": (dt.quant_q4_k, dt.DataType.Q4_K),
         "Q6_K": (dt.quant_q6_k, dt.DataType.Q6_K),
         "Q2_0": (dt.quant_q2_0, dt.DataType.Q2_0),
+        "Q2_K": (dt.quant_q2_k, dt.DataType.Q2_K),
+        "Q3_K": (dt.quant_q3_k, dt.DataType.Q3_K),
+        "Q8_K": (dt.quant_q8_k, dt.DataType.Q8_K),
     }[args.dtype]
 
     src = ParamLoader(args.input)
