@@ -74,7 +74,13 @@ def build_model(cfg: TextConfig, quant, stacked: bool = False):
     program: round 1 spent ~78 s per config because each of ~340 leaves was
     its own dispatch through the remote relay (plus host-side staging).  One
     program = one compile (persistently cached) + one dispatch, and nothing
-    bulk ever crosses the host-device link."""
+    bulk ever crosses the host-device link.
+
+    PRNG: rbg keys, not threefry — XLA spends 200-380 s *compiling* the
+    threefry path for a 1.8 B-param init (the round-2 "b32 load_s 380"
+    regression was exactly this, paid by whichever config ran first); the
+    hardware RNG compiles in ~3 s and the bench only needs non-degenerate
+    weights, not reproducible high-quality randomness."""
     from mllm_tpu.nn.layers import RotaryEmbedding, rope_inv_freq
 
     dev = jax.devices()[0]
@@ -84,7 +90,7 @@ def build_model(cfg: TextConfig, quant, stacked: bool = False):
     def mk(key, inv):
         # init ONE vmapped block (O(1)-size HLO), quantize the stacked
         # leaves, then slice out the unrolled layers — all in this program
-        m = CausalLM.init_stacked(key, cfg, dtype=jnp.bfloat16)
+        m = CausalLM.init_stacked(key, cfg, dtype=jnp.bfloat16, with_rope=False)
         ang = jnp.arange(ROPE_TABLE_LEN, dtype=jnp.float32)[:, None] * inv[None, :]
         m = m.replace(rope=RotaryEmbedding(jnp.sin(ang), jnp.cos(ang),
                                            cfg.rope_style, rot_dim))
@@ -95,7 +101,7 @@ def build_model(cfg: TextConfig, quant, stacked: bool = False):
         return m if stacked else m.unstack()
 
     with jax.default_device(dev):
-        model = jax.jit(mk)(jax.random.PRNGKey(0), inv)
+        model = jax.jit(mk)(jax.random.key(0, impl="rbg"), inv)
         np.asarray(jax.tree.leaves(model)[0].reshape(-1)[:1])  # sync (relay-safe)
     return model
 
@@ -133,10 +139,10 @@ def bench_image_prefill() -> dict:
 
     with jax.default_device(dev):
         abs_tower = jax.eval_shape(
-            lambda: Qwen2VLVisionTower.init(jax.random.PRNGKey(1), vcfg, jnp.bfloat16).stack()
+            lambda: Qwen2VLVisionTower.init(jax.random.key(1, impl="rbg"), vcfg, jnp.bfloat16).stack()
         )
         leaves, treedef = jax.tree_util.tree_flatten(abs_tower)
-        keys = jax.random.split(jax.random.PRNGKey(1), max(len(leaves), 1))
+        keys = jax.random.split(jax.random.key(1, impl="rbg"), max(len(leaves), 1))
         filled = [jnp.ones(l.shape, l.dtype) if l.ndim <= 1
                   else _fill(k, tuple(l.shape), l.dtype) for l, k in zip(leaves, keys)]
         tower = jax.tree_util.tree_unflatten(treedef, filled)
@@ -228,6 +234,46 @@ def bench_image_prefill() -> dict:
     }
 
 
+def bench_engine() -> dict:
+    """Continuous-batching engine throughput at 8 slots (round-2 verdict
+    weak #6): the compiled decode window must keep the slot scheduler within
+    ~25% of the lockstep fori_loop's aggregate decode tok/s.  Protocol:
+    warm round compiles admit+window programs; timed round = 8 concurrent
+    256-token generations, aggregate tok/s over wall time."""
+    from mllm_tpu.generation.engine import ContinuousEngine, collect
+
+    t0 = time.perf_counter()
+    model = build_model(QWEN2VL_2B_LM, "int8")
+    t_load = time.perf_counter() - t0
+
+    eng = ContinuousEngine(model, slots=8, max_len=MAX_LEN,
+                           prompt_bucket=PROMPT_LEN, eos_token_id=-7,
+                           start_thread=False, decode_window=32)
+    rng = np.random.default_rng(0)
+
+    def run_round(n_req, n_tok):
+        qs = [eng.submit(rng.integers(0, QWEN2VL_2B_LM.vocab_size, PROMPT_LEN,
+                                      dtype=np.int32), n_tok)
+              for _ in range(n_req)]
+        t0 = time.perf_counter()
+        while any(r is not None for r in eng.req) or not eng.pending.empty():
+            eng.step()
+        dt = time.perf_counter() - t0
+        total = sum(len(collect(q, timeout=1)) for q in qs)
+        return total, dt
+
+    run_round(8, 33)  # compile admit + window programs
+    total, dt = run_round(8, 256)
+    return {
+        "config": "qwen2vl-2b-engine-8slot",
+        "batch": 8,
+        "load_s": round(t_load, 2),
+        "window": eng.window,
+        "decode_tps": round(total / dt, 1),
+        "tokens": total,
+    }
+
+
 def bench_config(name: str) -> dict:
     cfg, quant, batch, *rest = CONFIGS[name]
     kv_dtype = rest[0] if rest else "bf16"
@@ -310,8 +356,11 @@ def _timeit(fn):
 def main():
     from mllm_tpu.utils.runtime import enable_compilation_cache
 
-    enable_compilation_cache()
-    all_names = list(CONFIGS) + ["qwen2vl-2b-image-prefill"]
+    # force=True: bench programs are TPU executables (the CPU machine-feature
+    # mismatch the opt-in protects against cannot occur), and a warm cache
+    # turns the ~78 s cold model-build compile into seconds on driver reruns
+    enable_compilation_cache(force=jax.default_backend() == "tpu")
+    all_names = list(CONFIGS) + ["qwen2vl-2b-image-prefill", "qwen2vl-2b-engine-8slot"]
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default=None, choices=all_names)
     ap.add_argument("--all", action="store_true")
@@ -323,12 +372,15 @@ def main():
         names = [args.config]
     else:  # default driver run: decode headline(s) + image-prefill + int4
         names = ["qwen2vl-2b-int8-b32", "qwen2vl-2b-int8-b8",
-                 "qwen2vl-2b-image-prefill", "qwen2vl-2b-int4"]
+                 "qwen2vl-2b-image-prefill", "qwen2vl-2b-int4",
+                 "qwen2vl-2b-engine-8slot"]
     details = []
     for n in names:
         try:
             if n == "qwen2vl-2b-image-prefill":
                 details.append(bench_image_prefill())
+            elif n == "qwen2vl-2b-engine-8slot":
+                details.append(bench_engine())
             else:
                 details.append(bench_config(n))
             print(json.dumps(details[-1]), file=sys.stderr)

@@ -34,15 +34,47 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..kv.cache import KVCache, SlotKVCache
+from ..nn.module import Module
 from .sampling import SamplingConfig, sample_token
 
 
-@functools.partial(jax.jit, donate_argnames=("cache",), static_argnames=("bucket",))
-def _admit_step(model, cache: SlotKVCache, slot, ids, true_len, bucket: int):
-    """Prefill `ids` [1, bucket] (true_len valid) and install into `slot`.
+class SchedState(Module):
+    """Device-resident scheduler state: ONE pytree that lives on the chip
+    between windows so the steady-state loop is exactly one dispatch + one
+    fetch per window — no per-window host->device uploads (each transfer
+    through the remote relay costs ~25 ms, which at window=16 halved the
+    engine's throughput)."""
 
-    Returns (last-token logits [1, V], cache with slot written, pos[slot]
-    set to true_len)."""
+    def __init__(self, cur, active, budget, temperature, top_k, top_p, key):
+        self.cur = cur  # [B] int32 current token per slot
+        self.active = active  # [B] bool
+        self.budget = budget  # [B] int32 remaining tokens per slot
+        self.temperature = temperature  # [B] f32 (<=0 -> greedy)
+        self.top_k = top_k  # [B] int32 (0 -> off)
+        self.top_p = top_p  # [B] f32 (0 -> off)
+        self.key = key  # PRNG key, split every window
+
+    @staticmethod
+    def init(slots: int, seed: int = 0) -> "SchedState":
+        return SchedState(
+            jnp.zeros(slots, jnp.int32), jnp.zeros(slots, bool),
+            jnp.zeros(slots, jnp.int32), jnp.zeros(slots, jnp.float32),
+            jnp.zeros(slots, jnp.int32), jnp.zeros(slots, jnp.float32),
+            jax.random.PRNGKey(seed))
+
+
+@functools.partial(jax.jit, donate_argnames=("cache", "state"),
+                   static_argnames=("bucket",))
+def _admit_step(model, cache: SlotKVCache, state: SchedState, slot, ids,
+                true_len, max_tokens, temperature, top_k, top_p, bucket: int):
+    """Prefill `ids` [1, bucket] (true_len valid), install into `slot`,
+    sample the first token ON DEVICE, and update the scheduler state.
+
+    Returns (tok [1] int32, cache, state).  Nothing syncs to the host — the
+    scheduler keeps the token as a lazy device scalar and fetches it together
+    with the next decode window (one round-trip per window, not per admit)."""
+    from .sampling import sample_tokens_batched
+
     cfg = model.cfg
     small = KVCache.init(cache.n_layers, 1, bucket, cfg.num_key_value_heads,
                          cfg.head_dim_, cache.k.dtype)
@@ -50,7 +82,18 @@ def _admit_step(model, cache: SlotKVCache, slot, ids, true_len, bucket: int):
     last = jax.lax.dynamic_slice_in_dim(hidden, true_len - 1, 1, axis=1)
     logits = model.logits(last)
     cache = cache.admit(slot, small, true_len)
-    return logits[:, 0, :], cache
+    key, sub = jax.random.split(state.key)
+    tok = sample_tokens_batched(jax.random.fold_in(sub, slot), logits[:, 0, :],
+                                temperature[None], top_k[None], top_p[None])
+    state = SchedState(
+        state.cur.at[slot].set(tok[0]),
+        state.active.at[slot].set(True),
+        state.budget.at[slot].set(max_tokens - 1),  # first token emitted by host
+        state.temperature.at[slot].set(temperature),
+        state.top_k.at[slot].set(top_k),
+        state.top_p.at[slot].set(top_p),
+        key)
+    return tok, cache, state
 
 
 @functools.partial(jax.jit, donate_argnames=("cache",))
@@ -58,6 +101,48 @@ def _slot_decode(model, cache: SlotKVCache, toks):
     """One decode step for every slot: toks [B] -> (logits [B, V], cache)."""
     logits, cache = model(toks[:, None], cache, last_only=True)
     return logits[:, 0, :], cache
+
+
+@functools.partial(jax.jit, donate_argnames=("cache", "state"),
+                   static_argnames=("steps",))
+def _decode_window(model, cache: SlotKVCache, state: SchedState, eos_ids,
+                   steps: int):
+    """`steps` fused decode iterations with on-device per-slot sampling.
+
+    The round-2 engine synced logits to the host and ran Python sampling
+    every token (one relay round-trip per step); this window syncs ONCE per
+    `steps` tokens, and all loop state (tokens, activity, budgets, sampling
+    params, PRNG) lives in the device-resident SchedState.  Slots sample
+    with their own (temperature, top_k, top_p) via sample_tokens_batched;
+    EOS/budget exhaustion deactivates a slot in-device and its remaining
+    window positions emit -1.
+
+    Returns (out [B, steps] int32 with -1 padding, cache, state').
+    """
+    from .sampling import sample_tokens_batched
+
+    key, sub = jax.random.split(state.key)
+
+    def body(i, carry):
+        toks, cache, out, active, budget = carry
+        logits, cache = model(toks[:, None], cache, last_only=True)
+        nxt = sample_tokens_batched(jax.random.fold_in(sub, i), logits[:, 0, :],
+                                    state.temperature, state.top_k, state.top_p)
+        emit = active & (budget > 0)
+        nxt = jnp.where(emit, nxt, -1)
+        out = out.at[:, i].set(nxt)
+        budget = budget - emit.astype(jnp.int32)
+        hit_eos = jnp.any(nxt[:, None] == eos_ids[None, :], axis=1)
+        active = emit & ~hit_eos & (budget > 0)
+        toks = jnp.where(nxt >= 0, nxt, toks)  # keep last valid token
+        return toks, cache, out, active, budget
+
+    out = jnp.full((state.cur.shape[0], steps), -1, jnp.int32)
+    toks, cache, out, active, budget = jax.lax.fori_loop(
+        0, steps, body, (state.cur, cache, out, state.active, state.budget))
+    state = SchedState(toks, active, budget, state.temperature, state.top_k,
+                       state.top_p, key)
+    return out, cache, state
 
 
 @dataclass
@@ -74,21 +159,29 @@ class ContinuousEngine:
 
     def __init__(self, model, *, slots: int = 8, max_len: int = 2048,
                  prompt_bucket: int = 128, eos_token_id=None,
-                 kv_dtype=jnp.bfloat16, start_thread: bool = True):
+                 kv_dtype=jnp.bfloat16, start_thread: bool = True,
+                 decode_window: int = 8):
         cfg = model.cfg
         self.model = model
         self.slots = slots
         self.max_len = max_len
         self.bucket = prompt_bucket
+        # decode_window: tokens decoded per compiled window (host syncs once
+        # per window; admission happens between windows).  1 = the old
+        # step-per-token behavior.
+        self.window = max(1, decode_window)
         self.cache = SlotKVCache.init(
             cfg.num_hidden_layers, slots, max_len, cfg.num_key_value_heads,
             cfg.head_dim_, kv_dtype)
         e = eos_token_id if eos_token_id is not None else cfg.eos_token_id
         self.eos = set(e) if isinstance(e, (tuple, list, set)) else {e}
+        self._eos_arr = jnp.asarray(sorted(self.eos) or [-9999], jnp.int32)
         self.pending: queue.Queue = queue.Queue()
         self.req: list[Optional[_Request]] = [None] * slots
         self.emitted = [0] * slots
         self.cur = np.zeros(slots, np.int32)
+        self._state = SchedState.init(slots)  # device-resident between windows
+        self._first: dict = {}  # slot -> pending first-token device scalar
         self.steps = 0
         self._stop = False
         if start_thread:
@@ -123,21 +216,25 @@ class ContinuousEngine:
         return None
 
     def _admit(self, slot: int, r: _Request):
+        """Prefill + install into `slot`; the first token stays a LAZY device
+        scalar (self._first[slot]) fetched at the next window boundary —
+        admission never blocks on the host."""
         n = len(r.ids)
         bucket = -(-max(n, 1) // self.bucket) * self.bucket
         bucket = min(bucket, self.max_len)
         ids = np.zeros((1, bucket), np.int32)
         ids[0, :n] = r.ids[:bucket]
-        logits, self.cache = _admit_step(
-            self.model, self.cache, jnp.asarray(slot, jnp.int32),
-            jnp.asarray(ids), jnp.asarray(min(n, bucket), jnp.int32), bucket)
-        tok = int(np.asarray(sample_token(
-            jax.random.fold_in(jax.random.PRNGKey(self.steps), slot), logits,
-            r.sampling))[0])
+        s = r.sampling
+        tok, self.cache, self._state = _admit_step(
+            self.model, self.cache, self._state, jnp.asarray(slot, jnp.int32),
+            jnp.asarray(ids), jnp.asarray(min(n, bucket), jnp.int32),
+            jnp.asarray(r.max_tokens, jnp.int32),
+            jnp.asarray(s.temperature if s.do_sample else 0.0, jnp.float32),
+            jnp.asarray(s.top_k if s.do_sample else 0, jnp.int32),
+            jnp.asarray(s.top_p if s.do_sample else 0.0, jnp.float32), bucket)
         self.req[slot] = r
         self.emitted[slot] = 0
-        self.cur[slot] = tok
-        self._emit(slot, tok)
+        self._first[slot] = tok
 
     def _emit(self, slot: int, tok: int):
         r = self.req[slot]
@@ -161,20 +258,29 @@ class ContinuousEngine:
             self._admit(slot, r)
             worked = True
         if any(r is not None for r in self.req):
-            logits, self.cache = _slot_decode(self.model, self.cache,
-                                              jnp.asarray(self.cur))
+            firsts = self._first
+            self._first = {}
             self.steps += 1
-            logits_np = None
-            for slot, r in enumerate(self.req):
-                if r is None:
-                    continue
-                if logits_np is None:
-                    logits_np = logits  # fetched lazily once
-                tok = int(np.asarray(sample_token(
-                    jax.random.fold_in(jax.random.PRNGKey(self.steps), slot),
-                    logits_np[slot:slot + 1], r.sampling))[0])
-                self.cur[slot] = tok
-                self._emit(slot, tok)
+            out, self.cache, self._state = _decode_window(
+                self.model, self.cache, self._state, self._eos_arr, self.window)
+            # ONE host round-trip per window: pending first tokens + the
+            # window tokens fetched together (everything else stays on chip)
+            slots_f = sorted(firsts)
+            fetched = jax.device_get([firsts[s] for s in slots_f] + [out])
+            out_np, first_np = fetched[-1], fetched[:-1]
+            for s, t in zip(slots_f, first_np):
+                self.cur[s] = int(t[0])
+                self._emit(s, int(t[0]))
+            for slot in range(self.slots):
+                if slot in firsts and self.req[slot] is None:
+                    continue  # first token already finished the request —
+                    # the window decoded past it; discard those tokens
+                for i in range(self.window):
+                    tok = int(out_np[slot, i])
+                    if tok < 0 or self.req[slot] is None:
+                        break
+                    self.cur[slot] = tok
+                    self._emit(slot, tok)
             worked = True
         return worked
 

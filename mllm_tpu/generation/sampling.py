@@ -52,6 +52,40 @@ def sample_top_p(key, logits: jax.Array, p: float, temperature: float = 1.0) -> 
     return jnp.take_along_axis(sorted_idx, choice[..., None], axis=-1)[..., 0].astype(jnp.int32)
 
 
+def sample_tokens_batched(key, logits: jax.Array, temperature: jax.Array,
+                          top_k: jax.Array, top_p: jax.Array) -> jax.Array:
+    """Per-slot sampling over a batch of logits, fully on device.
+
+    logits [B, V]; temperature/top_k/top_p are per-slot [B] arrays so one
+    compiled program serves any mix of request sampling configs (the
+    continuous engine's decode window): temperature <= 0 -> greedy,
+    top_k == 0 / top_p == 0 -> filter off.  Each slot folds its index into
+    `key` (independent streams)."""
+    b, v = logits.shape
+
+    def full_path(_):
+        keys = jax.vmap(lambda s: jax.random.fold_in(key, s))(jnp.arange(b))
+        t = jnp.maximum(temperature, 1e-6)[:, None].astype(jnp.float32)
+        scaled = logits.astype(jnp.float32) / t
+        sorted_desc = jnp.sort(scaled, axis=-1)[:, ::-1]
+        kk = jnp.clip(top_k, 1, v) - 1
+        kth = jnp.take_along_axis(sorted_desc, kk[:, None], axis=-1)
+        mask = jnp.where((top_k > 0)[:, None], scaled >= kth, True)
+        sp = jax.nn.softmax(sorted_desc, axis=-1)
+        cum = jnp.cumsum(sp, axis=-1)
+        keep_sorted = (cum - sp) < top_p[:, None]  # exclusive-cum < p, first always kept
+        minkeep = jnp.min(jnp.where(keep_sorted, sorted_desc, jnp.inf), axis=-1)
+        mask2 = mask & jnp.where((top_p > 0)[:, None], scaled >= minkeep[:, None], True)
+        masked = jnp.where(mask2, scaled, -jnp.inf)
+        sampled = jax.vmap(jax.random.categorical)(keys, masked)
+        return jnp.where(temperature <= 0, greedy(logits), sampled.astype(jnp.int32))
+
+    # all-greedy fast path: the sort/cumsum over [B, V] costs ~as much as a
+    # whole decode layer at V=152k — skip it unless some slot actually samples
+    return jax.lax.cond(jnp.all(temperature <= 0),
+                        lambda _: greedy(logits), full_path, operand=None)
+
+
 def sample_token(key, logits: jax.Array, cfg: SamplingConfig) -> jax.Array:
     """Unified entry used by the generate loops (static dispatch on cfg)."""
     if not cfg.do_sample:

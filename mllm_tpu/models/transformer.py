@@ -273,7 +273,8 @@ class CausalLM(Module):
         return CausalLM(embed, blocks, norm, lm_head, rope, cfg)
 
     @staticmethod
-    def init_stacked(key, cfg: TextConfig, dtype=jnp.float32) -> "CausalLM":
+    def init_stacked(key, cfg: TextConfig, dtype=jnp.float32,
+                     with_rope: bool = True) -> "CausalLM":
         """O(1)-trace init: ONE DecoderBlock traced, `vmap`ped over layers.
 
         Produces a leaf-stacked model (as .stack() would).  The unrolled
@@ -281,7 +282,12 @@ class CausalLM(Module):
         size — catastrophic through a remote-compile relay (313 s for a
         0.5B build vs seconds this way).  Use .unstack() for the unrolled
         block list.  Requires structurally-uniform blocks (same restriction
-        as .stack())."""
+        as .stack()).
+
+        with_rope=False skips the sin/cos table build (rope=None): the
+        host-numpy tables become multi-MB inline CONSTANTS when init runs
+        under jit (32k positions = 16 MB -> slow remote compiles); callers
+        that install their own in-program tables (bench.py) opt out."""
         k_embed, k_blocks, k_head = jax.random.split(key, 3)
         blk_keys = jax.random.split(k_blocks, cfg.num_hidden_layers)
         stacked = jax.vmap(lambda kk: DecoderBlock.init(kk, cfg, 0, dtype))(blk_keys)
@@ -290,10 +296,12 @@ class CausalLM(Module):
         lm_head = None
         if not cfg.tie_word_embeddings:
             lm_head = Linear.init(k_head, cfg.hidden_size, cfg.vocab_size, False, dtype)
-        rope = RotaryEmbedding.make(
-            cfg.head_dim_, cfg.max_position_embeddings, cfg.rope_theta,
-            cfg.rope_style, cfg.rope_partial, cfg.rope_scaling_dict(),
-        )
+        rope = None
+        if with_rope:
+            rope = RotaryEmbedding.make(
+                cfg.head_dim_, cfg.max_position_embeddings, cfg.rope_theta,
+                cfg.rope_style, cfg.rope_partial, cfg.rope_scaling_dict(),
+            )
         out = CausalLM(embed, ModuleList([]), norm, lm_head, rope, cfg)
         out.__dict__["stacked_blocks"] = stacked
         out.__dict__["n_stacked"] = cfg.num_hidden_layers

@@ -162,9 +162,18 @@ def sharded_generate(model, input_ids, mesh: Mesh, max_new_tokens: int,
     GSPMD inserts the ICI collectives from the parameter/cache shardings.
 
     Returns tokens [B, max_new_tokens] (-1 padded after EOS).  Token-exact vs
-    the single-device path (tests/test_parallel.py)."""
+    the single-device path (tests/test_parallel.py).
+
+    Geometries whose head counts don't divide tp (e.g. the flagship's
+    12 q / 2 kv on tp=8) are first rewritten exactly by pad_heads_for_tp
+    (GQA expansion + zero-pad q heads) so the KV cache and every projection
+    shard with nothing silently replicated."""
     import functools
 
+    from .heads import pad_heads_for_tp
+
+    tp = mesh.shape.get("tp", 1)
+    model = pad_heads_for_tp(model, tp)
     model = shard_model(model, mesh)
     b, true_len = input_ids.shape
     cache = shard_cache(model.init_cache(b, max_len, cache_dtype), mesh)

@@ -77,3 +77,43 @@ def test_engine_background_thread():
     out = collect(q, timeout=60)
     eng.stop()
     assert out == _single_stream(model, np.arange(6, dtype=np.int32) % 97, 5)
+
+
+def test_engine_sampled_topk1_matches_greedy():
+    """The compiled decode window samples per-slot on device
+    (sample_tokens_batched).  top_k=1 sampling must reduce to argmax —
+    pinning the batched top-k mask — while a greedy slot runs alongside
+    with its own (temperature=0) params."""
+    model, cfg = _tiny()
+    eng = ContinuousEngine(model, slots=2, max_len=64, prompt_bucket=16,
+                           kv_dtype=jnp.float32, start_thread=False,
+                           decode_window=4)
+    p = np.arange(5, dtype=np.int32) % 97
+    want = _single_stream(model, p, 6)
+    q0 = eng.submit(p, 6, SamplingConfig(max_new_tokens=6, do_sample=True,
+                                         top_k=1, temperature=0.8))
+    q1 = eng.submit(p, 6)  # greedy
+    for _ in range(8):
+        eng.step()
+    got0 = collect(q0, timeout=5)
+    got1 = collect(q1, timeout=5)
+    assert got0 == want
+    assert got1 == want
+
+
+def test_engine_capacity_guard():
+    """Prompts >= max_len are rejected; max_tokens is clamped to capacity
+    (round-2 advisor finding: silent KV drop past max_len)."""
+    import pytest
+
+    model, cfg = _tiny()
+    eng = ContinuousEngine(model, slots=2, max_len=32, prompt_bucket=16,
+                           kv_dtype=jnp.float32, start_thread=False)
+    with pytest.raises(ValueError):
+        eng.submit(np.zeros(40, np.int32), 4)
+    # 30-token prompt: max_tokens clamped to 2
+    q = eng.submit(np.arange(30, dtype=np.int32) % 97, 64)
+    for _ in range(12):
+        eng.step()
+    toks = collect(q, timeout=5)
+    assert len(toks) == 2
