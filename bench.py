@@ -248,7 +248,7 @@ def bench_engine() -> dict:
 
     eng = ContinuousEngine(model, slots=8, max_len=MAX_LEN,
                            prompt_bucket=PROMPT_LEN, eos_token_id=-7,
-                           start_thread=False, decode_window=32)
+                           start_thread=False, decode_window=32, pipeline=True)
     rng = np.random.default_rng(0)
 
     def run_round(n_req, n_tok):

@@ -96,6 +96,49 @@ def _admit_step(model, cache: SlotKVCache, state: SchedState, slot, ids,
     return tok, cache, state
 
 
+@functools.partial(jax.jit, donate_argnames=("cache", "state"),
+                   static_argnames=("bucket",))
+def _admit_batch(model, cache: SlotKVCache, state: SchedState, slot_ids, ids,
+                 true_lens, max_tokens, temperature, top_k, top_p, bucket: int):
+    """Admit up to A requests in ONE program: an [A, bucket] batched prefill
+    plus scatter installs — one dispatch instead of A, and the A prompts ride
+    the MXU together (a b=1 128-token prefill leaves most of the systolic
+    array idle).  Rows with slot_ids == n_slots are padding (scatter mode
+    'drop' discards them).
+
+    Returns (toks [A], cache, state)."""
+    from .sampling import sample_tokens_batched
+
+    cfg = model.cfg
+    a = ids.shape[0]
+    small = KVCache.init(cache.n_layers, a, bucket, cfg.num_key_value_heads,
+                         cfg.head_dim_, cache.k.dtype)
+    hidden, small = model.hidden_states(ids, small)
+    idx = jnp.arange(a)
+    last = hidden[idx, true_lens - 1]  # [A, D]
+    logits = model.logits(last[:, None, :])[:, 0, :]  # [A, V]
+    key, sub = jax.random.split(state.key)
+    toks = sample_tokens_batched(sub, logits, temperature, top_k, top_p)
+    pad = slot_ids >= cache.k.shape[1]  # padding rows
+    # single advanced index among slices keeps its axis position:
+    # [L, A, H_kv, bucket, D] both sides
+    k = cache.k.at[:, slot_ids, :, :bucket, :].set(
+        small.k.astype(cache.k.dtype), mode="drop")
+    v = cache.v.at[:, slot_ids, :, :bucket, :].set(
+        small.v.astype(cache.v.dtype), mode="drop")
+    pos = cache.pos.at[slot_ids].set(true_lens, mode="drop")
+    cache = SlotKVCache(k, v, pos)
+    state = SchedState(
+        state.cur.at[slot_ids].set(toks, mode="drop"),
+        state.active.at[slot_ids].set(~pad, mode="drop"),
+        state.budget.at[slot_ids].set(max_tokens - 1, mode="drop"),
+        state.temperature.at[slot_ids].set(temperature, mode="drop"),
+        state.top_k.at[slot_ids].set(top_k, mode="drop"),
+        state.top_p.at[slot_ids].set(top_p, mode="drop"),
+        key)
+    return toks, cache, state
+
+
 @functools.partial(jax.jit, donate_argnames=("cache",))
 def _slot_decode(model, cache: SlotKVCache, toks):
     """One decode step for every slot: toks [B] -> (logits [B, V], cache)."""
@@ -160,7 +203,7 @@ class ContinuousEngine:
     def __init__(self, model, *, slots: int = 8, max_len: int = 2048,
                  prompt_bucket: int = 128, eos_token_id=None,
                  kv_dtype=jnp.bfloat16, start_thread: bool = True,
-                 decode_window: int = 8):
+                 decode_window: int = 8, pipeline: bool = False):
         cfg = model.cfg
         self.model = model
         self.slots = slots
@@ -182,6 +225,9 @@ class ContinuousEngine:
         self.cur = np.zeros(slots, np.int32)
         self._state = SchedState.init(slots)  # device-resident between windows
         self._first: dict = {}  # slot -> pending first-token device scalar
+        self.pipeline = pipeline
+        self._inflight = None  # previous window's (out, firsts, gens) pack
+        self._gen = [0] * slots  # admission generation per slot
         self.steps = 0
         self._stop = False
         if start_thread:
@@ -235,6 +281,37 @@ class ContinuousEngine:
         self.req[slot] = r
         self.emitted[slot] = 0
         self._first[slot] = tok
+        self._gen[slot] += 1
+
+    def _admit_many(self, batch):
+        """Admit several bucket-sized requests in ONE batched program."""
+        a = self.slots
+        slot_ids = np.full(a, self.slots, np.int32)  # out-of-range = dropped
+        ids = np.zeros((a, self.bucket), np.int32)
+        lens = np.ones(a, np.int32)
+        mt = np.ones(a, np.int32)
+        temp = np.zeros(a, np.float32)
+        topk = np.zeros(a, np.int32)
+        topp = np.zeros(a, np.float32)
+        for row, (slot, r) in enumerate(batch):
+            n = len(r.ids)
+            slot_ids[row] = slot
+            ids[row, :n] = r.ids
+            lens[row] = max(n, 1)
+            mt[row] = r.max_tokens
+            s = r.sampling
+            temp[row] = s.temperature if s.do_sample else 0.0
+            topk[row] = s.top_k if s.do_sample else 0
+            topp[row] = s.top_p if s.do_sample else 0.0
+        toks, self.cache, self._state = _admit_batch(
+            self.model, self.cache, self._state, jnp.asarray(slot_ids),
+            jnp.asarray(ids), jnp.asarray(lens), jnp.asarray(mt),
+            jnp.asarray(temp), jnp.asarray(topk), jnp.asarray(topp), self.bucket)
+        for row, (slot, r) in enumerate(batch):
+            self.req[slot] = r
+            self.emitted[slot] = 0
+            self._first[slot] = toks[row : row + 1]
+            self._gen[slot] += 1
 
     def _emit(self, slot: int, tok: int):
         r = self.req[slot]
@@ -244,9 +321,38 @@ class ContinuousEngine:
             r.out.put(None)  # finished sentinel
             self.req[slot] = None
 
+    def _drain(self, out, firsts, gens):
+        """Fetch + emit one window's tokens (the only host round-trip).
+
+        gens: per-slot admission-generation snapshot taken at dispatch —
+        tokens are dropped for slots re-admitted since (a pipelined window
+        dispatched before the re-admission must not leak into the new
+        request)."""
+        slots_f = sorted(firsts)
+        fetched = jax.device_get([firsts[s] for s in slots_f] + [out])
+        out_np, first_np = fetched[-1], fetched[:-1]
+        for s, t in zip(slots_f, first_np):
+            if self._gen[s] != gens[s]:
+                continue
+            self.cur[s] = int(t[0])
+            self._emit(s, int(t[0]))
+        for slot in range(self.slots):
+            if self._gen[slot] != gens[slot]:
+                continue
+            if slot in firsts and self.req[slot] is None:
+                continue  # first token already finished the request —
+                # the window decoded past it; discard those tokens
+            for i in range(self.window):
+                tok = int(out_np[slot, i])
+                if tok < 0 or self.req[slot] is None:
+                    break
+                self.cur[slot] = tok
+                self._emit(slot, tok)
+
     def step(self) -> bool:
         """One scheduler iteration; returns True if any work was done."""
         worked = False
+        batch = []
         while True:
             slot = self._free_slot()
             if slot is None:
@@ -255,32 +361,35 @@ class ContinuousEngine:
                 r = self.pending.get_nowait()
             except queue.Empty:
                 break
-            self._admit(slot, r)
+            if len(r.ids) <= self.bucket:
+                self.req[slot] = r  # reserve; installed by _admit_many below
+                batch.append((slot, r))
+            else:  # multi-bucket prompt: per-request bucketed program
+                self._admit(slot, r)
             worked = True
+        if batch:
+            self._admit_many(batch)
         if any(r is not None for r in self.req):
             firsts = self._first
             self._first = {}
             self.steps += 1
             out, self.cache, self._state = _decode_window(
                 self.model, self.cache, self._state, self._eos_arr, self.window)
-            # ONE host round-trip per window: pending first tokens + the
-            # window tokens fetched together (everything else stays on chip)
-            slots_f = sorted(firsts)
-            fetched = jax.device_get([firsts[s] for s in slots_f] + [out])
-            out_np, first_np = fetched[-1], fetched[:-1]
-            for s, t in zip(slots_f, first_np):
-                self.cur[s] = int(t[0])
-                self._emit(s, int(t[0]))
-            for slot in range(self.slots):
-                if slot in firsts and self.req[slot] is None:
-                    continue  # first token already finished the request —
-                    # the window decoded past it; discard those tokens
-                for i in range(self.window):
-                    tok = int(out_np[slot, i])
-                    if tok < 0 or self.req[slot] is None:
-                        break
-                    self.cur[slot] = tok
-                    self._emit(slot, tok)
+            pack = (out, firsts, list(self._gen))
+            if self.pipeline:
+                # double buffering: window N+1 is already dispatched while
+                # window N's tokens cross the relay — the fetch round-trip
+                # hides entirely behind device compute (throughput mode;
+                # adds one window of token latency)
+                prev, self._inflight = self._inflight, pack
+                if prev is not None:
+                    self._drain(*prev)
+            else:
+                self._drain(*pack)
+            worked = True
+        elif self._inflight is not None:
+            self._drain(*self._inflight)
+            self._inflight = None
             worked = True
         return worked
 

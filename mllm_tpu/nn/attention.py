@@ -143,6 +143,20 @@ def attend_from_cache(
                 q, kq, vq, ks, vs, kv_valid_len=kv_valid_len, kv_start=kv_start,
                 scale=scale, window=window,
             )
+        scalar_valid = kv_valid_len is None or getattr(kv_valid_len, "ndim", 0) == 0
+        if (_on_tpu() and sq > 1 and sq % 128 == 0 and d % 128 == 0
+                and cache.max_len % 128 == 0 and bias is None
+                and logit_softcap is None and scalar_valid):
+            # chunked prefill over the int8 cache: stream int8 + scales
+            # through the Sage-style flash kernel — never materialize a
+            # dequantized max_len cache
+            from ..ops.flash_attention import flash_attention_quant
+
+            kq, vq, ks, vs = cache.layer_quant(layer_idx)
+            return flash_attention_quant(
+                q, kq, vq, ks, vs, q_offset=q_offset, kv_valid_len=kv_valid_len,
+                kv_start=kv_start, causal=causal, window=window, scale=scale,
+            )
     k_full, v_full = cache.layer(layer_idx)
     return attend(
         q, k_full, v_full, q_offset=q_offset, kv_valid_len=kv_valid_len,

@@ -117,3 +117,24 @@ def test_engine_capacity_guard():
         eng.step()
     toks = collect(q, timeout=5)
     assert len(toks) == 2
+
+
+def test_engine_pipelined_matches_single_stream():
+    """pipeline=True (double-buffered windows) must stay token-exact,
+    including slot reuse across the in-flight window (gen guard)."""
+    model, cfg = _tiny()
+    eng = ContinuousEngine(model, slots=2, max_len=64, prompt_bucket=16,
+                           kv_dtype=jnp.float32, start_thread=False,
+                           decode_window=4, pipeline=True)
+    prompts = [
+        np.arange(5, dtype=np.int32) % 97,
+        (np.arange(9, dtype=np.int32) * 3) % 97,
+        (np.arange(3, dtype=np.int32) + 40) % 97,
+        (np.arange(7, dtype=np.int32) + 11) % 97,
+    ]
+    want = [_single_stream(model, p, 6) for p in prompts]
+    qs = [eng.submit(p, 6) for p in prompts]  # 4 requests through 2 slots
+    for _ in range(24):
+        eng.step()
+    got = [collect(q, timeout=5) for q in qs]
+    assert got == want

@@ -118,3 +118,35 @@ def test_decode_attention_interpret_per_sequence_valid():
         ref = sdpa(q[i:i + 1], k[i:i + 1], v[i:i + 1], q_offset=vl - 1,
                    kv_valid_len=vl, causal=True)
         assert float(jnp.max(jnp.abs(ref - out[i:i + 1]))) < 2e-2, f"seq {i}"
+
+
+def test_flash_attention_quant_interpret():
+    """int8-KV flash prefill (Sage prefill counterpart): kernel output matches
+    sdpa over the dequantized cache — the quantization error lives in the
+    inputs, so with identical dequant the kernel must agree tightly."""
+    from mllm_tpu.kv.cache import QuantKVCache
+    from mllm_tpu.ops.flash_attention import flash_attention_quant
+
+    B, SQ, H, HKV, D, SKV = 2, 128, 4, 2, 128, 256
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, SQ, H, D)).astype(np.float32))
+    kf = rng.standard_normal((B, HKV, SKV, D)).astype(np.float32)
+    vf = rng.standard_normal((B, HKV, SKV, D)).astype(np.float32)
+    kq, ks = QuantKVCache._quantize(jnp.asarray(kf))
+    vq, vs = QuantKVCache._quantize(jnp.asarray(vf))
+
+    kd = kq.astype(jnp.float32) * ks[..., None]
+    vd = vq.astype(jnp.float32) * vs[..., None]
+    # chunk 2 of a chunked prefill: q_offset=128, full kv valid
+    ref = sdpa(q, kd, vd, q_offset=128, kv_valid_len=SKV, causal=True)
+    out = flash_attention_quant(
+        q, kq, vq, ks, vs, q_offset=128, kv_valid_len=SKV, causal=True,
+        block_q=128, block_k=128, interpret=True)
+    assert float(jnp.max(jnp.abs(ref - out))) < 3e-2
+
+    # ragged valid length (mid-prefill: only part of the cache valid)
+    ref2 = sdpa(q, kd, vd, q_offset=64, kv_valid_len=192, causal=True)
+    out2 = flash_attention_quant(
+        q, kq, vq, ks, vs, q_offset=64, kv_valid_len=192, causal=True,
+        block_q=128, block_k=128, interpret=True)
+    assert float(jnp.max(jnp.abs(ref2 - out2))) < 3e-2

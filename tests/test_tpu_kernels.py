@@ -188,3 +188,25 @@ def test_decode_attention_quant_tpu():
         q, cache.k[0], cache.v[0], cache.k_scale[0], cache.v_scale[0],
         kv_valid_len=1501)
     assert float(jnp.max(jnp.abs(ref - out))) < 2e-2
+
+
+def test_flash_attention_quant_tpu():
+    """int8-KV flash PREFILL kernel on hardware vs sdpa over dequantized KV
+    (Sage prefill counterpart)."""
+    from mllm_tpu.kv.cache import QuantKVCache
+    from mllm_tpu.ops.flash_attention import flash_attention_quant
+
+    B, SQ, H, HKV, D, SKV = 2, 256, 8, 2, 128, 1024
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, SQ, H, D), jnp.float32)
+    kf = jax.random.normal(jax.random.PRNGKey(1), (B, SKV, HKV, D), jnp.float32)
+    vf = jax.random.normal(jax.random.PRNGKey(2), (B, SKV, HKV, D), jnp.float32)
+    cache = QuantKVCache.init(1, B, SKV, HKV, D)
+    cache = cache.update_layer(0, kf, vf).advance(SKV)
+    kd, vd = cache.layer(0)
+    # mid-prefill chunk: q_offset 512, valid = 768
+    ref = sdpa(q, kd.astype(jnp.float32), vd.astype(jnp.float32),
+               q_offset=512, kv_valid_len=768, causal=True)
+    out = flash_attention_quant(
+        q, cache.k[0], cache.v[0], cache.k_scale[0], cache.v_scale[0],
+        q_offset=512, kv_valid_len=768, causal=True)
+    assert float(jnp.max(jnp.abs(ref - out))) < 2e-2
