@@ -537,6 +537,26 @@ def vl_image_prefill(model, cache, input_ids, pixel, positions, true_len: int,
     return logits[:, 0, :], cache.with_pos(true_len)
 
 
+@_functools.partial(jax.jit, static_argnames=("true_len", "grid_thw"), donate_argnames=("cache",))
+def vl_image_prefill_raw(model, cache, input_ids, raw_frame, v_coeff, h_coeff,
+                         positions, true_len: int, grid_thw):
+    """vl_image_prefill from the RAW camera frame: the PIL-semantics bicubic
+    smart_resize itself runs on device as two coefficient matmuls
+    (processor/image.device_resize_bicubic), so the HOST does nothing but
+    upload the frame — no single-core PIL resize (~18 ms) on the latency
+    path, and one fewer host stage to jitter.
+
+    raw_frame: uint8 [T, H_raw, W_raw, 3]; v_coeff/h_coeff from
+    bicubic_coeff_matrix(H_raw -> H), (W_raw -> W)."""
+    import jax as _jax
+
+    from ..processor.image import device_resize_bicubic
+
+    resized = _jax.vmap(lambda f: device_resize_bicubic(f, v_coeff, h_coeff))(raw_frame)
+    return vl_image_prefill(model, cache, input_ids, resized, positions,
+                            true_len, grid_thw)
+
+
 @_functools.partial(jax.jit, donate_argnames=("cache",))
 def _vl_decode_step(model, cache, token, pos_scalar):
     p = jnp.broadcast_to(pos_scalar.reshape(1, 1, 1), (3, 1, 1)).astype(jnp.int32)

@@ -48,11 +48,28 @@ def get_lib():
     lib.bpe_free_table.argtypes = [ctypes.c_void_p]
     lib.bpe_merge.argtypes = [ctypes.c_void_p, i32, i64]
     lib.bpe_merge.restype = i64
+    ci = ctypes.c_int
+    lib.resize_bicubic_u8.argtypes = [u8, ci, ci, ci, u8, ci, ci]
+    lib.resize_bicubic_u8.restype = None
     return lib
 
 
 def available() -> bool:
     return get_lib() is not None
+
+
+def resize_bicubic(img: np.ndarray, height: int, width: int) -> np.ndarray | None:
+    """OpenMP bicubic resize, bit-exact with PIL BICUBIC (uint8 HWC).
+
+    Returns None when the native lib is unavailable (callers fall back to
+    PIL).  ~5x faster than PIL single-threaded at 1024^2 -> 532^2."""
+    lib = get_lib()
+    if lib is None or img.dtype != np.uint8 or img.ndim != 3:
+        return None
+    ih, iw, c = img.shape
+    out = np.empty((height, width, c), np.uint8)
+    lib.resize_bicubic_u8(np.ascontiguousarray(img), ih, iw, c, out, height, width)
+    return out
 
 
 # -- dequant ---------------------------------------------------------------

@@ -304,6 +304,166 @@ int64_t bpe_merge(void* table, int32_t* word, int64_t n) {
     return n;
 }
 
-int mllm_native_version() { return 1; }
+// ---------------------------------------------------------------------------
+// PIL-exact bicubic image resize (uint8, HWC)
+// ---------------------------------------------------------------------------
+// Re-implementation of Pillow's two-pass fixed-point resampling
+// (Resample.c, 8bpc path: precompute_coeffs + normalize_coeffs_8bpc +
+// horizontal/vertical passes) so the host preprocessing stage
+// (processor/image.py resize, the reference's stb-based bicubic
+// processing_qwen2_vl.hpp:84-117 counterpart) runs multithreaded.  Bit-exact
+// with PIL.Image.resize(..., BICUBIC) -- verified in tests/test_vision.py.
+
+static const int kResamplePrecisionBits = 32 - 8 - 2;
+
+static inline uint8_t resample_clip8(int in) {
+    if (in >= (1 << kResamplePrecisionBits << 8)) return 255;
+    if (in <= 0) return 0;
+    return (uint8_t)(in >> kResamplePrecisionBits);
+}
+
+static inline double bicubic_filter(double x) {
+    const double a = -0.5;
+    if (x < 0.0) x = -x;
+    if (x < 1.0) return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0;
+    if (x < 2.0) return (((x - 5.0) * x + 8.0) * x - 4.0) * a;
+    return 0.0;
+}
+
+// returns ksize; fills bounds[2*out] (xmin, xmax) and int coeffs kk[out*ksize]
+static int resample_coeffs(int in_size, int out_size, std::vector<int>& bounds,
+                           std::vector<int32_t>& kk) {
+    const double support_base = 2.0;  // bicubic
+    double scale = (double)in_size / out_size;
+    double filterscale = scale < 1.0 ? 1.0 : scale;
+    double support = support_base * filterscale;
+    int ksize = (int)ceil(support) * 2 + 1;
+    bounds.resize(2 * out_size);
+    kk.resize((size_t)out_size * ksize);
+    std::vector<double> k(ksize);
+    for (int xx = 0; xx < out_size; xx++) {
+        double center = (xx + 0.5) * scale;
+        double ww = 0.0, ss = 1.0 / filterscale;
+        int xmin = (int)(center - support + 0.5);
+        if (xmin < 0) xmin = 0;
+        int xmax = (int)(center + support + 0.5);
+        if (xmax > in_size) xmax = in_size;
+        xmax -= xmin;
+        int x = 0;
+        for (; x < xmax; x++) {
+            double w = bicubic_filter((x + xmin - center + 0.5) * ss);
+            k[x] = w;
+            ww += w;
+        }
+        for (x = 0; x < xmax; x++)
+            if (ww != 0.0) k[x] /= ww;
+        for (; x < ksize; x++) k[x] = 0.0;
+        for (x = 0; x < ksize; x++) {
+            double v = k[x] * (1 << kResamplePrecisionBits);
+            kk[(size_t)xx * ksize + x] = (int32_t)(v < 0 ? v - 0.5 : v + 0.5);
+        }
+        bounds[2 * xx] = xmin;
+        bounds[2 * xx + 1] = xmax;
+    }
+    return ksize;
+}
+
+// axis-0 resample: src [n_in, stride] -> dst [n_out, stride].  Tap-outer /
+// pixel-inner with an int32 accumulator row: the inner loops are contiguous
+// mul-adds the compiler auto-vectorizes (the bench host is single-core, so
+// SIMD — not OpenMP — is where the time goes).  Arithmetic is identical to
+// PIL's per-pixel int32 accumulate, so bit-exactness is preserved.
+static void resample_axis0_u8(const uint8_t* src, uint8_t* dst, int n_out,
+                              int stride, const std::vector<int>& b,
+                              const std::vector<int32_t>& kk, int ksize,
+                              int32_t* acc) {
+    const int32_t half = 1 << (kResamplePrecisionBits - 1);
+    for (int yy = 0; yy < n_out; yy++) {
+        int ymin = b[2 * yy], ymax = b[2 * yy + 1];
+        const int32_t* k = &kk[(size_t)yy * ksize];
+        for (int i = 0; i < stride; i++) acc[i] = half;
+        for (int y = 0; y < ymax; y++) {
+            // __restrict__: uint8_t aliases everything by the char rule,
+            // which otherwise stops gcc vectorizing the mul-add
+            const uint8_t* __restrict__ row = src + (size_t)(y + ymin) * stride;
+            int32_t* __restrict__ a = acc;
+            const int32_t kv = k[y];
+            for (int i = 0; i < stride; i++) a[i] += row[i] * kv;
+        }
+        uint8_t* orow = dst + (size_t)yy * stride;
+        for (int i = 0; i < stride; i++) orow[i] = resample_clip8(acc[i]);
+    }
+}
+
+// u8 transpose [h, w, c] -> [w, h, c], blocked for cache locality
+static void transpose_hwc_u8(const uint8_t* src, uint8_t* dst, int h, int w,
+                             int c) {
+    const int B = 64;
+    for (int y0 = 0; y0 < h; y0 += B) {
+        int y1 = y0 + B < h ? y0 + B : h;
+        for (int x0 = 0; x0 < w; x0 += B) {
+            int x1 = x0 + B < w ? x0 + B : w;
+            for (int y = y0; y < y1; y++)
+                for (int x = x0; x < x1; x++)
+                    for (int ch = 0; ch < c; ch++)
+                        dst[((size_t)x * h + y) * c + ch] =
+                            src[((size_t)y * w + x) * c + ch];
+        }
+    }
+}
+
+// uint8 HWC bicubic resize: src [ih, iw, c] -> dst [oh, ow, c].
+// PIL's pass order (horizontal to clipped u8, then vertical) is preserved;
+// the horizontal pass is realized as transpose -> axis-0 resample ->
+// transpose so both passes run through the vectorized kernel.
+struct ResampleCoeffs {
+    int in = -1, out = -1, ksize = 0;
+    std::vector<int> bounds;
+    std::vector<int32_t> kk;
+};
+
+static ResampleCoeffs& cached_coeffs(ResampleCoeffs& c, int in_size,
+                                     int out_size) {
+    if (c.in != in_size || c.out != out_size) {
+        c.ksize = resample_coeffs(in_size, out_size, c.bounds, c.kk);
+        c.in = in_size;
+        c.out = out_size;
+    }
+    return c;
+}
+
+static void grow(std::vector<uint8_t>& v, size_t n) {
+    if (v.size() < n) v.resize(n);
+}
+
+void resize_bicubic_u8(const uint8_t* src, int ih, int iw, int c,
+                       uint8_t* dst, int oh, int ow) {
+    // coeff tables + scratch cached across calls (a camera path resizes
+    // the same geometry every frame; ~6 MB of value-initialized vectors
+    // per call is measurable on the single-core bench host)
+    static thread_local ResampleCoeffs hc, vc;
+    static thread_local std::vector<uint8_t> tr1, tr2, temp;
+    static thread_local std::vector<int32_t> acc;
+    cached_coeffs(hc, iw, ow);
+    cached_coeffs(vc, ih, oh);
+    size_t amax = (size_t)(ih > ow ? ih : ow) * c;
+    if (acc.size() < amax) acc.resize(amax);
+
+    // horizontal: [ih, iw, c] -T-> [iw, ih, c] -resample-> [ow, ih, c]
+    //             -T-> temp [ih, ow, c]
+    grow(tr1, (size_t)iw * ih * c);
+    transpose_hwc_u8(src, tr1.data(), ih, iw, c);
+    grow(tr2, (size_t)ow * ih * c);
+    resample_axis0_u8(tr1.data(), tr2.data(), ow, ih * c, hc.bounds, hc.kk,
+                      hc.ksize, acc.data());
+    grow(temp, (size_t)ih * ow * c);
+    transpose_hwc_u8(tr2.data(), temp.data(), ow, ih, c);
+
+    // vertical: temp [ih, ow, c] -> dst [oh, ow, c]
+    resample_axis0_u8(temp.data(), dst, oh, ow * c, vc.bounds, vc.kk,
+                      vc.ksize, acc.data());
+}
+
+int mllm_native_version() { return 2; }
 
 }  // extern "C"
