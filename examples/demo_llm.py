@@ -49,6 +49,11 @@ def main():
     ap.add_argument("--batch", type=int, default=1,
                     help=">1: batched generation of this many prompts "
                          "(ragged left-pad; reference demo_qwen_batch)")
+    ap.add_argument("--mbp", type=int, default=0, metavar="N_RESIDENT",
+                    help="MoE models only: MBP expert offload — experts live "
+                         "in host RAM, at most N_RESIDENT are device-cached, "
+                         "routed experts stream in with next-layer prefetch "
+                         "(reference demo_minicpm_moe_mbp)")
     ap.add_argument("--sparse", type=float, default=None, metavar="THRESH",
                     help="predictor-sparse FFN with this threshold "
                          "(reference modeling_sparse_llama; predictors are "
@@ -101,6 +106,37 @@ def main():
         sys.stdout.flush()
         return True
 
+    if args.mbp:
+        from mllm_tpu.models.moe import mbp_forward, to_mbp
+
+        model, store = to_mbp(model, max_device_entries=args.mbp)
+        print(f"[mbp] {len(store.host)} experts host-resident, "
+              f"device budget {args.mbp}")
+        # MBP routes data-dependently through the host store -> host-driven
+        # loop with jitted dense sub-blocks (the reference's MBP path equally
+        # runs outside its graph executor)
+        t0 = time.perf_counter()
+        logits, cache = mbp_forward(model, jnp.asarray(ids), cache)
+        ttft = time.perf_counter() - t0
+        tokv = int(np.argmax(np.asarray(logits[0, -1])))
+        stream(tokv)
+        n = 1
+        t0 = time.perf_counter()
+        for _ in range(scfg.max_new_tokens - 1):
+            logits, cache = mbp_forward(model, jnp.asarray([[tokv]], jnp.int32), cache)
+            tokv = int(np.argmax(np.asarray(logits[0, -1])))
+            if tokv == tok.eos_token_id:
+                break
+            stream(tokv)
+            n += 1
+        dt = time.perf_counter() - t0
+        print(f"\n[mbp] ttft {ttft*1e3:.0f} ms, {n / dt:.1f} tok/s, "
+              f"expert cache hit rate {store.hit_rate:.1%} "
+              f"({store.hits} hits / {store.misses} misses)")
+        prof.ttft_s = ttft
+        prof.decode_tps = n / dt
+        prof.report(args.model)
+        return
     if args.batch > 1:
         from mllm_tpu.generation.generate import ragged_batched_generate
 

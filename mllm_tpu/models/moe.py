@@ -20,7 +20,7 @@ import numpy as np
 
 from ..core.config import TextConfig
 from ..nn.layers import ACT_FN, Linear
-from ..nn.module import Module
+from ..nn.module import Module, ModuleList
 from .transformer import MLP
 
 
@@ -87,6 +87,164 @@ class MoEMLP(Module):
                 sh = sh * g.astype(sh.dtype)
             y = y + sh
         return y.reshape(b, s, d).astype(x.dtype)
+
+
+class MBPMoEMLP(Module):
+    """MoE FFN with host-resident experts (MBP, memory-bounded pipelining).
+
+    TPU-native counterpart of the reference's MBP MoE layer
+    (/root/reference/mllm/models/minicpm_moe/mbp/modeling_minicpm_moe_mbp.hpp:48-132):
+    expert weights live in host RAM inside a `HostExpertStore`; each forward
+    routes on device, streams only the routed experts over PCIe (async
+    `device_put`, LRU-cached), and prefetches the same experts for the next
+    layer — the reference's worker-thread reuse heuristic.  The router,
+    norms, attention and optional shared expert stay device-resident.
+
+    Host-driven by construction: the routed-expert set is data-dependent, so
+    this layer must run EAGERLY (outside jit) — exactly as the reference's
+    MBP path runs outside its graph executor.  Use `to_mbp()` to convert a
+    loaded MoE model; capacity (experts ≫ HBM) is the point, not latency.
+    """
+
+    def __init__(self, router_weight, store, layer: int, n_layers: int,
+                 top_k: int, norm_topk_prob: bool, act: str,
+                 shared_expert: Optional[MLP] = None, shared_gate: Optional[jax.Array] = None):
+        self.router_weight = router_weight
+        self.store = store  # HostExpertStore — static (host object), not a leaf
+        self.layer = layer
+        self.n_layers = n_layers
+        self.top_k = top_k
+        self.norm_topk_prob = norm_topk_prob
+        self.act = act
+        self.shared_expert = shared_expert
+        self.shared_gate = shared_gate
+
+    def __call__(self, x):
+        if isinstance(x, jax.core.Tracer):
+            raise RuntimeError(
+                "MBPMoEMLP routes data-dependently through a host expert store "
+                "and cannot run under jit — call the model eagerly (see demo_llm --mbp)")
+        from ..utils.mbp import mbp_moe_forward
+
+        b, s, d = x.shape
+        xf = x.reshape(b * s, d)
+        y = mbp_moe_forward(xf, self.router_weight, self.store, self.layer,
+                            self.n_layers, self.top_k, ACT_FN[self.act],
+                            norm_topk=self.norm_topk_prob)
+        if self.shared_expert is not None:
+            sh = self.shared_expert(xf)
+            if self.shared_gate is not None:
+                g = jax.nn.sigmoid(
+                    jax.lax.dot_general(xf, self.shared_gate, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                )
+                sh = sh * g.astype(sh.dtype)
+            y = y + sh.astype(y.dtype)
+        return y.reshape(b, s, d).astype(x.dtype)
+
+
+def to_mbp(model, max_device_entries: int = 16, device=None):
+    """Convert a loaded MoE CausalLM to MBP form: expert weights move to a
+    host `HostExpertStore`; every `MoEMLP` becomes an `MBPMoEMLP`.
+
+    Returns (mbp_model, store).  `store.hit_rate` reports the prefetch hit
+    rate after generation (reference MBP's loader-thread effectiveness).
+    `max_device_entries` bounds device-resident experts (the MBP memory
+    budget — reference settings_minicpm_moe_mbp.hpp:22-63).
+    """
+    from ..utils.mbp import HostExpertStore
+
+    blocks = getattr(model.blocks, "mods", None)
+    if blocks is None or not blocks:
+        raise ValueError("to_mbp needs an unstacked model (model.unstack())")
+    weights = {}
+    n_layers = len(blocks)
+    new_blocks = []
+    store = HostExpertStore(weights, device=device, max_device_entries=max_device_entries)
+    for li, blk in enumerate(blocks):
+        mlp = blk.mlp
+        if not isinstance(mlp, MoEMLP):
+            new_blocks.append(blk)
+            continue
+        e = mlp.w_gate.shape[0]
+        for ei in range(e):
+            # host layout per expert: gate/up [ff, d], down [d, ff] (HF
+            # row-major, what mbp_moe_forward consumes)
+            weights[(li, ei)] = (
+                np.ascontiguousarray(np.asarray(mlp.w_gate[ei]).T),
+                np.ascontiguousarray(np.asarray(mlp.w_up[ei]).T),
+                np.ascontiguousarray(np.asarray(mlp.w_down[ei]).T),
+            )
+        new_blocks.append(blk.replace(mlp=MBPMoEMLP(
+            mlp.router_weight, store, li, n_layers, mlp.top_k,
+            mlp.norm_topk_prob, mlp.act, mlp.shared_expert, mlp.shared_gate,
+        )))
+    if not weights:
+        raise ValueError("model has no MoEMLP layers to offload")
+    return model.replace(blocks=ModuleList(new_blocks)), store
+
+
+import functools
+
+
+@jax.jit
+def _mbp_embed(embed, ids, mult):
+    x = embed(ids)
+    return x * mult.astype(x.dtype)
+
+
+@functools.partial(jax.jit, donate_argnums=(2,))
+def _mbp_attn_half(blk, rope, cache, x):
+    """input_norm + attention + residual + post_attn_norm as ONE program
+    (per-op eager dispatch costs ~25 ms each through a remote relay)."""
+    rm = blk.attn.cfg.residual_multiplier
+    s = x.shape[1]
+    pos0 = cache.pos
+    if getattr(pos0, "ndim", 0) == 1:
+        pos0 = pos0[:, None]
+    positions = pos0 + jnp.arange(s, dtype=jnp.int32)[None, :]
+    h = blk.input_norm(x)
+    h, cache = blk.attn(h, rope, cache, positions)
+    if blk.pre_ffn_norm is not None:
+        h = blk.pre_ffn_norm(h)
+    x = x + (h if rm == 1.0 else h * jnp.asarray(rm, h.dtype))
+    return x, blk.post_attn_norm(x), cache
+
+
+@jax.jit
+def _mbp_residual(blk, x, h):
+    rm = blk.attn.cfg.residual_multiplier
+    if blk.post_ffn_norm is not None:
+        h = blk.post_ffn_norm(h)
+    return x + (h if rm == 1.0 else h * jnp.asarray(rm, h.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("last_only",))
+def _mbp_head(model_nb, x, last_only: bool):
+    x = model_nb.norm(x)
+    if last_only:
+        x = x[:, -1:, :]
+    return model_nb.logits(x)
+
+
+def mbp_forward(model, ids, cache, last_only: bool = True):
+    """Forward an MBP-converted model: dense sub-blocks (embed, attention
+    halves, head) each run as one jitted program; only the MoE expert
+    streaming is host-driven.  ~4 device dispatches + E_routed expert
+    programs per layer instead of hundreds of eager ops — the TPU twin of
+    the reference MBP's compute/transfer overlap
+    (modeling_minicpm_moe_mbp.hpp:48-132).
+
+    Returns (logits, cache-with-pos-advanced)."""
+    s = ids.shape[1]
+    mult = jnp.asarray(model.cfg.embedding_multiplier, jnp.float32)
+    x = _mbp_embed(model.embed_tokens, ids, mult)
+    for blk in model.blocks:
+        x, h, cache = _mbp_attn_half(blk, model.rope, cache, x)
+        h = blk.mlp(h)  # MBPMoEMLP: routed host-streamed experts
+        x = _mbp_residual(blk, x, h)
+    logits = _mbp_head(model.replace(blocks=ModuleList([])), x, last_only)
+    return logits, cache.advance(s)
 
 
 def load_moe_mlp(loader, prefix: str, cfg: TextConfig, dtype=jnp.bfloat16,

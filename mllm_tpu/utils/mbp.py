@@ -83,30 +83,50 @@ class HostExpertStore:
         return self.hits / n if n else 0.0
 
 
+import functools
+
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("top_k", "norm_topk"))
+def _route(x, router_weight, top_k: int, norm_topk: bool):
+    logits = jax.lax.dot_general(x, router_weight, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    top_p, top_i = jax.lax.top_k(probs, top_k)
+    if norm_topk:
+        top_p = top_p / jnp.sum(top_p, axis=-1, keepdims=True)
+    return top_p, top_i
+
+
+@functools.partial(jax.jit, static_argnames=("act_fn",), donate_argnums=(0,))
+def _expert_apply(y, x, wg, wu, wd, top_p, top_i, e, act_fn):
+    """y += expert_e(x) * routing_weight — ONE dispatch per streamed expert
+    (eager per-op dispatch costs ~25 ms each through a remote relay)."""
+    w_tok = jnp.sum(jnp.where(top_i == e, top_p, 0.0), axis=-1)  # [T]
+    h = act_fn(x @ wg.T) * (x @ wu.T)
+    return y + (h @ wd.T).astype(jnp.float32) * w_tok[:, None]
+
+
 def mbp_moe_forward(x, router_weight, store: HostExpertStore, layer: int,
                     n_layers: int, top_k: int, act_fn: Callable, norm_topk: bool = True):
     """MoE layer forward with host-streamed experts.
 
-    Routes on-device, fetches only the routed experts' weights from the host
-    store, and prefetches the same experts for layer+1 (the reference MBP
-    reuse heuristic).  x: [T, d].
+    Routes on-device (one jitted program), syncs ONLY the [T, k] routed-
+    expert ids to the host, fetches just those experts' weights from the
+    host store (async device_put, LRU-cached), and prefetches the same
+    experts for layer+1 (the reference MBP reuse heuristic,
+    modeling_minicpm_moe_mbp.hpp:48-132).  x: [T, d].
     """
-    import jax.numpy as jnp
-
-    logits = x @ router_weight.T
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    top_p, top_i = jax.lax.top_k(probs, top_k)
-    if norm_topk:
-        top_p = top_p / jnp.sum(top_p, axis=-1, keepdims=True)
+    top_p, top_i = _route(x, router_weight, top_k, norm_topk)
     routed = sorted(set(int(e) for e in np.asarray(top_i).reshape(-1)))
 
     if layer + 1 < n_layers:
         store.prefetch([(layer + 1, e) for e in routed])
 
-    y = jnp.zeros_like(x, dtype=jnp.float32)
+    y = jnp.zeros(x.shape, jnp.float32, device=x.device)
     for e in routed:
         wg, wu, wd = store.fetch(layer, e)
-        w_tok = jnp.sum(jnp.where(top_i == e, top_p, 0.0), axis=-1)  # [T]
-        h = act_fn(x @ wg.T) * (x @ wu.T)
-        y = y + (h @ wd.T).astype(jnp.float32) * w_tok[:, None]
+        y = _expert_apply(y, x, jnp.asarray(wg), jnp.asarray(wu), jnp.asarray(wd),
+                          top_p, top_i, e, act_fn)
     return y.astype(x.dtype)

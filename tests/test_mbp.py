@@ -73,3 +73,88 @@ def test_mbp_forward_matches_dense():
     np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-4, atol=2e-5)
     st.wait()
     assert len(st._cache) > 0  # layer-1 prefetch staged
+
+
+def test_to_mbp_model_matches_resident(tmp_path):
+    """Model-level MBP exactness: a real MoE CausalLM converted with
+    `to_mbp` must produce the resident model's logits (reference
+    modeling_minicpm_moe_mbp.hpp streams experts without changing math),
+    and prefetch across layers must produce cache hits."""
+    import torch
+    import transformers
+
+    from mllm_tpu.models.moe import MBPMoEMLP, to_mbp
+    from mllm_tpu.models.registry import auto_model
+
+    torch.manual_seed(0)
+    cfg = transformers.MixtralConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=128,
+        num_local_experts=4, num_experts_per_tok=2, rope_theta=10000.0,
+    )
+    transformers.MixtralForCausalLM(cfg).eval().save_pretrained(tmp_path / "m")
+    with jax.default_device(_cpu()):
+        ours, _, _ = auto_model(str(tmp_path / "m"), dtype=jnp.float32,
+                                with_tokenizer=False)
+        ids = jnp.asarray([[3, 17, 42, 99, 7, 23, 56, 11]], jnp.int32)
+        cache = ours.init_cache(1, 32, jnp.float32)
+        want, _ = ours(ids, cache, last_only=False)
+
+        mbp, store = to_mbp(ours, max_device_entries=8, device=_cpu())
+        assert len(store.host) == 3 * 4
+        assert all(isinstance(b.mlp, MBPMoEMLP) for b in mbp.blocks)
+        cache = mbp.init_cache(1, 32, jnp.float32)
+        got, cache = mbp(ids, cache, last_only=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+    store.wait()
+    assert store.hits > 0  # layer L's routed set prefetched for L+1
+
+    # decode step (T=1) through the updated cache stays finite + exact-ish
+    with jax.default_device(_cpu()):
+        nxt = jnp.argmax(got[:, -1:], axis=-1).astype(jnp.int32)
+        got2, _ = mbp(nxt, cache)
+    assert np.isfinite(np.asarray(got2)).all()
+
+
+def test_mbp_rejects_jit():
+    from mllm_tpu.models.moe import MBPMoEMLP
+
+    st = HostExpertStore(_store(n_layers=1), device=_cpu())
+    layer = MBPMoEMLP(jnp.zeros((4, 8)), st, 0, 1, 2, True, "silu")
+    with np.testing.assert_raises(Exception):
+        jax.jit(layer)(jnp.zeros((1, 2, 8)))
+
+
+def test_mbp_forward_jitted_subblocks(tmp_path):
+    """mbp_forward (per-layer jitted dense sub-blocks + host expert
+    streaming) matches the resident model across prefill + a decode step."""
+    import torch
+    import transformers
+
+    from mllm_tpu.models.moe import mbp_forward, to_mbp
+    from mllm_tpu.models.registry import auto_model
+
+    torch.manual_seed(1)
+    cfg = transformers.MixtralConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=64,
+        num_local_experts=4, num_experts_per_tok=2, rope_theta=10000.0,
+    )
+    transformers.MixtralForCausalLM(cfg).eval().save_pretrained(tmp_path / "m")
+    with jax.default_device(_cpu()):
+        ours, _, _ = auto_model(str(tmp_path / "m"), dtype=jnp.float32,
+                                with_tokenizer=False)
+        ids = jnp.asarray([[3, 17, 42, 7]], jnp.int32)
+        cache = ours.init_cache(1, 16, jnp.float32)
+        want, wcache = ours(ids, cache, last_only=True)
+        nxt = jnp.argmax(want[:, -1:], axis=-1).astype(jnp.int32)
+        want2, _ = ours(nxt, wcache)
+
+        mbp, store = to_mbp(ours, max_device_entries=8, device=_cpu())
+        cache = mbp.init_cache(1, 16, jnp.float32)
+        got, cache = mbp_forward(mbp, ids, cache)
+        got2, _ = mbp_forward(mbp, nxt, cache)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), rtol=2e-4, atol=2e-5)
+    assert store.hits > 0
