@@ -45,6 +45,16 @@ TINYLLAMA = TextConfig(
     tie_word_embeddings=False, eos_token_id=-2,
 )
 
+# Qwen2-MoE-style routed geometry scaled to ~0.8B total / ~0.3B active
+# (BASELINE.md config #5's MoE-routing decode path; the reference publishes
+# no absolute numbers, the driver just needs a stable metric on this path)
+QWEN2_MOE_08B = TextConfig(
+    vocab_size=32768, hidden_size=1024, intermediate_size=512,
+    num_hidden_layers=16, num_attention_heads=16, num_key_value_heads=8,
+    max_position_embeddings=8192, eos_token_id=-2,
+    num_experts=16, num_experts_per_tok=4, moe_shared_expert_size=2048,
+)
+
 CONFIGS = {
     # name: (text config, quant mode, batch[, kv cache dtype])
     "qwen2vl-2b-int8-b8": (QWEN2VL_2B_LM, "int8", 8),
@@ -56,6 +66,7 @@ CONFIGS = {
     "qwen2vl-2b-bf16": (QWEN2VL_2B_LM, None, 1),
     "qwen1.5-0.5b-bf16": (QWEN15_05B, None, 1),
     "tinyllama-1.1b-int4": (TINYLLAMA, "int4", 1),
+    "qwen2moe-0.8b-bf16-b8": (QWEN2_MOE_08B, None, 8),
 }
 
 PROMPT_LEN = 128
@@ -78,6 +89,13 @@ def model_builder(cfg: TextConfig, quant, stacked: bool = False):
 
     def mk(key, inv):
         m = CausalLM.init_stacked(key, cfg, dtype=jnp.bfloat16, with_rope=False)
+        if cfg.num_experts:  # routed-FFN config: swap the dense MLP stack
+            from mllm_tpu.models.moe import MoEMLP
+
+            moe_keys = jax.random.split(jax.random.fold_in(key, 7),
+                                        cfg.num_hidden_layers)
+            moe_stack = jax.vmap(lambda kk: MoEMLP.init(kk, cfg, jnp.bfloat16))(moe_keys)
+            m.__dict__["stacked_blocks"] = m.stacked_blocks.replace(mlp=moe_stack)
         ang = jnp.arange(ROPE_TABLE_LEN, dtype=jnp.float32)[:, None] * inv[None, :]
         m = m.replace(rope=RotaryEmbedding(jnp.sin(ang), jnp.cos(ang),
                                            cfg.rope_style, rot_dim))
@@ -295,6 +313,84 @@ def bench_image_prefill() -> dict:
     }
 
 
+def bench_clip() -> dict:
+    """CLIP ViT-B/32 image-text scoring latency (BASELINE.md config #3,
+    reference examples/demo_clip.cpp).  Synthetic weights, one jitted
+    score program: encode 1 image + 8 texts -> logits_per_image."""
+    from mllm_tpu.models.clip import CLIPConfig, CLIPModel
+
+    t0 = time.perf_counter()
+    cfg = CLIPConfig()  # ViT-B/32 vision + 512-wide text (HF defaults)
+    model = jax.jit(lambda k: CLIPModel.init(k, cfg, jnp.bfloat16))(
+        jax.random.key(0, impl="rbg"))
+    np.asarray(jax.tree.leaves(model)[0].reshape(-1)[:1])
+    t_load = time.perf_counter() - t0
+
+    rng = np.random.default_rng(0)
+    ids = np.full((8, cfg.text.max_position_embeddings), cfg.text.eos_token_id, np.int32)
+    ids[:, :16] = rng.integers(0, cfg.text.vocab_size - 2, (8, 16))
+    ids_j = jnp.asarray(ids)
+    pixel = jnp.asarray(rng.standard_normal((1, 3, 224, 224)), jnp.bfloat16)
+
+    score = jax.jit(lambda m, i, p: m(i, p))
+    t0 = time.perf_counter()
+    np.asarray(score(model, ids_j, pixel))
+    t_compile = time.perf_counter() - t0
+    best = 1e9
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(score(model, ids_j, pixel))
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "config": "clip-vitb-scoring",
+        "batch": "1 image x 8 texts",
+        "load_s": round(t_load, 2),
+        "compile_s": round(t_compile, 1),
+        "score_ms": round(best * 1e3, 1),
+    }
+
+
+def bench_imagebind() -> dict:
+    """ImageBind-huge tri-modal scoring latency (BASELINE.md config #5,
+    reference examples/demo_imagebind.cpp: 1 video x 3 texts x 3 audio
+    clips -> vision_x_text + vision_x_audio)."""
+    from mllm_tpu.models.imagebind import ImageBindConfig, ImageBindModel
+
+    t0 = time.perf_counter()
+    cfg = ImageBindConfig()  # huge geometry (~1B params)
+    model = jax.jit(lambda k: ImageBindModel.init(k, cfg, jnp.bfloat16))(
+        jax.random.key(0, impl="rbg"))
+    np.asarray(jax.tree.leaves(model)[0].reshape(-1)[:1])
+    t_load = time.perf_counter() - t0
+
+    rng = np.random.default_rng(0)
+    ids = np.zeros((3, cfg.max_positions), np.int32)
+    ids[:, :12] = rng.integers(1, cfg.vocab_size - 2, (3, 12))
+    eot = np.full((3,), 12, np.int32)
+    patches = rng.standard_normal(
+        (1, cfg.vision_seq - 1, 3 * cfg.patch_time * cfg.patch * cfg.patch)) * 0.1
+    fbanks = rng.standard_normal((cfg.audio_clips, 1, cfg.audio_h, cfg.audio_w)) * 0.1
+
+    args = (jnp.asarray(ids), jnp.asarray(eot),
+            jnp.asarray(patches, jnp.bfloat16), jnp.asarray(fbanks, jnp.bfloat16))
+    score = jax.jit(lambda m, i, e, p, f: m(i, e, p, f))
+    t0 = time.perf_counter()
+    np.asarray(score(model, *args)[0])
+    t_compile = time.perf_counter() - t0
+    best = 1e9
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(score(model, *args)[0])
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "config": "imagebind-trimodal",
+        "batch": "1 video x 3 texts x 3 audio clips",
+        "load_s": round(t_load, 2),
+        "compile_s": round(t_compile, 1),
+        "score_ms": round(best * 1e3, 1),
+    }
+
+
 def bench_engine() -> dict:
     """Continuous-batching engine throughput at 8 slots (round-2 verdict
     weak #6): the compiled decode window must keep the slot scheduler within
@@ -421,7 +517,8 @@ def main():
     # mismatch the opt-in protects against cannot occur), and a warm cache
     # turns the ~78 s cold model-build compile into seconds on driver reruns
     enable_compilation_cache(force=jax.default_backend() == "tpu")
-    all_names = list(CONFIGS) + ["qwen2vl-2b-image-prefill", "qwen2vl-2b-engine-8slot"]
+    all_names = list(CONFIGS) + ["qwen2vl-2b-image-prefill", "qwen2vl-2b-engine-8slot",
+                                 "clip-vitb-scoring", "imagebind-trimodal"]
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default=None, choices=all_names)
     ap.add_argument("--all", action="store_true")
@@ -431,10 +528,14 @@ def main():
         names = all_names
     elif args.config:
         names = [args.config]
-    else:  # default driver run: decode headline(s) + image-prefill + int4
+    else:  # default driver run: decode headline(s) + image-prefill + int4 +
+        # BASELINE configs 2/3/5 (tinyllama-int4, CLIP scoring, MoE routing,
+        # ImageBind tri-modal) so vision/MoE regressions are driver-visible
         names = ["qwen2vl-2b-int8-b32", "qwen2vl-2b-int8-b8",
                  "qwen2vl-2b-image-prefill", "qwen2vl-2b-int4",
-                 "qwen2vl-2b-engine-8slot"]
+                 "qwen2vl-2b-engine-8slot", "tinyllama-1.1b-int4",
+                 "clip-vitb-scoring", "imagebind-trimodal",
+                 "qwen2moe-0.8b-bf16-b8"]
     details = []
     for n in names:
         try:
@@ -442,6 +543,10 @@ def main():
                 details.append(bench_image_prefill())
             elif n == "qwen2vl-2b-engine-8slot":
                 details.append(bench_engine())
+            elif n == "clip-vitb-scoring":
+                details.append(bench_clip())
+            elif n == "imagebind-trimodal":
+                details.append(bench_imagebind())
             else:
                 details.append(bench_config(n))
             print(json.dumps(details[-1]), file=sys.stderr)

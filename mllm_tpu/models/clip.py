@@ -97,6 +97,51 @@ class CLIPModel(Module):
         scale = jnp.exp(self.logit_scale)
         return scale * v @ t.T
 
+    @staticmethod
+    def init(key, cfg: CLIPConfig = CLIPConfig(), dtype=jnp.float32) -> "CLIPModel":
+        """Random-weight CLIP (synthetic bench/test builds; traceable under jit)."""
+        tc, vc = cfg.text, cfg.vision
+        ks = jax.random.split(key, 8)
+
+        def blocks(key, d, inter, heads, n, act, eps):
+            out = []
+            for i in range(n):
+                kk = jax.random.split(jax.random.fold_in(key, i), 6)
+                mk = lambda k2, o, ii: Linear.init(k2, ii, o, True, dtype)
+                attn = VisionAttention(mk(kk[0], d, d), mk(kk[1], d, d),
+                                       mk(kk[2], d, d), mk(kk[3], d, d), heads)
+                mlp = VisionMLP(mk(kk[4], inter, d), mk(kk[5], d, inter), act)
+                out.append(VisionBlock(LayerNorm.init(d, eps), attn,
+                                       LayerNorm.init(d, eps), mlp))
+            return ModuleList(out)
+
+        text = CLIPTextEncoder(
+            jax.random.normal(ks[0], (tc.vocab_size, tc.hidden_size), dtype) * 0.02,
+            jax.random.normal(ks[1], (tc.max_position_embeddings, tc.hidden_size), dtype) * 0.02,
+            blocks(ks[2], tc.hidden_size, tc.intermediate_size, tc.num_attention_heads,
+                   tc.num_hidden_layers, tc.hidden_act, tc.layer_norm_eps),
+            LayerNorm.init(tc.hidden_size, tc.layer_norm_eps), tc,
+        )
+        emb = VisionEmbeddings(
+            jax.random.normal(ks[3], (vc.hidden_size, vc.num_channels,
+                                      vc.patch_size, vc.patch_size), dtype) * 0.02,
+            jnp.zeros((vc.hidden_size,), dtype),
+            jax.random.normal(ks[4], (vc.num_positions, vc.hidden_size), dtype) * 0.02,
+            vc,
+        )
+        vision = ViTEncoder(
+            emb, LayerNorm.init(vc.hidden_size, vc.layer_norm_eps),
+            blocks(ks[5], vc.hidden_size, vc.intermediate_size, vc.num_attention_heads,
+                   vc.num_hidden_layers, vc.hidden_act, vc.layer_norm_eps),
+            LayerNorm.init(vc.hidden_size, vc.layer_norm_eps), vc,
+        )
+        return CLIPModel(
+            text, vision,
+            Linear.init(ks[6], tc.hidden_size, cfg.projection_dim, False, dtype),
+            Linear.init(ks[7], vc.hidden_size, cfg.projection_dim, False, dtype),
+            jnp.asarray(2.6592, dtype), cfg,
+        )
+
 
 # ---------------------------------------------------------------------------
 # HF checkpoint loading

@@ -45,6 +45,35 @@ class MoEMLP(Module):
         self.shared_expert = shared_expert
         self.shared_gate = shared_gate  # [1, d] -> sigmoid gate (qwen2_moe)
 
+    @staticmethod
+    def init(key, cfg, dtype=jnp.bfloat16) -> "MoEMLP":
+        """Random-weight routed FFN from a TextConfig with num_experts /
+        num_experts_per_tok / moe_intermediate_size (synthetic bench builds;
+        traceable under jit)."""
+        import dataclasses
+
+        from .transformer import MLP as _MLP
+
+        d = cfg.hidden_size
+        ff = cfg.intermediate_size  # from_hf_config maps moe_intermediate_size here
+        e = cfg.num_experts
+        ks = jax.random.split(key, 4)
+        sc = 0.02
+        shared = None
+        if cfg.moe_shared_expert_size:
+            shared = _MLP.init(
+                jax.random.fold_in(key, 9),
+                dataclasses.replace(cfg, intermediate_size=cfg.moe_shared_expert_size),
+                dtype)
+        return MoEMLP(
+            jax.random.normal(ks[0], (e, d), dtype) * sc,
+            jax.random.normal(ks[1], (e, d, ff), dtype) * sc,
+            jax.random.normal(ks[2], (e, d, ff), dtype) * sc,
+            jax.random.normal(ks[3], (e, ff, d), dtype) * sc,
+            cfg.num_experts_per_tok, cfg.moe_norm_topk_prob, cfg.hidden_act,
+            shared_expert=shared,
+        )
+
     def __call__(self, x):
         b, s, d = x.shape
         t = b * s

@@ -89,6 +89,19 @@ def auto_model_any(path: str, dtype=jnp.bfloat16, quant=None):
         from .llava import llava_config_from_hf, load_llava
 
         return load_llava(loader, llava_config_from_hf(path), dtype, quant), "llava"
+    if mt == "vit":
+        from .vit import load_vit_classifier, vit_config_from_hf
+
+        vcfg, n_labels, id2label = vit_config_from_hf(path)
+        return load_vit_classifier(loader, vcfg, n_labels, dtype, id2label), "vit"
+    if mt == "fuyu":
+        from .fuyu import fuyu_config_from_hf, load_fuyu
+
+        return load_fuyu(loader, fuyu_config_from_hf(path), dtype, quant), "fuyu"
+    if mt in ("phi3_v", "phi3v"):
+        from .phi3v import load_phi3v, phi3v_config_from_hf
+
+        return load_phi3v(loader, phi3v_config_from_hf(path), dtype, quant), "phi3v"
     if mt == "qwen2_5_vl":
         from .qwen2_5_vl import load_qwen2_5_vl, qwen2_5_vl_configs_from_hf
 

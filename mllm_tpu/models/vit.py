@@ -135,3 +135,109 @@ class ViTEncoder(Module):
         x = self(pixel_values)
         cls = x[:, 0]
         return self.post_ln(cls) if self.post_ln is not None else cls
+
+
+class ViTForImageClassification(Module):
+    """CLS-token classifier head on the encoder — counterpart of the
+    reference's ViTModel (models/vit/modeling_vit.hpp: transformer trunk +
+    classifier Linear over the CLS state, demo_vit.cpp postProcess argmax)."""
+
+    def __init__(self, encoder: ViTEncoder, classifier: Linear, id2label=None):
+        self.encoder = encoder
+        self.classifier = classifier
+        self.id2label = id2label or {}
+
+    def __call__(self, pixel_values):
+        """[B, C, H, W] -> logits [B, num_labels]."""
+        return self.classifier(self.encoder.pooled(pixel_values))
+
+    def classify(self, pixel_values, top_k: int = 1):
+        """Host-side helper: [(label, prob)] per image."""
+        logits = self(pixel_values)
+        probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+        out = []
+        for row in probs:
+            idx = np.argsort(row)[::-1][:top_k]
+            out.append([(self.id2label.get(int(i), str(int(i))), float(row[i]))
+                        for i in idx])
+        return out
+
+
+def vit_config_from_hf(path_or_dict) -> "tuple[VisionConfig, int, dict]":
+    """HF ViT config.json -> (VisionConfig, num_labels, id2label)."""
+    import json, os
+
+    c = path_or_dict
+    if not isinstance(c, dict):
+        p = os.fspath(c)
+        if os.path.isdir(p):
+            p = os.path.join(p, "config.json")
+        with open(p) as f:
+            c = json.load(f)
+    cfg = VisionConfig(
+        hidden_size=c.get("hidden_size", 768),
+        intermediate_size=c.get("intermediate_size", 3072),
+        num_hidden_layers=c.get("num_hidden_layers", 12),
+        num_attention_heads=c.get("num_attention_heads", 12),
+        image_size=c.get("image_size", 224),
+        patch_size=c.get("patch_size", 16),
+        num_channels=c.get("num_channels", 3),
+        hidden_act=c.get("hidden_act", "gelu"),
+        layer_norm_eps=float(c.get("layer_norm_eps", 1e-12)),
+    )
+    id2label = {int(k): v for k, v in c.get("id2label", {}).items()}
+    return cfg, len(id2label) or 1000, id2label
+
+
+def load_vit_classifier(loader, cfg: VisionConfig, num_labels: int,
+                        dtype=jnp.float32, id2label=None) -> ViTForImageClassification:
+    """Load HF `ViTForImageClassification` weights (google/vit-* naming:
+    vit.encoder.layer.{i}.attention.attention.query/..., layernorm_before/
+    after, intermediate/output.dense, classifier)."""
+
+    def lin(prefix, o, i):
+        w = jnp.asarray(loader.load(prefix + ".weight", (o, i)), dtype)
+        b = None
+        if prefix + ".bias" in loader:
+            b = jnp.asarray(loader.load(prefix + ".bias", (o,)), dtype)
+        return Linear(w, b)
+
+    def ln(prefix, d):
+        return LayerNorm(jnp.asarray(loader.load(prefix + ".weight", (d,)), dtype),
+                         jnp.asarray(loader.load(prefix + ".bias", (d,)), dtype),
+                         cfg.layer_norm_eps)
+
+    d, inter = cfg.hidden_size, cfg.intermediate_size
+    emb = VisionEmbeddings(
+        jnp.asarray(loader.load("vit.embeddings.patch_embeddings.projection.weight",
+                                (d, cfg.num_channels, cfg.patch_size, cfg.patch_size)), dtype),
+        jnp.asarray(loader.load("vit.embeddings.cls_token", (1, 1, d)), dtype).reshape(d),
+        jnp.asarray(loader.load("vit.embeddings.position_embeddings",
+                                (1, cfg.num_positions, d)), dtype).reshape(cfg.num_positions, d),
+        cfg,
+    )
+    # patch conv has a bias in HF ViT; fold it into the position embedding of
+    # the patch tokens (stride==kernel conv bias is a constant per channel)
+    if "vit.embeddings.patch_embeddings.projection.bias" in loader:
+        pb = jnp.asarray(loader.load("vit.embeddings.patch_embeddings.projection.bias",
+                                     (d,)), dtype)
+        pos = emb.position_embedding
+        pos = pos.at[1:].add(pb[None, :])
+        emb = emb.replace(position_embedding=pos)
+    blocks = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"vit.encoder.layer.{i}."
+        attn = VisionAttention(
+            lin(p + "attention.attention.query", d, d),
+            lin(p + "attention.attention.key", d, d),
+            lin(p + "attention.attention.value", d, d),
+            lin(p + "attention.output.dense", d, d),
+            cfg.num_attention_heads,
+        )
+        mlp = VisionMLP(lin(p + "intermediate.dense", inter, d),
+                        lin(p + "output.dense", d, inter), cfg.hidden_act)
+        blocks.append(VisionBlock(ln(p + "layernorm_before", d), attn,
+                                  ln(p + "layernorm_after", d), mlp))
+    enc = ViTEncoder(emb, None, ModuleList(blocks), ln("vit.layernorm", d), cfg)
+    head = lin("classifier", num_labels, d)
+    return ViTForImageClassification(enc, head, id2label)
