@@ -23,7 +23,9 @@ import jax
 import jax.numpy as jnp
 
 from mllm_tpu.core.config import TextConfig
-from mllm_tpu.generation.generate import _prefill, _decode_step_inner, generate_compiled, pad_to_bucket
+from mllm_tpu.generation.generate import (
+    _decode_step_inner, _prefill, _prefill_inner, generate_compiled, pad_to_bucket,
+)
 from mllm_tpu.generation.sampling import SamplingConfig
 from mllm_tpu.models.transformer import CausalLM
 
@@ -442,14 +444,22 @@ def bench_config(name: str) -> dict:
     padded = jnp.asarray(ids)
     scfg = SamplingConfig(max_new_tokens=DECODE_TOKENS)
 
-    # TTFT: prefill alone (fresh cache each run)
+    # TTFT: prefill + on-device greedy sample, fetch ONLY the token ids.
+    # The first token is produced on device; hauling the full [B, V] logits
+    # (4.9 MB at b8) across the relay is not part of time-to-first-token for
+    # any real serving path (engine/generate both sample on device).
+    @jax.jit
+    def prefill_tok(m, cache, ids):
+        logits, cache = _prefill_inner(m, cache, ids, PROMPT_LEN)
+        return jnp.argmax(logits, -1).astype(jnp.int32), cache
+
     cache = model.init_cache(batch, MAX_LEN, jnp.bfloat16, kv_dtype=kv_dtype)
-    logits, cache2 = _prefill(model, cache, padded, PROMPT_LEN)
-    np.asarray(logits)
+    tok0, cache2 = prefill_tok(model, cache, padded)
+    np.asarray(tok0)
     cache = model.init_cache(batch, MAX_LEN, jnp.bfloat16, kv_dtype=kv_dtype)
     t0 = time.perf_counter()
-    logits, cache2 = _prefill(model, cache, padded, PROMPT_LEN)
-    np.asarray(logits)
+    tok0, cache2 = prefill_tok(model, cache, padded)
+    np.asarray(tok0)
     ttft = time.perf_counter() - t0
     del cache2
 

@@ -38,15 +38,21 @@ def pad_to_bucket(ids: np.ndarray, multiple: int = 128, pad_id: int = 0) -> np.n
     return np.concatenate([ids, pad], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("true_len",), donate_argnames=("cache",))
-def _prefill(model, cache: KVCache, input_ids, true_len: int):
-    """Run padded prompt; logits taken at the true last token; cache.pos set to
-    true_len so decode overwrites the padding slack."""
+def _prefill_inner(model, cache: KVCache, input_ids, true_len: int):
+    """Unjitted prefill body — composes into larger single programs (e.g.
+    prefill + on-device sample in one dispatch)."""
     hidden, cache = model.hidden_states(input_ids, cache)
     last = hidden[:, true_len - 1 : true_len, :]
     logits = model.logits(last)
     cache = cache.with_pos(true_len)
     return logits[:, 0, :], cache
+
+
+@functools.partial(jax.jit, static_argnames=("true_len",), donate_argnames=("cache",))
+def _prefill(model, cache: KVCache, input_ids, true_len: int):
+    """Run padded prompt; logits taken at the true last token; cache.pos set to
+    true_len so decode overwrites the padding slack."""
+    return _prefill_inner(model, cache, input_ids, true_len)
 
 
 @functools.partial(jax.jit, donate_argnames=("cache",))

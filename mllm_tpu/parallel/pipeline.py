@@ -25,16 +25,26 @@ def pipeline_forward(
     stage_fn: Callable,  # (params_slice, h) -> h
     mesh: Mesh,
     axis: str = "pp",
+    last_fn: Callable = None,  # (h, aux_mb) -> y, applied by the LAST stage
+    aux=None,  # [M, ...] per-microbatch side input for last_fn (e.g. targets)
 ):
     """Run x through S pipeline stages living on S devices.
 
     stage_params leaves are sharded over `axis` on their leading dim; x is
     replicated in (microbatch-major) and the result comes out replicated.
+
+    With `last_fn`, the final stage maps each finished microbatch through it
+    (lm_head / loss live on the last device, GPipe-style) and the pipeline
+    returns stacked `last_fn` outputs [M, ...] instead of hidden states.
+    Fully differentiable: `jax.grad` through this function yields the 1F1B-
+    equivalent gradients (XLA schedules the backward ppermutes).
     """
     s = mesh.shape[axis]
     m = x.shape[0]
+    if aux is None:
+        aux = jnp.zeros((m, 1), x.dtype)  # unused placeholder (uniform pytree)
 
-    def per_device(params, xin):
+    def per_device(params, xin, aux_in):
         # params: leaves [1, ...] (this stage); xin: full [M, mb, ...]
         params = jax.tree.map(lambda p: p[0], params)
         idx = jax.lax.axis_index(axis)
@@ -52,16 +62,29 @@ def pipeline_forward(
             # last stage writes its finished microbatch t-(s-1)
             out_idx = t - (s - 1)
             do_write = (idx == s - 1) & (out_idx >= 0)
-            outputs = jax.lax.cond(
-                do_write,
-                lambda o: jax.lax.dynamic_update_index_in_dim(
-                    o, h_out, jnp.clip(out_idx, 0, m - 1), axis=0),
-                lambda o: o,
-                outputs,
-            )
+
+            def write(o):
+                # last_fn (e.g. lm_head + CE over the full vocab) runs INSIDE
+                # the taken branch only: non-last stages and warm-up ticks
+                # skip its FLOPs entirely (real conditional, not a select)
+                if last_fn is None:
+                    y_out = h_out
+                else:
+                    aux_mb = jax.lax.dynamic_index_in_dim(
+                        aux_in, jnp.clip(out_idx, 0, m - 1), axis=0, keepdims=False)
+                    y_out = last_fn(h_out, aux_mb)
+                return jax.lax.dynamic_update_index_in_dim(
+                    o, y_out, jnp.clip(out_idx, 0, m - 1), axis=0)
+
+            outputs = jax.lax.cond(do_write, write, lambda o: o, outputs)
             return (outputs, recv_next), None
 
-        outputs0 = jnp.zeros_like(xin)
+        if last_fn is None:
+            outputs0 = jnp.zeros_like(xin)
+        else:
+            y0 = jax.eval_shape(last_fn, jax.eval_shape(lambda a: a[0], xin),
+                                jax.eval_shape(lambda a: a[0], aux_in))
+            outputs0 = jnp.zeros((m,) + y0.shape, y0.dtype)
         recv0 = jnp.zeros_like(xin[0])
         (outputs, _), _ = jax.lax.scan(tick, (outputs0, recv0), jnp.arange(n_ticks))
         # broadcast final outputs from the last stage to all (masked psum)
@@ -73,11 +96,11 @@ def pipeline_forward(
     fn = shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(P(axis), P()),
+        in_specs=(P(axis), P(), P()),
         out_specs=P(),
         check_rep=False,
     )
-    return fn(stage_params, x)
+    return fn(stage_params, x, aux)
 
 
 def stack_stages(block_params_list, n_stages: int):
@@ -128,3 +151,47 @@ def pipeline_lm_hidden(model, input_ids, mesh: Mesh, axis: str = "pp",
     xmb = x.reshape(n_microbatches, b // n_microbatches, s, x.shape[-1])
     out = pipeline_forward(stage_params, xmb, stage_fn, mesh, axis=axis)
     return model.norm(out.reshape(b, s, -1))
+
+
+def pipeline_lm_loss(model, input_ids, targets, mesh: Mesh, axis: str = "pp",
+                     n_microbatches: int = 4):
+    """Full GPipe training loss: trunk stages on the 'pp' axis, norm +
+    lm_head + cross-entropy computed BY THE LAST STAGE per microbatch (the
+    [mb, S, V] logits never leave that device), mean over microbatches.
+
+    Differentiable end-to-end: jax.grad through this == jax.grad through
+    model.loss (tested).  TPU-native generalization of the reference's
+    2-stage chunk pipeline (/root/reference/mllm/Parallel.hpp:25-112) to a
+    training step over a device mesh."""
+    b, s = input_ids.shape
+    assert b % n_microbatches == 0, f"batch {b} % microbatches {n_microbatches}"
+    n_stages = mesh.shape[axis]
+
+    blocks = [blk.replace(attn=blk.attn.replace(layer_idx=0)) for blk in model.blocks]
+    stage_params = stack_stages(blocks, n_stages)
+
+    x = model.embed_tokens(input_ids)
+    if model.cfg.embedding_multiplier != 1.0:
+        x = x * jnp.asarray(model.cfg.embedding_multiplier, x.dtype)
+    positions = jnp.arange(s, dtype=jnp.int32)[None, :]
+    rope = model.rope
+
+    def stage_fn(stage_blocks, h):
+        def body(hc, blk):
+            out, _ = blk(hc, rope, None, positions)
+            return out, None
+        h, _ = jax.lax.scan(body, h, stage_blocks)
+        return h
+
+    def last_fn(h, tgt_mb):
+        logits = model.logits(model.norm(h))  # [mb, S, V] f32, last stage only
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, tgt_mb[..., None], axis=-1)[..., 0]
+        return jnp.mean(nll)
+
+    mb = b // n_microbatches
+    xmb = x.reshape(n_microbatches, mb, s, x.shape[-1])
+    tmb = targets.reshape(n_microbatches, mb, s)
+    losses = pipeline_forward(stage_params, xmb, stage_fn, mesh, axis=axis,
+                              last_fn=last_fn, aux=tmb)
+    return jnp.mean(losses)

@@ -13,6 +13,14 @@ os.environ.setdefault("MLLM_FORCE_XLA", "1")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = _flags + " --xla_force_host_platform_device_count=8"
+if "collective_call_terminate" not in os.environ.get("XLA_FLAGS", ""):
+    # XLA CPU F-check-aborts the process if a collective participant is >40 s
+    # late — reachable on few-core hosts running 8 forced devices (sharding
+    # tests).  Relax the deadlines; correctness tests have pytest timeouts.
+    os.environ["XLA_FLAGS"] = os.environ["XLA_FLAGS"] + (
+        " --xla_cpu_collective_call_terminate_timeout_seconds=600"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+        " --xla_cpu_collective_timeout_seconds=600")
 
 import jax  # noqa: E402
 import pytest  # noqa: E402

@@ -270,3 +270,26 @@ def test_tp8_flagship_geometry_sharded_cache(cpu8, caplog):
     sc = shard_cache(padded.init_cache(2, 64, jnp.float32), mesh)
     assert not sc.k.sharding.is_fully_replicated
     assert sc.k.sharding.shard_shape(sc.k.shape)[2] == 1
+
+
+def test_pipeline_lm_loss_and_grads(cpu8):
+    """GPipe loss with norm+lm_head+CE on the LAST stage: value AND full
+    gradient parity vs the sequential model.loss (round-2 verdict weak #5 —
+    lm_head/loss now flow across stages, differentiably)."""
+    from jax.sharding import Mesh as _Mesh
+
+    from mllm_tpu.parallel.pipeline import pipeline_lm_loss
+
+    model, cfg = _tiny(l=4)
+    mesh = _Mesh(np.array(cpu8[:4]), ("pp",))
+    ids = np.random.default_rng(3).integers(0, 128, (8, 16)).astype(np.int32)
+    tgt = np.roll(ids, -1, axis=1).astype(np.int32)
+
+    ref = float(model.loss(jnp.asarray(ids), jnp.asarray(tgt)))
+    pp = float(pipeline_lm_loss(model, jnp.asarray(ids), jnp.asarray(tgt), mesh))
+    assert abs(ref - pp) < 1e-5
+
+    g1 = jax.grad(lambda m: m.loss(jnp.asarray(ids), jnp.asarray(tgt)))(model)
+    g2 = jax.grad(lambda m: pipeline_lm_loss(m, jnp.asarray(ids), jnp.asarray(tgt), mesh))(model)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
