@@ -19,7 +19,8 @@ import numpy as np
 
 from ..core import dtypes as dt
 from ..core.config import TextConfig
-from ..nn.layers import Embedding, Int4Linear, LayerNorm, Linear, QuantLinear, RMSNorm, RotaryEmbedding
+from ..nn.layers import Embedding, LayerNorm, Linear, QuantLinear, RMSNorm, RotaryEmbedding
+from ..ops.quantize_model import make_int4_linear
 from ..nn.module import ModuleList
 from ..ops import quant_matmul as qm
 from .transformer import MLP, Attention, CausalLM, DecoderBlock, _make_norm
@@ -76,11 +77,11 @@ def make_linear(loader, prefix: str, out_f: int, in_f: int, dtype,
         raw = loader.raw(wname)
         if ldt == dt.DataType.Q4_0:
             packed, scales, zeros = qm.prepare_int4(*qm.repack_q4_0(np.asarray(raw), out_f, in_f))
-            return Int4Linear(jnp.asarray(packed), jnp.asarray(scales), 32, jnp.asarray(zeros), bias)
+            return make_int4_linear(packed, scales, zeros, bias, k=in_f)
         if ldt == dt.DataType.Q4_K:
             p_, s_, z_ = qm.repack_q4_k(np.asarray(raw), out_f, in_f)
             p_, s_, z_ = qm.prepare_int4(p_, s_, 32, z_)
-            return Int4Linear(jnp.asarray(p_), jnp.asarray(s_), 32, jnp.asarray(z_), bias)
+            return make_int4_linear(p_, s_, z_, bias, k=in_f)
         if ldt in (dt.DataType.Q8_0, dt.DataType.Q8_0F):
             qv, sc = qm.repack_q8_0(np.asarray(raw), out_f, in_f)
             return QuantLinear(jnp.asarray(qv), jnp.asarray(sc), bias)
@@ -94,7 +95,7 @@ def make_linear(loader, prefix: str, out_f: int, in_f: int, dtype,
         return QuantLinear(jnp.asarray(qv), jnp.asarray(sc), bias)
     if quant == "int4":
         packed, scales, zeros = qm.prepare_int4(*qm.repack_float_to_int4(w, 32))
-        return Int4Linear(jnp.asarray(packed), jnp.asarray(scales), 32, jnp.asarray(zeros), bias)
+        return make_int4_linear(packed, scales, zeros, bias, k=in_f)
     return Linear(jnp.asarray(w, dtype), bias)
 
 
@@ -215,5 +216,5 @@ def _maybe_quant_from_float(w: np.ndarray, dtype, quant: QuantMode):
         return QuantLinear(jnp.asarray(qv), jnp.asarray(sc), None)
     if quant == "int4":
         packed, scales, zeros = qm.prepare_int4(*qm.repack_float_to_int4(w, 32))
-        return Int4Linear(jnp.asarray(packed), jnp.asarray(scales), 32, jnp.asarray(zeros), None)
+        return make_int4_linear(packed, scales, zeros, None, k=w.shape[-1])
     return Linear(jnp.asarray(w, dtype), None)

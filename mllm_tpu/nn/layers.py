@@ -147,6 +147,34 @@ class Int4Linear(Module):
         return y.astype(x.dtype)
 
 
+class Int4LinearXLA(Module):
+    """Linear over int4 group-quantized weight, n-axis layout (native XLA).
+
+    Holds packed_n uint8 [in, out/2] (two signed nibbles per byte along the
+    OUT axis), scales/zshift f32 [in/G, out]; value = qs*scale + zshift.
+    The whole GEMV stays one schedulable XLA graph (in-program bitcast to
+    s4 + group-batched dot) — no Pallas custom-call boundary, half the
+    weight bytes of int8.  See ops.quant_matmul.int4_xla_matmul.
+    """
+
+    def __init__(self, packed_n: jax.Array, scales_g: jax.Array,
+                 zshift_g: jax.Array, group: int = 32,
+                 bias: Optional[jax.Array] = None):
+        self.packed_n = packed_n
+        self.scales_g = scales_g
+        self.zshift_g = zshift_g
+        self.group = group
+        self.bias = bias
+
+    def __call__(self, x):
+        from ..ops.quant_matmul import int4_xla_matmul
+
+        y = int4_xla_matmul(x, self.packed_n, self.scales_g, self.zshift_g, self.group)
+        if self.bias is not None:
+            y = y + self.bias
+        return y.astype(x.dtype)
+
+
 class Embedding(Module):
     """Token embedding (reference Layer.hpp:431, CPUEmbedding)."""
 

@@ -52,6 +52,15 @@ def _int8_impl() -> str:
     return os.environ.get("MLLM_INT8_IMPL", "xla")
 
 
+def int4_impl() -> str:
+    """'xla' (default): n-axis s4 layout, whole decode step one XLA graph.
+    'pallas': canonical planar layout + group-partial kernel (wins per-GEMV
+    but custom-call boundaries cost cross-op prefetch at model level)."""
+    import os
+
+    return os.environ.get("MLLM_INT4_IMPL", "xla")
+
+
 # ---------------------------------------------------------------------------
 # int8: y = x @ w  with w int8 [K, N] * scales[N]
 # ---------------------------------------------------------------------------
@@ -302,6 +311,106 @@ def int4_matmul(x: jax.Array, packed_e8: jax.Array, scales_p: jax.Array,
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         interpret=interpret,
     )(xb, xb, packed_e8, scales_p, scales_p, zeros_p, zeros_p)
+    return y.reshape(*orig_shape[:-1], n)
+
+
+# ---------------------------------------------------------------------------
+# int4 "n-axis" layout: native-XLA streaming path (no Pallas custom calls)
+#
+# Storage: packed_n uint8 [K, N/2] — byte (k, j) holds the SIGNED two's-
+# complement nibbles of out-channels n=2j (low nibble) and n=2j+1 (high).
+# In-program `bitcast_convert_type(u8, int4)` yields s4 [K, N/2, 2] with the
+# low nibble first, so `reshape(K, N)` restores natural n order with NO
+# transpose; the s4->bf16 convert fuses into the dot the way the int8 path's
+# convert does.  s4 arrays cannot cross program boundaries on this stack
+# (runtime transfer recursion), hence uint8 storage + in-program bitcast.
+#
+# Dequant law: value = qs * scale + zshift, with qs in [-8, 7] and
+# zshift = zero + 8*scale relative to the canonical affine layout
+# (value = q*scale + zero, q = qs + 8 in [0, 15]).  Symmetric weights get
+# zshift = 0 exactly; Q4_K maps losslessly.
+#
+# Why this exists: the group-partial Pallas kernel wins per-GEMV, but ~196
+# custom-call boundaries per decode step forfeit XLA's cross-op prefetch
+# (int8 stays ahead at model level).  This path keeps the whole decode step
+# ONE schedulable XLA graph while streaming half the weight bytes of int8.
+# ---------------------------------------------------------------------------
+
+
+def pack_int4_n(qs_t):
+    """qs_t int8 [..., K, N] values -8..7 -> packed uint8 [..., K, N/2].
+    Works on numpy (load time) or jnp (on-device quantization) arrays."""
+    xp = jnp if isinstance(qs_t, jax.Array) else np
+    lo = (qs_t[..., 0::2] & 0x0F).astype(xp.uint8)
+    hi = (qs_t[..., 1::2] & 0x0F).astype(xp.uint8)
+    return lo | (hi << 4)
+
+
+def canonical_to_n_layout(packed_e8, scales_p, zeros_p, group: int, k: int):
+    """Canonical planar operands (prepare_int4) -> n-axis layout.
+
+    Returns (packed_n uint8 [..., K, N/2], scales f32 [..., K/G, N],
+    zshift f32 [..., K/G, N]).  Drops the Pallas block padding (the n-axis
+    path has no block-size constraint beyond K % G == 0)."""
+    xp = jnp if isinstance(packed_e8, jax.Array) else np
+    *lead, khp, n = packed_e8.shape
+    khalf = k // 2
+    ngh = khp // group
+    ng = khalf // group
+    lo = packed_e8[..., :khalf, :] & 0x0F  # q in 0..15, k = 0..khalf
+    hi = packed_e8[..., :khalf, :] >> 4  # k = khalf..k
+    q = xp.concatenate([lo, hi], axis=-2).astype(xp.int16)  # [..., K, N]
+    qs_t = (q - 8).astype(xp.int8)
+    s = xp.concatenate([scales_p[..., :ng, :], scales_p[..., ngh : ngh + ng, :]], axis=-2)
+    z = xp.concatenate([zeros_p[..., :ng, :], zeros_p[..., ngh : ngh + ng, :]], axis=-2)
+    return pack_int4_n(qs_t), s.astype(xp.float32), (z + 8.0 * s).astype(xp.float32)
+
+
+def unpack_int4_n(packed_n: jax.Array) -> jax.Array:
+    """uint8 [..., K, N/2] -> s4 [..., K, N] via in-program bitcast."""
+    s4 = jax.lax.bitcast_convert_type(packed_n, jnp.int4)  # [..., K, N/2, 2]
+    return s4.reshape(*packed_n.shape[:-1], packed_n.shape[-1] * 2)
+
+
+def dequant_int4_n(packed_n, scales_g, zshift_g, group: int = 32):
+    """n-axis operands -> f32 [K, N] (prefill / fallback path)."""
+    q = unpack_int4_n(packed_n).astype(jnp.float32)
+    return (q * jnp.repeat(scales_g, group, axis=-2)
+            + jnp.repeat(zshift_g, group, axis=-2))
+
+
+def int4_xla_matmul(x: jax.Array, packed_n: jax.Array, scales_g: jax.Array,
+                    zshift_g: jax.Array, group: int = 32) -> jax.Array:
+    """y[..., N] = x[..., K] @ dequant(n-axis int4 operands) — f32 out.
+
+    Decode shapes (m <= 32) run the group-partial formulation as ONE native
+    XLA graph: a [K/G]-batched dot over raw s4 nibbles (exact in bf16:
+    |qs| <= 8) with scales/zshifts applied to the f32 partial sums — the
+    same math as the Pallas `_int4_gb_kernel`, but schedulable/prefetchable
+    by XLA across the whole decode step.  Larger m dequants + single dot
+    (MXU-bound there)."""
+    orig_shape = x.shape
+    k = orig_shape[-1]
+    n = packed_n.shape[-1] * 2
+    x2 = x.reshape(-1, k)
+    m = x2.shape[0]
+
+    if m > 32:
+        w = dequant_int4_n(packed_n, scales_g, zshift_g, group)
+        y = jax.lax.dot_general(
+            x2.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return y.reshape(*orig_shape[:-1], n)
+
+    g = k // group
+    q = unpack_int4_n(packed_n).astype(jnp.bfloat16)  # [K, N], exact
+    xg = x2.reshape(m, g, group).transpose(1, 0, 2).astype(jnp.bfloat16)  # [g, m, G]
+    qg = q.reshape(g, group, n)
+    part = jax.lax.dot_general(xg, qg, (((2,), (1,)), ((0,), (0,))),
+                               preferred_element_type=jnp.float32)  # [g, m, N]
+    xsum = jnp.sum(x2.astype(jnp.float32).reshape(m, g, group), axis=-1)  # [m, g]
+    y = (jnp.einsum("gmn,gn->mn", part, scales_g.astype(jnp.float32))
+         + xsum @ zshift_g.astype(jnp.float32))
     return y.reshape(*orig_shape[:-1], n)
 
 

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..nn.layers import Embedding, Int4Linear, Linear, QuantLinear
+from ..nn.layers import Embedding, Int4Linear, Int4LinearXLA, Linear, QuantLinear
 from ..nn.module import Module
 from . import quant_matmul as qm
 
@@ -55,6 +55,20 @@ def _q8_device(w):
 
 
 @jax.jit
+def _q4n_device(w):
+    """Group-32 symmetric int4 n-axis pack on-device:
+    float [..., N, K] -> (packed_n uint8 [..., K, N/2], scales f32 [..., K/32, N]).
+    zshift is identically zero for symmetric weights (value = qs*scale)."""
+    n, k = w.shape[-2], w.shape[-1]
+    lead = w.shape[:-2]
+    wg = w.astype(jnp.float32).reshape(*lead, n, k // 32, 32)
+    amax = jnp.max(jnp.abs(wg), axis=-1)
+    sc = jnp.where(amax > 0, amax / 7.0, 1.0)
+    v = jnp.clip(jnp.round(wg / sc[..., None]), -8, 7).astype(jnp.int8).reshape(*lead, n, k)
+    return qm.pack_int4_n(jnp.swapaxes(v, -1, -2)), jnp.swapaxes(sc, -1, -2)
+
+
+@jax.jit
 def _q4_device(w):
     """Group-32 symmetric int4 planar pack on-device:
     float [..., N, K] -> (packed uint8 [..., K/2, N], scales f32 [..., K/32, N])."""
@@ -81,12 +95,18 @@ def _quant_linear(lin: Linear, mode: str, min_size: int, on_device: bool):
     if np.prod(shape) < min_size or shape[-1] % 64 != 0:
         return lin
     n_params = int(np.prod(shape[-2:]))
-    if mode == "int4" and n_params < INT4_MIN_PARAMS:
-        mode = "int8"  # mixed precision: small projections stay int8
+    if mode == "int4" and n_params < INT4_MIN_PARAMS and qm.int4_impl() != "xla":
+        # mixed precision: small projections stay int8 on the Pallas path,
+        # whose fixed launch cost rivals the tiny-GEMV byte saving; the XLA
+        # n-axis path has no custom-call boundary so int4 wins at any size
+        mode = "int8"
     if on_device or lin.weight.ndim > 2:  # stacked layers always quantize on-device
         if mode == "int8":
             qv, sc = _q8_device(lin.weight)
             return QuantLinear(qv, sc, lin.bias)
+        if qm.int4_impl() == "xla":
+            packed_n, scales = _q4n_device(lin.weight)
+            return Int4LinearXLA(packed_n, scales, jnp.zeros_like(scales), 32, lin.bias)
         packed, scales = _q4_device(lin.weight)
         packed, scales, zeros = qm.prepare_int4(packed, scales, 32)
         return Int4Linear(packed, scales, 32, zeros, lin.bias)
@@ -95,7 +115,17 @@ def _quant_linear(lin: Linear, mode: str, min_size: int, on_device: bool):
         qv, sc = qm.repack_float_to_int8(w)
         return QuantLinear(jnp.asarray(qv), jnp.asarray(sc), lin.bias)
     packed, scales, zeros = qm.prepare_int4(*qm.repack_float_to_int4(w, 32), group=32)
-    return Int4Linear(jnp.asarray(packed), jnp.asarray(scales), 32, jnp.asarray(zeros), lin.bias)
+    return make_int4_linear(packed, scales, zeros, lin.bias, k=w.shape[-1])
+
+
+def make_int4_linear(packed, scales, zeros, bias, k: int):
+    """Canonical planar int4 operands (numpy or jnp) -> the Int4Linear
+    flavor selected by MLLM_INT4_IMPL (lossless layout conversion)."""
+    if qm.int4_impl() == "xla":
+        pn, sg, zg = qm.canonical_to_n_layout(packed, scales, zeros, 32, k)
+        return Int4LinearXLA(jnp.asarray(pn), jnp.asarray(sg), jnp.asarray(zg), 32, bias)
+    return Int4Linear(jnp.asarray(packed), jnp.asarray(scales), 32,
+                      jnp.asarray(zeros), bias)
 
 
 class FusedInt4MLP(Module):
@@ -126,6 +156,8 @@ def _fuse_int4_mlp(mlp, min_size: int, on_device: bool):
     """MLP -> FusedInt4MLP when eligible, else None."""
     from .fused_mlp import _ACT, pick_block_f
 
+    if qm.int4_impl() == "xla":
+        return None  # XLA schedules/fuses the n-axis path itself
     if (mlp.up_proj is None or getattr(mlp, "gateup_proj", None) is not None
             or mlp.act not in _ACT):
         return None

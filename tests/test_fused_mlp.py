@@ -75,6 +75,7 @@ def test_quantize_model_creates_fused_mlp_and_matches_per_linear(monkeypatch):
     from mllm_tpu.ops.quantize_model import FusedInt4MLP, fuse_projections, quantize_model
 
     monkeypatch.setattr(qmod, "INT4_MIN_PARAMS", 0)  # tiny test weights
+    monkeypatch.setenv("MLLM_INT4_IMPL", "pallas")  # fused MLP is Pallas-path only
 
     cfg = TextConfig(vocab_size=64, hidden_size=64, intermediate_size=256,
                      num_hidden_layers=2, num_attention_heads=4,

@@ -98,3 +98,113 @@ def test_prepare_int4_canonical_padding():
     got = np.asarray(dequant_int4_canonical(
         jnp.asarray(pc), jnp.asarray(sc), jnp.asarray(zc), 32, K))
     np.testing.assert_allclose(got.T, ggml, rtol=1e-5, atol=1e-5)
+
+# ---------------------------------------------------------------------------
+# n-axis (native XLA s4) layout
+# ---------------------------------------------------------------------------
+
+
+def test_n_layout_lossless_q4_0():
+    """canonical -> n-axis conversion dequants bit-identically (symmetric)."""
+    from mllm_tpu.ops.quant_matmul import canonical_to_n_layout, dequant_int4_n
+
+    N, K = 8, 256
+    w = _w(N, K)
+    raw = dt.quant_q4_0(w)
+    ggml = dt.dequant_q4_0(raw, N * K).reshape(N, K)
+    pc, sc, zc = prepare_int4(*repack_q4_0(raw.reshape(N, -1), N, K))
+    pn, sg, zg = canonical_to_n_layout(pc, sc, zc, 32, K)
+    assert pn.shape == (K, N // 2) and sg.shape == (K // 32, N)
+    got = np.asarray(dequant_int4_n(jnp.asarray(pn), jnp.asarray(sg), jnp.asarray(zg), 32))
+    np.testing.assert_allclose(got.T, ggml, rtol=1e-6, atol=1e-6)
+
+
+def test_n_layout_lossless_q4_k():
+    """Affine Q4_K maps losslessly onto qs*scale + zshift."""
+    from mllm_tpu.ops.quant_matmul import canonical_to_n_layout, dequant_int4_n
+
+    N, K = 4, 512
+    w = _w(N, K, 1)
+    raw = dt.quant_q4_k(w)
+    ggml = dt.dequant_q4_k(raw, N * K).reshape(N, K)
+    p, s, z = repack_q4_k(raw.reshape(N, -1), N, K)
+    pc, sc, zc = prepare_int4(p, s, 32, z)
+    pn, sg, zg = canonical_to_n_layout(pc, sc, zc, 32, K)
+    got = np.asarray(dequant_int4_n(jnp.asarray(pn), jnp.asarray(sg), jnp.asarray(zg), 32))
+    np.testing.assert_allclose(got.T, ggml, rtol=1e-5, atol=1e-5)
+
+
+def test_int4_xla_matmul_decode_and_prefill():
+    """Both branches (group-partial m<=32, dequant-dot m>32) match the
+    dequant oracle; bitcast nibble order round-trips through pack_int4_n."""
+    from mllm_tpu.ops.quant_matmul import (
+        canonical_to_n_layout, dequant_int4_n, int4_xla_matmul,
+    )
+
+    K, N = 128, 64
+    p, s = repack_float_to_int4(_w(N, K, 6), 32)
+    pc, sc, zc = prepare_int4(p, s, 32)
+    pn, sg, zg = canonical_to_n_layout(pc, sc, zc, 32, K)
+    wd = np.asarray(dequant_int4_n(jnp.asarray(pn), jnp.asarray(sg), jnp.asarray(zg), 32))
+    for M in (1, 8, 48):  # decode + prefill branches
+        x = _w(M, K, 7 + M)
+        xb = np.asarray(jnp.asarray(x).astype(jnp.bfloat16).astype(jnp.float32))
+        out = np.asarray(int4_xla_matmul(jnp.asarray(x), jnp.asarray(pn),
+                                         jnp.asarray(sg), jnp.asarray(zg), 32))
+        if M <= 32:
+            # group-partial branch: nibbles are exact in bf16 and scales hit
+            # f32 partial sums, so only the x bf16 conversion is lossy
+            np.testing.assert_allclose(out, xb @ wd, rtol=1e-3, atol=1e-3)
+        else:
+            wb = np.asarray(jnp.asarray(wd).astype(jnp.bfloat16).astype(jnp.float32))
+            np.testing.assert_allclose(out, xb @ wb, rtol=1e-3, atol=1e-3)
+
+
+def test_quantize_model_int4_xla(monkeypatch):
+    """MLLM_INT4_IMPL=xla swaps every eligible Linear for Int4LinearXLA and
+    the quantized model's logits stay close to float."""
+    import jax
+
+    from mllm_tpu.core.config import TextConfig
+    from mllm_tpu.models.transformer import CausalLM
+    from mllm_tpu.nn.layers import Int4LinearXLA
+    from mllm_tpu.ops.quantize_model import quantize_model
+
+    monkeypatch.setenv("MLLM_INT4_IMPL", "xla")
+    cfg = TextConfig(vocab_size=256, hidden_size=128, intermediate_size=256,
+                     num_hidden_layers=2, num_attention_heads=4,
+                     num_key_value_heads=2, max_position_embeddings=64,
+                     eos_token_id=-2)
+    model = CausalLM.init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    qmodel = quantize_model(model, "int4", min_size=1)
+    kinds = [type(l).__name__ for l in jax.tree.leaves(
+        qmodel, is_leaf=lambda x: isinstance(x, Int4LinearXLA)) if isinstance(l, Int4LinearXLA)]
+    assert kinds, "no Int4LinearXLA created"
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 256, (1, 8)), jnp.int32)
+    lf = model(ids, None, last_only=False)[0]
+    lq = qmodel(ids, None, last_only=False)[0]
+    # int4 is lossy; just require same argmax on most positions
+    agree = float(jnp.mean((jnp.argmax(lf, -1) == jnp.argmax(lq, -1)).astype(jnp.float32)))
+    assert agree >= 0.5, agree
+
+
+def test_quantize_model_int4_xla_on_device(monkeypatch):
+    """on_device int4-xla quantization (the bench path) matches the host
+    repack route exactly on the same weights."""
+    import jax
+
+    from mllm_tpu.nn.layers import Linear
+    from mllm_tpu.ops.quantize_model import _quant_linear
+
+    monkeypatch.setenv("MLLM_INT4_IMPL", "xla")
+    w = _w(64, 128, 9)
+    lin = Linear(jnp.asarray(w), None)
+    host = _quant_linear(lin, "int4", 1, on_device=False)
+    dev = _quant_linear(lin, "int4", 1, on_device=True)
+    np.testing.assert_array_equal(np.asarray(host.packed_n), np.asarray(dev.packed_n))
+    np.testing.assert_allclose(np.asarray(host.scales_g), np.asarray(dev.scales_g),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(host.zshift_g), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dev.zshift_g), 0.0, atol=1e-6)
+    x = jnp.asarray(_w(2, 128, 10))
+    np.testing.assert_allclose(np.asarray(host(x)), np.asarray(dev(x)), rtol=1e-5, atol=1e-5)
