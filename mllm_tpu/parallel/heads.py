@@ -80,7 +80,7 @@ def _map_linear(lin, index, hd: int, *, rows: bool):
     rows=False -> input channels (o_proj): Linear.weight axis 1,
                   QuantLinear.qweight_t axis 0; scales/bias untouched.
     """
-    from ..nn.layers import Int4Linear, Linear, QuantLinear
+    from ..nn.layers import Int4LinearXLA, Linear, QuantLinear
 
     if isinstance(lin, Linear):
         w = _take_heads(lin.weight, index, hd, 0 if rows else 1)
@@ -91,9 +91,26 @@ def _map_linear(lin, index, hd: int, *, rows: bool):
         sc = _take_heads(lin.scales, index, hd, 0) if rows else lin.scales
         b = _take_heads(lin.bias, index, hd, 0) if (rows and lin.bias is not None) else lin.bias
         return QuantLinear(qw, sc, b)
+    if isinstance(lin, Int4LinearXLA):
+        # n-axis int4 is head-sliceable: out channels are packed 2-per-byte
+        # along the LAST axis (head blocks = hd/2 bytes, hd is even), and
+        # zero-filled pad blocks dequant to exactly 0 (packed=scales=zshift=0)
+        g = lin.group
+        if rows:
+            pn = _take_heads(lin.packed_n, index, hd // 2, 1)
+            sg = _take_heads(lin.scales_g, index, hd, 1)
+            zg = _take_heads(lin.zshift_g, index, hd, 1)
+            b = _take_heads(lin.bias, index, hd, 0) if lin.bias is not None else None
+        else:  # input channels (o_proj): K axis 0, scale groups axis 0
+            pn = _take_heads(lin.packed_n, index, hd, 0)
+            sg = _take_heads(lin.scales_g, index, hd // g, 0)
+            zg = _take_heads(lin.zshift_g, index, hd // g, 0)
+            b = lin.bias
+        return Int4LinearXLA(pn, sg, zg, g, b)
     raise NotImplementedError(
         f"pad_heads_for_tp: unsupported projection type {type(lin).__name__} "
-        "(int4-packed layouts cannot be head-sliced; load with int8/bf16 for tp)")
+        "(the canonical planar int4 layout cannot be head-sliced; use "
+        "MLLM_INT4_IMPL=xla or int8/bf16 for tp)")
 
 
 def pad_heads_for_tp(model, tp: int):

@@ -48,6 +48,17 @@ _COLUMN_BIAS = re.compile(r"(q_proj|k_proj|v_proj|gate_proj|up_proj|lm_head|qkv_
 _EMBED = re.compile(r"embed_tokens\.weight")
 _EXPERT = re.compile(r"experts\..*\.weight")
 
+# quantized layouts: int8 QuantLinear holds qweight_t [in, out] + scales [out];
+# n-axis int4 (Int4LinearXLA) holds packed_n [in, out/2] + scales_g/zshift_g
+# [in/G, out].  All are "out-last", so column-parallel shards the LAST axis
+# and row-parallel the first.  (The canonical planar Pallas int4 layout stays
+# replicated: its lo/hi k-halves + custom call don't GSPMD-partition.)
+_COL_NAMES = r"(q_proj|k_proj|v_proj|gate_proj|up_proj|lm_head)"
+_ROW_NAMES = r"(o_proj|down_proj)"
+_COLUMN_QLEAF = re.compile(_COL_NAMES + r"\.(qweight_t|packed_n|scales_g|zshift_g)")
+_ROW_QLEAF = re.compile(_ROW_NAMES + r"\.(qweight_t|packed_n|scales_g|zshift_g)")
+_COLUMN_QSCALE = re.compile(_COL_NAMES + r"\.scales$")  # int8 per-out [out]
+
 
 def param_spec(path: str, ndim: int) -> P:
     if _EMBED.search(path):
@@ -56,7 +67,11 @@ def param_spec(path: str, ndim: int) -> P:
         spec = P("tp", None)
     elif _ROW.search(path):
         spec = P(None, "tp")
-    elif _COLUMN_BIAS.search(path):
+    elif _COLUMN_QLEAF.search(path):
+        spec = P(None, "tp")
+    elif _ROW_QLEAF.search(path):
+        spec = P("tp", None)
+    elif _COLUMN_BIAS.search(path) or _COLUMN_QSCALE.search(path):
         spec = P("tp")
     else:
         return P()  # replicated

@@ -293,3 +293,63 @@ def test_pipeline_lm_loss_and_grads(cpu8):
     g2 = jax.grad(lambda m: pipeline_lm_loss(m, jnp.asarray(ids), jnp.asarray(tgt), mesh))(model)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("quant", ["int8", "int4"])
+def test_tp_sharded_quantized_generate(cpu8, quant, monkeypatch):
+    """Quantized models shard under tp: qweight_t/packed_n leaves get real
+    (non-replicated) shardings and tp generate is token-exact vs the
+    single-device quantized path.  int4 uses the n-axis XLA layout (the
+    canonical planar Pallas layout stays replicated by design)."""
+    from mllm_tpu.ops.quantize_model import quantize_model
+    from mllm_tpu.parallel.sharding import sharded_generate
+
+    monkeypatch.setenv("MLLM_INT4_IMPL", "xla")
+    model, cfg = _tiny(l=2)
+    qmodel = quantize_model(model, quant, min_size=1, quant_embed_head=False)
+    ids = np.random.default_rng(4).integers(0, 128, (2, 10)).astype(np.int32)
+
+    # single-device greedy reference on the SAME quantized model
+    cache = qmodel.init_cache(2, 64, jnp.float32)
+    logits, cache = qmodel(jnp.asarray(ids), cache, last_only=True)
+    ref = [np.argmax(np.asarray(logits)[:, -1, :], -1)]
+    for _ in range(5):
+        tok = jnp.asarray(ref[-1], jnp.int32)[:, None]
+        logits, cache = qmodel(tok, cache, last_only=True)
+        ref.append(np.argmax(np.asarray(logits)[:, -1, :], -1))
+    ref = np.stack(ref, axis=1)
+
+    mesh = make_mesh(dp=1, tp=2, devices=cpu8[:2])
+    # leaf shardings: column projections sharded on the out axis
+    from mllm_tpu.parallel.sharding import shard_model as _sm
+
+    sharded = _sm(qmodel, mesh)
+    lin = sharded.blocks.mods[0].mlp.gate_proj
+    leaf = lin.qweight_t if quant == "int8" else lin.packed_n
+    assert not leaf.sharding.is_fully_replicated, type(lin).__name__
+    assert leaf.sharding.shard_shape(leaf.shape)[1] == leaf.shape[1] // 2
+
+    toks = np.asarray(sharded_generate(qmodel, ids, mesh, 6, 64))
+    np.testing.assert_array_equal(toks, ref)
+
+
+def test_pad_heads_int4_xla(monkeypatch):
+    """pad_heads_for_tp head-slices the n-axis int4 layout exactly (12q/2kv
+    -> tp=8 padded geometry produces identical logits)."""
+    from mllm_tpu.ops.quantize_model import quantize_model
+    from mllm_tpu.parallel.heads import pad_heads_for_tp
+
+    monkeypatch.setenv("MLLM_INT4_IMPL", "xla")
+    cfg = TextConfig(
+        vocab_size=128, hidden_size=96, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=6, num_key_value_heads=2, max_position_embeddings=128,
+        eos_token_id=-3,
+    )
+    model = CausalLM.init(jax.random.PRNGKey(1), cfg)
+    qmodel = quantize_model(model, "int4", min_size=1, quant_embed_head=False)
+    padded = pad_heads_for_tp(qmodel, 8)
+    assert padded.cfg.num_attention_heads % 8 == 0
+    ids = jnp.asarray(np.random.default_rng(5).integers(0, 128, (1, 9)), jnp.int32)
+    lref = np.asarray(qmodel(ids, qmodel.init_cache(1, 32, jnp.float32))[0])
+    lpad = np.asarray(padded(ids, padded.init_cache(1, 32, jnp.float32))[0])
+    np.testing.assert_allclose(lpad, lref, rtol=1e-5, atol=1e-5)
