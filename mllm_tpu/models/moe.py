@@ -97,10 +97,8 @@ class MoEMLP(Module):
         xs = jnp.take(xf, token_of, axis=0)  # [T*k, d]
         group_sizes = jnp.bincount(flat_expert, length=e)
 
-        h = jax.lax.ragged_dot(xs, self.w_gate.astype(xs.dtype), group_sizes)
-        u = jax.lax.ragged_dot(xs, self.w_up.astype(xs.dtype), group_sizes)
-        hu = ACT_FN[self.act](h) * u
-        ys = jax.lax.ragged_dot(hu, self.w_down.astype(xs.dtype), group_sizes)  # [T*k, d]
+        expert_sorted = jnp.take(flat_expert, order)  # expert id per sorted slot
+        ys = self._expert_ffn(xs, group_sizes, expert_sorted)  # [T*k, d]
 
         # unsort and combine with routing weights
         y_pairs = jnp.zeros_like(ys).at[order].set(ys).reshape(t, k, d)
@@ -116,6 +114,81 @@ class MoEMLP(Module):
                 sh = sh * g.astype(sh.dtype)
             y = y + sh
         return y.reshape(b, s, d).astype(x.dtype)
+
+    def _expert_ffn(self, xs, group_sizes, expert_sorted):
+        """Gated FFN over expert-sorted rows — subclass hook (quantization)."""
+        h = jax.lax.ragged_dot(xs, self.w_gate.astype(xs.dtype), group_sizes)
+        u = jax.lax.ragged_dot(xs, self.w_up.astype(xs.dtype), group_sizes)
+        hu = ACT_FN[self.act](h) * u
+        return jax.lax.ragged_dot(hu, self.w_down.astype(xs.dtype), group_sizes)
+
+
+class QuantMoEMLP(MoEMLP):
+    """MoEMLP with int8 per-(expert, out-channel) expert weights.
+
+    Counterpart of the reference running its MoE models quantized
+    (/root/reference/mllm/models/minicpm_moe/ + tools/quantizer: expert
+    FFNs are quantized like any other Linear).  Expert stacks stream at
+    half the bf16 bytes; scales are applied to the ragged_dot outputs,
+    gathered per sorted slot (y_row = (x @ q_e) * s_e for that row's
+    expert), which is exactly per-out-channel symmetric dequant.
+
+    w_gate/w_up: int8 [E, d, ff] + s_gate/s_up f32 [E, ff];
+    w_down: int8 [E, ff, d] + s_down f32 [E, d].
+    """
+
+    def __init__(self, router_weight, w_gate, s_gate, w_up, s_up, w_down,
+                 s_down, top_k: int, norm_topk_prob: bool, act: str,
+                 shared_expert: Optional[MLP] = None,
+                 shared_gate: Optional[jax.Array] = None):
+        self.router_weight = router_weight
+        self.w_gate = w_gate
+        self.s_gate = s_gate
+        self.w_up = w_up
+        self.s_up = s_up
+        self.w_down = w_down
+        self.s_down = s_down
+        self.top_k = top_k
+        self.norm_topk_prob = norm_topk_prob
+        self.act = act
+        self.shared_expert = shared_expert
+        self.shared_gate = shared_gate
+
+    def _expert_ffn(self, xs, group_sizes, expert_sorted):
+        xb = xs.astype(jnp.bfloat16)
+        h = jax.lax.ragged_dot(xb, self.w_gate.astype(jnp.bfloat16), group_sizes,
+                               preferred_element_type=jnp.float32)
+        h = h * jnp.take(self.s_gate, expert_sorted, axis=0)
+        u = jax.lax.ragged_dot(xb, self.w_up.astype(jnp.bfloat16), group_sizes,
+                               preferred_element_type=jnp.float32)
+        u = u * jnp.take(self.s_up, expert_sorted, axis=0)
+        hu = (ACT_FN[self.act](h) * u).astype(jnp.bfloat16)
+        ys = jax.lax.ragged_dot(hu, self.w_down.astype(jnp.bfloat16), group_sizes,
+                                preferred_element_type=jnp.float32)
+        return (ys * jnp.take(self.s_down, expert_sorted, axis=0)).astype(xs.dtype)
+
+    @staticmethod
+    def from_moe(moe: MoEMLP) -> "QuantMoEMLP":
+        """Quantize a bf16/f32 MoEMLP's expert stacks (jit-friendly)."""
+        (qg, sg), (qu, su), (qd, sd) = (
+            _quant_expert_stack(moe.w_gate),
+            _quant_expert_stack(moe.w_up),
+            _quant_expert_stack(moe.w_down),
+        )
+        return QuantMoEMLP(moe.router_weight, qg, sg, qu, su, qd, sd,
+                           moe.top_k, moe.norm_topk_prob, moe.act,
+                           shared_expert=moe.shared_expert,
+                           shared_gate=moe.shared_gate)
+
+
+def _quant_expert_stack(w):
+    """[..., E, K, N] float -> (int8 same shape, scales f32 [..., E, N])
+    per-(expert, out-channel); leading dims pass through (stacked layers)."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=-2)  # [..., E, N]
+    sc = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(wf / sc[..., None, :]), -127, 127).astype(jnp.int8)
+    return q, sc
 
 
 class MBPMoEMLP(Module):

@@ -263,6 +263,16 @@ def quantize_model(model, mode: Literal["int8", "int4"] = "int8",
     def walk(obj):
         if isinstance(obj, Linear):
             return _quant_linear(obj, mode, min_size, on_device)
+        if type(obj).__name__ == "MoEMLP":
+            # routed expert stacks quantize to int8 per-(expert, out-channel)
+            # (the reference quantizes its MoE models' expert FFNs like any
+            # Linear; int4 mode also uses int8 here — ragged_dot streams
+            # int8 natively, packed nibbles would need a custom grouped dot);
+            # then fall through so the shared expert / router children walk
+            from ..models.moe import QuantMoEMLP
+
+            if np.prod(obj.w_gate.shape) >= min_size:
+                obj = QuantMoEMLP.from_moe(obj)
         if mode == "int4" and type(obj) is _MLP:
             fused = _fuse_int4_mlp(obj, min_size, on_device)
             if fused is not None:

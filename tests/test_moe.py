@@ -67,3 +67,60 @@ def test_moe_decode_single_token(tmp_path):
     lg, cache = ours(jnp.asarray([[5, 7, 9]], jnp.int32), cache, last_only=True)
     lg2, cache = ours(jnp.asarray([[int(np.argmax(np.asarray(lg)))]], jnp.int32), cache)
     assert np.isfinite(np.asarray(lg2)).all()
+
+
+def test_quant_moe_matches_dequant_oracle():
+    """QuantMoEMLP == MoEMLP run on the dequantized int8 expert weights."""
+    import jax
+
+    from mllm_tpu.core.config import TextConfig
+    from mllm_tpu.models.moe import MoEMLP, QuantMoEMLP
+
+    cfg = TextConfig(vocab_size=64, hidden_size=64, intermediate_size=96,
+                     num_hidden_layers=1, num_attention_heads=4,
+                     num_key_value_heads=2, max_position_embeddings=64,
+                     eos_token_id=-2, num_experts=8, num_experts_per_tok=2,
+                     moe_shared_expert_size=32)
+    moe = MoEMLP.init(jax.random.PRNGKey(3), cfg, jnp.float32)
+    qmoe = QuantMoEMLP.from_moe(moe)
+
+    # oracle: base MoE over the dequantized weights
+    deq = moe.replace(
+        w_gate=qmoe.w_gate.astype(jnp.float32) * qmoe.s_gate[:, None, :],
+        w_up=qmoe.w_up.astype(jnp.float32) * qmoe.s_up[:, None, :],
+        w_down=qmoe.w_down.astype(jnp.float32) * qmoe.s_down[:, None, :],
+    )
+    x = jnp.asarray(np.random.default_rng(7).standard_normal((2, 5, 64)), jnp.float32)
+    got = np.asarray(qmoe(x))
+    ref = np.asarray(deq(x))
+    # both paths route identically (same router); bf16 ragged_dot inputs are
+    # the only loss vs the f32 oracle
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_quantize_model_quantizes_moe_experts():
+    """quantize_model swaps MoEMLP -> QuantMoEMLP (int8 experts) and the
+    quantized model still decodes."""
+    import jax
+
+    from mllm_tpu.core.config import TextConfig
+    from mllm_tpu.models.moe import MoEMLP, QuantMoEMLP
+    from mllm_tpu.models.transformer import CausalLM
+    from mllm_tpu.nn.module import ModuleList
+    from mllm_tpu.ops.quantize_model import quantize_model
+
+    cfg = TextConfig(vocab_size=64, hidden_size=64, intermediate_size=96,
+                     num_hidden_layers=2, num_attention_heads=4,
+                     num_key_value_heads=2, max_position_embeddings=64,
+                     eos_token_id=-2, num_experts=4, num_experts_per_tok=2)
+    model = CausalLM.init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    model = model.replace(blocks=ModuleList([
+        b.replace(mlp=MoEMLP.init(jax.random.fold_in(jax.random.PRNGKey(1), i),
+                                  cfg, jnp.float32))
+        for i, b in enumerate(model.blocks.mods)]))
+    q = quantize_model(model, "int8", min_size=1, quant_embed_head=False)
+    mlps = [b.mlp for b in q.blocks.mods]
+    assert any(isinstance(m, QuantMoEMLP) for m in mlps), [type(m) for m in mlps]
+    ids = jnp.asarray(np.random.default_rng(1).integers(0, 64, (1, 6)), jnp.int32)
+    logits, _ = q(ids, q.init_cache(1, 32, jnp.float32))
+    assert np.isfinite(np.asarray(logits)).all()
