@@ -69,6 +69,7 @@ CONFIGS = {
     "qwen1.5-0.5b-bf16": (QWEN15_05B, None, 1),
     "tinyllama-1.1b-int4": (TINYLLAMA, "int4", 1),
     "qwen2moe-0.8b-bf16-b8": (QWEN2_MOE_08B, None, 8),
+    "qwen2moe-0.8b-int8-b8": (QWEN2_MOE_08B, "int8", 8),  # QuantMoEMLP experts
 }
 
 PROMPT_LEN = 128
@@ -435,6 +436,28 @@ def bench_engine() -> dict:
 
 def bench_config(name: str) -> dict:
     cfg, quant, batch, *rest = CONFIGS[name]
+    if quant == "int4":
+        # A/B both int4 implementations (n-axis native-XLA graph vs Pallas
+        # group-partial kernel) and report the winner — the right impl is a
+        # hardware/stack property, not a config property
+        import os
+
+        results = []
+        for impl in ("xla", "pallas"):
+            os.environ["MLLM_INT4_IMPL"] = impl
+            try:
+                r = _bench_config_body(name, cfg, quant, batch, *rest)
+                r["int4_impl"] = impl
+                results.append(r)
+            finally:
+                os.environ.pop("MLLM_INT4_IMPL", None)
+            print(json.dumps({"config": name, "impl": impl,
+                              "decode_tps": r["decode_tps"]}), file=sys.stderr)
+        return max(results, key=lambda r: r["decode_tps"])
+    return _bench_config_body(name, cfg, quant, batch, *rest)
+
+
+def _bench_config_body(name: str, cfg, quant, batch, *rest) -> dict:
     kv_dtype = rest[0] if rest else "bf16"
     t0 = time.perf_counter()
     model = build_model(cfg, quant)

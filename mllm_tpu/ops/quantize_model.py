@@ -271,7 +271,7 @@ def quantize_model(model, mode: Literal["int8", "int4"] = "int8",
             # then fall through so the shared expert / router children walk
             from ..models.moe import QuantMoEMLP
 
-            if np.prod(obj.w_gate.shape) >= min_size:
+            if np.prod(obj.w_gate.shape[-3:]) >= min_size:  # per-layer [E,K,N]
                 obj = QuantMoEMLP.from_moe(obj)
         if mode == "int4" and type(obj) is _MLP:
             fused = _fuse_int4_mlp(obj, min_size, on_device)

@@ -57,3 +57,27 @@ def test_moe_init_and_bench_builder():
     logits, cache = model(ids, cache)
     assert logits.shape == (1, 1, 64)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_moe_int8_bench_builder():
+    """bench model_builder with quant='int8' on a MoE config produces
+    QuantMoEMLP expert stacks (stacked, on-device quantization) and decodes."""
+    from bench import model_builder
+    from mllm_tpu.core.config import TextConfig
+    from mllm_tpu.models.moe import QuantMoEMLP
+    from mllm_tpu.nn.layers import rope_inv_freq
+
+    cfg = TextConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=2,
+        max_position_embeddings=64, eos_token_id=-2,
+        num_experts=8, num_experts_per_tok=2,  # 8*64*128 = quantize min_size
+    )
+    inv = jnp.asarray(rope_inv_freq(cfg.head_dim_, cfg.rope_theta, cfg.rope_partial))
+    mk = model_builder(cfg, "int8")
+    m = jax.jit(mk)(jax.random.PRNGKey(0), inv)
+    assert any(isinstance(b.mlp, QuantMoEMLP) for b in m.blocks.mods), \
+        [type(b.mlp).__name__ for b in m.blocks.mods]
+    ids = jnp.asarray(np.random.default_rng(2).integers(0, 64, (1, 6)), jnp.int32)
+    logits, _ = m(ids, m.init_cache(1, 32, jnp.bfloat16))
+    assert np.isfinite(np.asarray(logits, np.float32)).all()
