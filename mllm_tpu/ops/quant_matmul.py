@@ -363,7 +363,10 @@ def canonical_to_n_layout(packed_e8, scales_p, zeros_p, group: int, k: int):
     qs_t = (q - 8).astype(xp.int8)
     s = xp.concatenate([scales_p[..., :ng, :], scales_p[..., ngh : ngh + ng, :]], axis=-2)
     z = xp.concatenate([zeros_p[..., :ng, :], zeros_p[..., ngh : ngh + ng, :]], axis=-2)
-    return pack_int4_n(qs_t), s.astype(xp.float32), (z + 8.0 * s).astype(xp.float32)
+    zshift = (z + 8.0 * s).astype(xp.float32)
+    if xp is np and np.all(zshift == 0.0):
+        zshift = None  # symmetric weights: skip the correction stream entirely
+    return pack_int4_n(qs_t), s.astype(xp.float32), zshift
 
 
 def unpack_int4_n(packed_n: jax.Array) -> jax.Array:
@@ -372,15 +375,17 @@ def unpack_int4_n(packed_n: jax.Array) -> jax.Array:
     return s4.reshape(*packed_n.shape[:-1], packed_n.shape[-1] * 2)
 
 
-def dequant_int4_n(packed_n, scales_g, zshift_g, group: int = 32):
+def dequant_int4_n(packed_n, scales_g, zshift_g=None, group: int = 32):
     """n-axis operands -> f32 [K, N] (prefill / fallback path)."""
     q = unpack_int4_n(packed_n).astype(jnp.float32)
-    return (q * jnp.repeat(scales_g, group, axis=-2)
-            + jnp.repeat(zshift_g, group, axis=-2))
+    w = q * jnp.repeat(scales_g, group, axis=-2)
+    if zshift_g is not None:
+        w = w + jnp.repeat(zshift_g, group, axis=-2)
+    return w
 
 
 def int4_xla_matmul(x: jax.Array, packed_n: jax.Array, scales_g: jax.Array,
-                    zshift_g: jax.Array, group: int = 32) -> jax.Array:
+                    zshift_g=None, group: int = 32) -> jax.Array:
     """y[..., N] = x[..., K] @ dequant(n-axis int4 operands) — f32 out.
 
     Decode shapes (m <= 32) run the group-partial formulation as ONE native
@@ -388,7 +393,8 @@ def int4_xla_matmul(x: jax.Array, packed_n: jax.Array, scales_g: jax.Array,
     |qs| <= 8) with scales/zshifts applied to the f32 partial sums — the
     same math as the Pallas `_int4_gb_kernel`, but schedulable/prefetchable
     by XLA across the whole decode step.  Larger m dequants + single dot
-    (MXU-bound there)."""
+    (MXU-bound there).  zshift_g=None means symmetric weights (zshift is
+    identically zero): the correction term and its HBM stream are skipped."""
     orig_shape = x.shape
     k = orig_shape[-1]
     n = packed_n.shape[-1] * 2
@@ -408,9 +414,10 @@ def int4_xla_matmul(x: jax.Array, packed_n: jax.Array, scales_g: jax.Array,
     qg = q.reshape(g, group, n)
     part = jax.lax.dot_general(xg, qg, (((2,), (1,)), ((0,), (0,))),
                                preferred_element_type=jnp.float32)  # [g, m, N]
-    xsum = jnp.sum(x2.astype(jnp.float32).reshape(m, g, group), axis=-1)  # [m, g]
-    y = (jnp.einsum("gmn,gn->mn", part, scales_g.astype(jnp.float32))
-         + xsum @ zshift_g.astype(jnp.float32))
+    y = jnp.einsum("gmn,gn->mn", part, scales_g.astype(jnp.float32))
+    if zshift_g is not None:
+        xsum = jnp.sum(x2.astype(jnp.float32).reshape(m, g, group), axis=-1)  # [m, g]
+        y = y + xsum @ zshift_g.astype(jnp.float32)
     return y.reshape(*orig_shape[:-1], n)
 
 

@@ -54,6 +54,30 @@ def _q8_device(w):
     return jnp.swapaxes(q, -1, -2), sc
 
 
+class Int4EmbedHead(Module):
+    """Tied-embedding lm_head with n-axis int4 weights for the projection.
+
+    The lm_head GEMV is the single biggest per-step weight read at large
+    vocab (151936 x 1536 = 233 MB in int8 on the flagship); int4 halves it.
+    Embedding lookup stays on the float table."""
+
+    def __init__(self, embedding: Embedding, packed_n, scales_g, group: int = 32):
+        self.embedding = embedding
+        self.packed_n = packed_n  # uint8 [D, V/2]
+        self.scales_g = scales_g  # f32 [D/G, V]
+        self.group = group
+
+    def __call__(self, ids):
+        return self.embedding(ids)
+
+    @property
+    def weight(self):
+        return self.embedding.weight
+
+    def as_lm_head(self, x):
+        return qm.int4_xla_matmul(x, self.packed_n, self.scales_g, None, self.group)
+
+
 @jax.jit
 def _q4n_device(w):
     """Group-32 symmetric int4 n-axis pack on-device:
@@ -106,7 +130,7 @@ def _quant_linear(lin: Linear, mode: str, min_size: int, on_device: bool):
             return QuantLinear(qv, sc, lin.bias)
         if qm.int4_impl() == "xla":
             packed_n, scales = _q4n_device(lin.weight)
-            return Int4LinearXLA(packed_n, scales, jnp.zeros_like(scales), 32, lin.bias)
+            return Int4LinearXLA(packed_n, scales, None, 32, lin.bias)
         packed, scales = _q4_device(lin.weight)
         packed, scales, zeros = qm.prepare_int4(packed, scales, 32)
         return Int4Linear(packed, scales, 32, zeros, lin.bias)
@@ -123,7 +147,8 @@ def make_int4_linear(packed, scales, zeros, bias, k: int):
     flavor selected by MLLM_INT4_IMPL (lossless layout conversion)."""
     if qm.int4_impl() == "xla":
         pn, sg, zg = qm.canonical_to_n_layout(packed, scales, zeros, 32, k)
-        return Int4LinearXLA(jnp.asarray(pn), jnp.asarray(sg), jnp.asarray(zg), 32, bias)
+        return Int4LinearXLA(jnp.asarray(pn), jnp.asarray(sg),
+                             None if zg is None else jnp.asarray(zg), 32, bias)
     return Int4Linear(jnp.asarray(packed), jnp.asarray(scales), 32,
                       jnp.asarray(zeros), bias)
 
@@ -294,15 +319,26 @@ def quantize_model(model, mode: Literal["int8", "int4"] = "int8",
         return obj
 
     model = walk(model)
-    # tied-embedding lm_head: quantize the projection path
+    # tied-embedding lm_head: quantize the projection path (the float table
+    # stays for lookups).  int4-xla mode halves the biggest per-step read.
     if quant_embed_head and getattr(model, "lm_head", 1) is None and hasattr(model, "embed_tokens"):
         emb = model.embed_tokens
         if isinstance(emb, Embedding):
-            if on_device:
-                qv, sc = _q8_device(emb.weight)
+            if mode == "int4" and qm.int4_impl() == "xla":
+                if on_device:
+                    pn, sg = _q4n_device(emb.weight)
+                else:
+                    w = np.asarray(emb.weight, np.float32)  # [V, D]
+                    pc, sc_, zc = qm.prepare_int4(*qm.repack_float_to_int4(w, 32))
+                    pn, sg, _ = qm.canonical_to_n_layout(pc, sc_, zc, 32, w.shape[-1])
+                    pn, sg = jnp.asarray(pn), jnp.asarray(sg)
+                model = model.replace(embed_tokens=Int4EmbedHead(emb, pn, sg))
             else:
-                w = np.asarray(emb.weight, np.float32)  # [V, D]
-                q_np, s_np = qm.repack_float_to_int8(w)  # [D, V], [V]
-                qv, sc = jnp.asarray(q_np), jnp.asarray(s_np)
-            model = model.replace(embed_tokens=QuantEmbedHead(emb, qv, sc))
+                if on_device:
+                    qv, sc = _q8_device(emb.weight)
+                else:
+                    w = np.asarray(emb.weight, np.float32)  # [V, D]
+                    q_np, s_np = qm.repack_float_to_int8(w)  # [D, V], [V]
+                    qv, sc = jnp.asarray(q_np), jnp.asarray(s_np)
+                model = model.replace(embed_tokens=QuantEmbedHead(emb, qv, sc))
     return model

@@ -96,15 +96,16 @@ def _map_linear(lin, index, hd: int, *, rows: bool):
         # along the LAST axis (head blocks = hd/2 bytes, hd is even), and
         # zero-filled pad blocks dequant to exactly 0 (packed=scales=zshift=0)
         g = lin.group
+        zg = lin.zshift_g
         if rows:
             pn = _take_heads(lin.packed_n, index, hd // 2, 1)
             sg = _take_heads(lin.scales_g, index, hd, 1)
-            zg = _take_heads(lin.zshift_g, index, hd, 1)
+            zg = _take_heads(zg, index, hd, 1) if zg is not None else None
             b = _take_heads(lin.bias, index, hd, 0) if lin.bias is not None else None
         else:  # input channels (o_proj): K axis 0, scale groups axis 0
             pn = _take_heads(lin.packed_n, index, hd, 0)
             sg = _take_heads(lin.scales_g, index, hd // g, 0)
-            zg = _take_heads(lin.zshift_g, index, hd // g, 0)
+            zg = _take_heads(zg, index, hd // g, 0) if zg is not None else None
             b = lin.bias
         return Int4LinearXLA(pn, sg, zg, g, b)
     raise NotImplementedError(

@@ -115,7 +115,8 @@ def test_n_layout_lossless_q4_0():
     pc, sc, zc = prepare_int4(*repack_q4_0(raw.reshape(N, -1), N, K))
     pn, sg, zg = canonical_to_n_layout(pc, sc, zc, 32, K)
     assert pn.shape == (K, N // 2) and sg.shape == (K // 32, N)
-    got = np.asarray(dequant_int4_n(jnp.asarray(pn), jnp.asarray(sg), jnp.asarray(zg), 32))
+    assert zg is None  # symmetric: the zshift stream is elided entirely
+    got = np.asarray(dequant_int4_n(jnp.asarray(pn), jnp.asarray(sg), None, 32))
     np.testing.assert_allclose(got.T, ggml, rtol=1e-6, atol=1e-6)
 
 
@@ -145,12 +146,13 @@ def test_int4_xla_matmul_decode_and_prefill():
     p, s = repack_float_to_int4(_w(N, K, 6), 32)
     pc, sc, zc = prepare_int4(p, s, 32)
     pn, sg, zg = canonical_to_n_layout(pc, sc, zc, 32, K)
-    wd = np.asarray(dequant_int4_n(jnp.asarray(pn), jnp.asarray(sg), jnp.asarray(zg), 32))
+    zj = None if zg is None else jnp.asarray(zg)
+    wd = np.asarray(dequant_int4_n(jnp.asarray(pn), jnp.asarray(sg), zj, 32))
     for M in (1, 8, 48):  # decode + prefill branches
         x = _w(M, K, 7 + M)
         xb = np.asarray(jnp.asarray(x).astype(jnp.bfloat16).astype(jnp.float32))
         out = np.asarray(int4_xla_matmul(jnp.asarray(x), jnp.asarray(pn),
-                                         jnp.asarray(sg), jnp.asarray(zg), 32))
+                                         jnp.asarray(sg), zj, 32))
         if M <= 32:
             # group-partial branch: nibbles are exact in bf16 and scales hit
             # f32 partial sums, so only the x bf16 conversion is lossy
@@ -204,7 +206,43 @@ def test_quantize_model_int4_xla_on_device(monkeypatch):
     np.testing.assert_array_equal(np.asarray(host.packed_n), np.asarray(dev.packed_n))
     np.testing.assert_allclose(np.asarray(host.scales_g), np.asarray(dev.scales_g),
                                rtol=1e-6, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(host.zshift_g), 0.0, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(dev.zshift_g), 0.0, atol=1e-6)
+    assert host.zshift_g is None and dev.zshift_g is None  # symmetric: elided
     x = jnp.asarray(_w(2, 128, 10))
     np.testing.assert_allclose(np.asarray(host(x)), np.asarray(dev(x)), rtol=1e-5, atol=1e-5)
+
+
+def test_int4_embed_head(monkeypatch):
+    """Tied-embedding int4 lm_head: logits close to the float head and the
+    host/device quantization routes agree."""
+    import jax
+
+    from mllm_tpu.nn.layers import Embedding
+    from mllm_tpu.ops.quantize_model import Int4EmbedHead, _q4n_device
+
+    monkeypatch.setenv("MLLM_INT4_IMPL", "xla")
+    V, D = 128, 64
+    emb = Embedding(jnp.asarray(_w(V, D, 11)))
+    pn_d, sg_d = _q4n_device(emb.weight)
+    head = Int4EmbedHead(emb, pn_d, sg_d)
+    x = jnp.asarray(_w(2, D, 12))
+    got = np.asarray(head.as_lm_head(x))
+    ref = np.asarray(x) @ np.asarray(emb.weight).T
+    # int4 is lossy: require high cosine similarity per row
+    for r_got, r_ref in zip(got, ref):
+        cos = np.dot(r_got, r_ref) / (np.linalg.norm(r_got) * np.linalg.norm(r_ref))
+        assert cos > 0.99, cos
+    # quantize_model wires it in for tied-embedding int4-xla models
+    from mllm_tpu.core.config import TextConfig
+    from mllm_tpu.models.transformer import CausalLM
+    from mllm_tpu.ops.quantize_model import quantize_model
+
+    cfg = TextConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                     num_hidden_layers=1, num_attention_heads=4,
+                     num_key_value_heads=2, max_position_embeddings=32,
+                     tie_word_embeddings=True, eos_token_id=-2)
+    m = CausalLM.init(jax.random.PRNGKey(2), cfg, dtype=jnp.float32)
+    q = quantize_model(m, "int4", min_size=1)
+    assert isinstance(q.embed_tokens, Int4EmbedHead)
+    ids = jnp.asarray(np.random.default_rng(3).integers(0, 128, (1, 6)), jnp.int32)
+    logits, _ = q(ids, q.init_cache(1, 16, jnp.float32))
+    assert np.isfinite(np.asarray(logits)).all()
