@@ -132,13 +132,18 @@ class Attention(Module):
                 scale=scale,
                 logit_softcap=cfg.attn_logit_softcap,
             )
-        elif ring is not None:  # sequence-parallel exact ring attention
-            from ..parallel.ring_attention import ring_attention
-
+        elif ring is not None:  # sequence-parallel exact attention
             assert bias is None and self._window() is None and cfg.attn_logit_softcap is None, \
-                "ring attention supports plain causal/dense attention only"
-            mesh, axis = ring
-            out = ring_attention(q, k, v, mesh, axis=axis, causal=causal, scale=scale)
+                "sequence-parallel attention supports plain causal/dense attention only"
+            mesh, axis, *mode = ring
+            if mode and mode[0] == "ulysses":  # all-to-all head/seq reshard
+                from ..parallel.ulysses import ulysses_attention
+
+                out = ulysses_attention(q, k, v, mesh, axis=axis, causal=causal, scale=scale)
+            else:  # K/V blocks rotate around the ring
+                from ..parallel.ring_attention import ring_attention
+
+                out = ring_attention(q, k, v, mesh, axis=axis, causal=causal, scale=scale)
         else:  # cacheless (training / scoring) path
             k_full = jnp.transpose(k, (0, 2, 1, 3))
             v_full = jnp.transpose(v, (0, 2, 1, 3))

@@ -353,3 +353,42 @@ def test_pad_heads_int4_xla(monkeypatch):
     lref = np.asarray(qmodel(ids, qmodel.init_cache(1, 32, jnp.float32))[0])
     lpad = np.asarray(padded(ids, padded.init_cache(1, 32, jnp.float32))[0])
     np.testing.assert_allclose(lpad, lref, rtol=1e-5, atol=1e-5)
+
+
+def test_ulysses_attention_exact(cpu8):
+    """Ulysses all-to-all sequence parallelism == single-device attention,
+    including GQA (both kv%p==0 via aligned grouping and kv%p!=0 via head
+    expansion)."""
+    from jax.sharding import Mesh as _Mesh
+
+    from mllm_tpu.parallel.ulysses import _local_attention, ulysses_attention
+
+    rng = np.random.default_rng(6)
+    for p, h, hkv in ((4, 8, 4), (4, 8, 2)):
+        mesh = _Mesh(np.array(cpu8[:p]), ("sp",))
+        b, s, d = 2, 32, 16
+        q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, s, hkv, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, s, hkv, d)), jnp.float32)
+        kf = jnp.repeat(k, h // hkv, axis=2)
+        vf = jnp.repeat(v, h // hkv, axis=2)
+        ref = _local_attention(q * 1.0, kf, vf, True, d**-0.5)
+        with jax.set_mesh(mesh):
+            got = ulysses_attention(q, k, v, mesh, axis="sp")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_ulysses_in_real_model(cpu8):
+    """CausalLM trunk with Attention routed through Ulysses over an 'sp'
+    mesh == the plain single-device trunk."""
+    from jax.sharding import Mesh as _Mesh
+
+    model, cfg = _tiny(l=2)
+    mesh = _Mesh(np.array(cpu8[:4]), ("sp",))
+    ids = np.random.default_rng(8).integers(0, 128, (2, 32)).astype(np.int32)
+
+    ref, _ = model.hidden_states(jnp.asarray(ids), None)
+    with jax.set_mesh(mesh):
+        out, _ = model.hidden_states(jnp.asarray(ids), None,
+                                     ring=(mesh, "sp", "ulysses"))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
