@@ -352,8 +352,10 @@ def mbp_forward(model, ids, cache, last_only: bool = True):
 def load_moe_mlp(loader, prefix: str, cfg: TextConfig, dtype=jnp.bfloat16,
                  expert_prefix: str = "experts.{e}.", router_name: str = "gate",
                  shared_prefix: Optional[str] = None, shared_gate_name: Optional[str] = None,
-                 expert_ff: Optional[int] = None) -> MoEMLP:
-    """Assemble a MoEMLP from per-expert HF weights (stacked at load)."""
+                 expert_ff: Optional[int] = None, quant=None) -> MoEMLP:
+    """Assemble a MoEMLP from per-expert HF weights (stacked at load).
+    quant='int8'/'int4' quantizes the expert stacks (int8 per-(expert,
+    out-channel)) and the shared expert like the rest of the model."""
     d = cfg.hidden_size
     e = cfg.num_experts
     ff = expert_ff or cfg.intermediate_size
@@ -381,5 +383,12 @@ def load_moe_mlp(loader, prefix: str, cfg: TextConfig, dtype=jnp.bfloat16,
         )
         if shared_gate_name and (prefix + shared_gate_name + ".weight") in loader:
             sgate = jnp.asarray(loader.load(prefix + shared_gate_name + ".weight", (1, d)), dtype)
-    return MoEMLP(router, w_gate, w_up, w_down, cfg.num_experts_per_tok,
-                  cfg.moe_norm_topk_prob, cfg.hidden_act, shared, sgate)
+    moe = MoEMLP(router, w_gate, w_up, w_down, cfg.num_experts_per_tok,
+                 cfg.moe_norm_topk_prob, cfg.hidden_act, shared, sgate)
+    if quant in ("int8", "int4"):
+        from ..ops.quantize_model import quantize_model
+
+        # min_size=1: quant here is an explicit per-model request and the
+        # expert stacks are the dominant weights — no size gate
+        moe = quantize_model(moe, quant, min_size=1, quant_embed_head=False)
+    return moe

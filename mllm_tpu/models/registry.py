@@ -41,7 +41,7 @@ def build_model(cfg: TextConfig, loader, dtype=jnp.bfloat16, quant=None):
                     expert_prefix="experts.{e}.", router_name="gate",
                 )
             # mixtral expert proj names are w1/w3/w2 — handled via name shim below
-            mlp_builder = _mixtral_mlp_builder(cfg, dtype)
+            mlp_builder = _mixtral_mlp_builder(cfg, dtype, quant)
         elif mt in ("qwen2_moe", "bailing_moe", "smallthinker"):
             # bailing/ling and smallthinker follow the qwen2_moe naming
             # convention (reference models/ling, models/smallthinker)
@@ -50,12 +50,13 @@ def build_model(cfg: TextConfig, loader, dtype=jnp.bfloat16, quant=None):
                     ld, prefix + "mlp.", cfg, dtype,
                     expert_prefix="experts.{e}.", router_name="gate",
                     shared_prefix="shared_expert.", shared_gate_name="shared_expert_gate",
+                    quant=quant,
                 )
         else:  # minicpm_moe
             def mlp_builder(ld, prefix, i):
                 return load_moe_mlp(
                     ld, prefix + "mlp.", cfg, dtype,
-                    expert_prefix="experts.{e}.", router_name="gate",
+                    expert_prefix="experts.{e}.", router_name="gate", quant=quant,
                 )
         return load_causal_lm(loader, cfg, dtype, quant, mlp_builder=mlp_builder)
     if mt in ("qwen2_vl", "qwen2_5_vl"):
@@ -115,7 +116,7 @@ def auto_model_any(path: str, dtype=jnp.bfloat16, quant=None):
     return model, "causal_lm"
 
 
-def _mixtral_mlp_builder(cfg, dtype):
+def _mixtral_mlp_builder(cfg, dtype, quant=None):
     import numpy as np
     import jax.numpy as jnp
     from .moe import MoEMLP
@@ -130,9 +131,14 @@ def _mixtral_mlp_builder(cfg, dtype):
             g.append(ld.load(ep + "w1.weight", (ff, d)).T)
             u.append(ld.load(ep + "w3.weight", (ff, d)).T)
             dn.append(ld.load(ep + "w2.weight", (d, ff)).T)
-        return MoEMLP(router, jnp.asarray(np.stack(g), dtype), jnp.asarray(np.stack(u), dtype),
-                      jnp.asarray(np.stack(dn), dtype), cfg.num_experts_per_tok,
-                      cfg.moe_norm_topk_prob, cfg.hidden_act)
+        moe = MoEMLP(router, jnp.asarray(np.stack(g), dtype), jnp.asarray(np.stack(u), dtype),
+                     jnp.asarray(np.stack(dn), dtype), cfg.num_experts_per_tok,
+                     cfg.moe_norm_topk_prob, cfg.hidden_act)
+        if quant in ("int8", "int4"):
+            from ..ops.quantize_model import quantize_model
+
+            moe = quantize_model(moe, quant, min_size=1, quant_embed_head=False)
+        return moe
 
     return build
 

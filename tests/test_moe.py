@@ -124,3 +124,20 @@ def test_quantize_model_quantizes_moe_experts():
     ids = jnp.asarray(np.random.default_rng(1).integers(0, 64, (1, 6)), jnp.int32)
     logits, _ = q(ids, q.init_cache(1, 32, jnp.float32))
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_moe_load_with_quant(tmp_path):
+    """auto_model(quant='int8') on a MoE checkpoint quantizes the expert
+    stacks (QuantMoEMLP) and the logits stay close to the bf16 load."""
+    from mllm_tpu.models.moe import QuantMoEMLP
+
+    hf, d = _save_tiny_moe(tmp_path, "qwen2_moe")
+    ours, _, cfg = auto_model(str(d), dtype=jnp.float32, with_tokenizer=False)
+    q, _, _ = auto_model(str(d), dtype=jnp.float32, quant="int8", with_tokenizer=False)
+    assert all(isinstance(b.mlp, QuantMoEMLP) for b in q.blocks.mods), \
+        [type(b.mlp).__name__ for b in q.blocks.mods]
+    ids = np.array([[3, 17, 42, 99, 7, 23, 56, 11]], np.int32)
+    lf, _ = ours(jnp.asarray(ids), ours.init_cache(1, 32, jnp.float32), last_only=False)
+    lq, _ = q(jnp.asarray(ids), q.init_cache(1, 32, jnp.float32), last_only=False)
+    agree = float(jnp.mean((jnp.argmax(lf, -1) == jnp.argmax(lq, -1)).astype(jnp.float32)))
+    assert agree >= 0.75, agree
