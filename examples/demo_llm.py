@@ -39,9 +39,10 @@ def main():
     ap.add_argument("--turns", type=int, default=1,
                     help=">1: repeat generation reusing the prompt cache "
                          "(prefix-reuse demo)")
-    ap.add_argument("--kv", choices=["bf16", "int8"], default="bf16",
-                    help="KV cache dtype (int8 = 2x context, fused quant "
-                         "decode kernel; reference KVCache_TYPE knob)")
+    ap.add_argument("--kv", choices=["bf16", "int8", "int4"], default="bf16",
+                    help="KV cache dtype (int8 = 2x context, int4 = 4x; "
+                         "fused quant decode kernels; reference "
+                         "KVCache_TYPE knob, int4 beyond its q8 floor)")
     ap.add_argument("--elastic", type=float, default=0, metavar="RATIO",
                     help="elastic inference: activate only the first RATIO "
                          "fraction of heads/FFN neurons (reference "

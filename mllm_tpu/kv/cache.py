@@ -272,3 +272,116 @@ class QuantKVCache(Module):
         ks = jax.lax.dynamic_update_slice(self.k_scale, jnp.take(self.k_scale, src, axis=3), sstart)
         vs = jax.lax.dynamic_update_slice(self.v_scale, jnp.take(self.v_scale, src, axis=3), sstart)
         return QuantKVCache(k, v, ks, vs, jnp.asarray(draft_start + n_accept, jnp.int32))
+
+
+class Quant4KVCache(Module):
+    """int4 KV cache with per-(token, head) vector scales — 4x bf16 context
+    per chip.  Beyond the reference's q8 KV floor (Types.hpp:26-33); per
+    the int4-KV-cache literature, per-vector 4-bit K/V keeps decode usable
+    while quartering cache HBM and bandwidth.
+
+    Packing is planar along head_dim: byte j of a vector holds d=j (low
+    nibble) and d=j+D/2 (high), both excess-8 — the kernels' unpack is an
+    order-preserving concat (ops/decode_attention._unpack4_planar).
+
+    k, v:             uint8 [L, B, H_kv, max_len, D/2]
+    k_scale, v_scale: f32   [L, B, H_kv, max_len]
+    pos:              [] int32
+    """
+
+    def __init__(self, k, v, k_scale, v_scale, pos):
+        self.k = k
+        self.v = v
+        self.k_scale = k_scale
+        self.v_scale = v_scale
+        self.pos = pos
+
+    @staticmethod
+    def init(n_layers: int, batch: int, max_len: int, n_kv_heads: int, head_dim: int,
+             dtype=None) -> "Quant4KVCache":
+        assert head_dim % 2 == 0
+        max_len = -(-max_len // 128) * 128  # fused decode kernel tile alignment
+        shape = (n_layers, batch, n_kv_heads, max_len, head_dim // 2)
+        sshape = shape[:-1]
+        # 0x88 packs excess-8 zeros (v=0 -> q=8) so untouched slots dequant to 0
+        return Quant4KVCache(
+            jnp.full(shape, 0x88, jnp.uint8), jnp.full(shape, 0x88, jnp.uint8),
+            jnp.ones(sshape, jnp.float32), jnp.ones(sshape, jnp.float32),
+            jnp.zeros((), jnp.int32),
+        )
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[3]
+
+    @property
+    def n_layers(self) -> int:
+        return self.k.shape[0]
+
+    @staticmethod
+    def _quantize(x):
+        """[B, H, S, D] float -> (packed uint8 [B, H, S, D/2], scale [B, H, S])."""
+        xf = x.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=-1)
+        scale = jnp.where(amax > 0, amax / 7.0, 1.0)
+        q = (jnp.clip(jnp.round(xf / scale[..., None]), -8, 7) + 8).astype(jnp.uint8)
+        d = x.shape[-1]
+        return q[..., : d // 2] | (q[..., d // 2 :] << 4), scale
+
+    @staticmethod
+    def _dequant(packed, scale):
+        """(uint8 [..., S, D/2], f32 [..., S]) -> bf16 [..., S, D]."""
+        lo = (packed & 0x0F).astype(jnp.int8) - 8
+        hi = (packed >> 4).astype(jnp.int8) - 8
+        q = jnp.concatenate([lo, hi], axis=-1).astype(jnp.bfloat16)
+        return q * scale[..., None].astype(jnp.bfloat16)
+
+    def update_layer(self, layer: int, k_new: jax.Array, v_new: jax.Array) -> "Quant4KVCache":
+        kn = jnp.transpose(k_new, (0, 2, 1, 3))  # [B, H, S, D]
+        vn = jnp.transpose(v_new, (0, 2, 1, 3))
+        kq, ks = self._quantize(kn)
+        vq, vs = self._quantize(vn)
+        z = jnp.zeros((), jnp.int32)
+        li = jnp.asarray(layer, jnp.int32)
+        k = jax.lax.dynamic_update_slice(self.k, kq[None], (li, z, z, self.pos, z))
+        v = jax.lax.dynamic_update_slice(self.v, vq[None], (li, z, z, self.pos, z))
+        ksc = jax.lax.dynamic_update_slice(self.k_scale, ks[None], (li, z, z, self.pos))
+        vsc = jax.lax.dynamic_update_slice(self.v_scale, vs[None], (li, z, z, self.pos))
+        return Quant4KVCache(k, v, ksc, vsc, self.pos)
+
+    def layer(self, layer: int):
+        """Dequantized K/V for one layer: ([B, H_kv, max_len, D] bf16, same)."""
+        return (self._dequant(self.k[layer], self.k_scale[layer]),
+                self._dequant(self.v[layer], self.v_scale[layer]))
+
+    def layer_quant(self, layer: int):
+        """Raw packed K/V + scales for the fused kernels:
+        (k uint8 [B,H,S,D/2], v uint8, k_scale f32 [B,H,S], v_scale f32)."""
+        return self.k[layer], self.v[layer], self.k_scale[layer], self.v_scale[layer]
+
+    def advance(self, n) -> "Quant4KVCache":
+        return Quant4KVCache(self.k, self.v, self.k_scale, self.v_scale,
+                             self.pos + jnp.asarray(n, jnp.int32))
+
+    def with_pos(self, pos) -> "Quant4KVCache":
+        return Quant4KVCache(self.k, self.v, self.k_scale, self.v_scale,
+                             jnp.asarray(pos, jnp.int32))
+
+    def reset(self) -> "Quant4KVCache":
+        return Quant4KVCache(self.k, self.v, self.k_scale, self.v_scale,
+                             jnp.zeros((), jnp.int32))
+
+    def rollback_accept(self, draft_start, accept_idx: jax.Array, n_accept) -> "Quant4KVCache":
+        """Speculative-decoding verification over the int4 cache (same
+        semantics as KVCache.rollback_accept; packed bytes move as-is)."""
+        n_draft = accept_idx.shape[0]
+        i = jnp.arange(n_draft)
+        src = draft_start + jnp.where(i < n_accept, accept_idx, 0)
+        z = jnp.zeros((), jnp.int32)
+        start = (z, z, z, jnp.asarray(draft_start, jnp.int32), z)
+        sstart = start[:-1]
+        k = jax.lax.dynamic_update_slice(self.k, jnp.take(self.k, src, axis=3), start)
+        v = jax.lax.dynamic_update_slice(self.v, jnp.take(self.v, src, axis=3), start)
+        ks = jax.lax.dynamic_update_slice(self.k_scale, jnp.take(self.k_scale, src, axis=3), sstart)
+        vs = jax.lax.dynamic_update_slice(self.v_scale, jnp.take(self.v_scale, src, axis=3), sstart)
+        return Quant4KVCache(k, v, ks, vs, jnp.asarray(draft_start + n_accept, jnp.int32))

@@ -14,9 +14,9 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from .cache import KVCache, QuantKVCache, SlotKVCache
+from .cache import KVCache, Quant4KVCache, QuantKVCache, SlotKVCache
 
-_TYPES = {c.__name__: c for c in (KVCache, QuantKVCache, SlotKVCache)}
+_TYPES = {c.__name__: c for c in (KVCache, Quant4KVCache, QuantKVCache, SlotKVCache)}
 
 
 def save_cache(path, cache, extra: dict | None = None) -> None:

@@ -329,11 +329,18 @@ class CausalLM(Module):
 
     def init_cache(self, batch: int, max_len: int, dtype=jnp.bfloat16,
                    kv_dtype: str = "bf16"):
-        """kv_dtype: 'bf16'/'f32' (dense, from `dtype`) or 'int8'/'q8' — the
-        reference's KVCache_TYPE knob (/root/reference/mllm/Types.hpp:26-33):
-        int8 halves cache HBM (2x context per chip) and streams through the
-        fused quant decode kernel."""
+        """kv_dtype: 'bf16'/'f32' (dense, from `dtype`), 'int8'/'q8' (the
+        reference's KVCache_TYPE knob, /root/reference/mllm/Types.hpp:26-33:
+        2x context per chip) or 'int4'/'q4' (4x context, beyond the
+        reference's q8 floor) — both stream through the fused quant
+        attention kernels."""
         cfg = self.cfg
+        if kv_dtype in ("int4", "q4", "q4_0"):
+            from ..kv.cache import Quant4KVCache
+
+            return Quant4KVCache.init(
+                cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.head_dim_
+            )
         if kv_dtype in ("int8", "q8", "q8_0"):
             from ..kv.cache import QuantKVCache
 

@@ -29,6 +29,18 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def _unpack4_planar(p, d: int):
+    """uint8 (..., D/2) excess-8 nibble pairs -> bf16 (..., D).
+
+    Planar along the head_dim axis: byte j holds d=j (low nibble) and
+    d=j+D/2 (high), so the unpack is a concat — order-preserving, no
+    interleave.  Values are stored excess-8 (q = v + 8, v in [-8, 7])."""
+    p32 = p.astype(jnp.int32)
+    lo = ((p32 & 0x0F) - 8).astype(jnp.bfloat16)
+    hi = ((p32 >> 4) - 8).astype(jnp.bfloat16)
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
 def _decode_kernel(
     scalars_ref,  # SMEM (2B,) int32: [kv_valid_0..B-1, kv_start_0..B-1]
     q_ref,  # VMEM (1, 1, G, D)
@@ -139,14 +151,17 @@ def _decode_quant_kernel(
     bk: int,
     s_max: int,
     n_b: int,
+    bits4: bool = False,
 ):
-    """int8-KV fused decode attention (SageAttention-KVQ8 counterpart,
-    /root/reference/mllm/backends/cpu/compute/SageAttentionKVQ8.hpp).
+    """int8/int4-KV fused decode attention (SageAttention-KVQ8 counterpart,
+    /root/reference/mllm/backends/cpu/compute/SageAttentionKVQ8.hpp; the
+    int4 variant goes beyond the reference's q8 floor).
 
     The per-token K scale is folded into the score row and the V scale into
     the probability row — both on the tiny (G, BK) score matrix — so the only
-    per-element work on the streamed int8 data is the int8->bf16 convert.
-    HBM traffic is half the bf16 kernel's (+1.6% for the scale vectors)."""
+    per-element work on the streamed data is the convert (int8) or the
+    nibble unpack (int4, planar along head_dim).  HBM traffic is 1/2 (int8)
+    or 1/4 (int4) of the bf16 kernel's (+scale vectors)."""
     bb = pl.program_id(0)
     hh = pl.program_id(1)
     kv_valid = scalars_ref[bb]
@@ -184,7 +199,8 @@ def _decode_quant_kernel(
         for c in dmas(slot, i):
             c.wait()
 
-        kb = k_buf[slot].astype(jnp.bfloat16)  # (BK, D)
+        kb = (_unpack4_planar(k_buf[slot], d) if bits4
+              else k_buf[slot].astype(jnp.bfloat16))  # (BK, D)
         s = jax.lax.dot_general(
             q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         )  # (G, BK)
@@ -203,8 +219,10 @@ def _decode_quant_kernel(
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
         pv = (p * vs_buf[slot]).astype(jnp.bfloat16)  # fold V scale into probs
+        vb = (_unpack4_planar(v_buf[slot], d) if bits4
+              else v_buf[slot].astype(jnp.bfloat16))
         acc = acc * alpha + jax.lax.dot_general(
-            pv, v_buf[slot].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            pv, vb, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return m_new, l_new, acc
@@ -238,6 +256,9 @@ def decode_attention_quant(
     assert sq == 1
     hkv, s_max = k.shape[1], k.shape[2]
     assert s_max % 128 == 0, "quant decode kernel needs max_len % 128 == 0"
+    bits4 = k.dtype == jnp.uint8  # packed nibbles (planar along D): Quant4KVCache
+    d_store = d // 2 if bits4 else d
+    assert k.shape[3] == d_store, (k.shape, d, bits4)
     g = h // hkv
     if scale is None:
         scale = d**-0.5
@@ -257,7 +278,8 @@ def decode_attention_quant(
     vs = v_scale.astype(jnp.float32)[:, :, None, :]
 
     kernel = functools.partial(
-        _decode_quant_kernel, scale=scale, window=window, bk=bk, s_max=s_max, n_b=b
+        _decode_quant_kernel, scale=scale, window=window, bk=bk, s_max=s_max,
+        n_b=b, bits4=bits4,
     )
     out = pl.pallas_call(
         kernel,
@@ -275,8 +297,8 @@ def decode_attention_quant(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, bk, d), jnp.int8),
-            pltpu.VMEM((2, bk, d), jnp.int8),
+            pltpu.VMEM((2, bk, d_store), jnp.uint8 if bits4 else jnp.int8),
+            pltpu.VMEM((2, bk, d_store), jnp.uint8 if bits4 else jnp.int8),
             pltpu.VMEM((2, 1, bk), jnp.float32),
             pltpu.VMEM((2, 1, bk), jnp.float32),
             pltpu.SemaphoreType.DMA((4, 2)),

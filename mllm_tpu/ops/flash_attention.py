@@ -171,8 +171,9 @@ def _flash_kernel_q8(
     need_tail_mask: bool,
     have_kv_start: bool,
     n_rep: int,
+    bits4: bool = False,
 ):
-    """int8-KV flash prefill: K/V stream from HBM as int8 + per-vector f32
+    """int8/int4-KV flash prefill: K/V stream from HBM as int8 + per-vector f32
     scales (half the bytes of bf16) and dequantize IN VMEM per tile — the
     prefill counterpart of ops/decode_attention.decode_attention_quant and
     of the reference's SageAttention
@@ -198,8 +199,17 @@ def _flash_kernel_q8(
     def _compute():
         ks = ks_ref[0, hkv_idx]  # (BK,)
         vs = vs_ref[0, hkv_idx]
-        k = (k_ref[0, 0].astype(jnp.float32) * ks[:, None]).astype(jnp.bfloat16)
-        v = (v_ref[0, 0].astype(jnp.float32) * vs[:, None]).astype(jnp.bfloat16)
+        if bits4:  # packed nibbles, planar along head_dim (Quant4KVCache)
+            from .decode_attention import _unpack4_planar
+
+            d_full = 2 * k_ref.shape[-1]
+            kq4 = _unpack4_planar(k_ref[0, 0], d_full).astype(jnp.float32)
+            vq4 = _unpack4_planar(v_ref[0, 0], d_full).astype(jnp.float32)
+            k = (kq4 * ks[:, None]).astype(jnp.bfloat16)
+            v = (vq4 * vs[:, None]).astype(jnp.bfloat16)
+        else:
+            k = (k_ref[0, 0].astype(jnp.float32) * ks[:, None]).astype(jnp.bfloat16)
+            v = (v_ref[0, 0].astype(jnp.float32) * vs[:, None]).astype(jnp.bfloat16)
         _attn_tile(
             q_ref[0, 0], k, v, (bb, iq, ik, nk), scalars_ref, m_ref, l_ref, acc_ref,
             causal=causal, window=window, bq=bq, bk=bk,
@@ -343,9 +353,12 @@ def flash_attention_quant(
     qt = jnp.transpose(qt, (0, 2, 1, 3))  # [B, H, Sq, D]
     grid = (b, h, pl.cdiv(sq, bq), pl.cdiv(skv, bk))
 
+    bits4 = k.dtype == jnp.uint8  # packed nibbles: Quant4KVCache
+    d_store = d // 2 if bits4 else d
     kernel = functools.partial(
         _flash_kernel_q8, causal=causal, window=window, bq=bq, bk=bk,
         need_tail_mask=need_tail_mask, have_kv_start=have_kv_start, n_rep=n_rep,
+        bits4=bits4,
     )
 
     out = pl.pallas_call(
@@ -355,9 +368,9 @@ def flash_attention_quant(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, bq, d), lambda bb, hh, iq, ik: (bb, hh, iq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bk, d), lambda bb, hh, iq, ik: (bb, hh // n_rep, ik, 0),
+            pl.BlockSpec((1, 1, bk, d_store), lambda bb, hh, iq, ik: (bb, hh // n_rep, ik, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bk, d), lambda bb, hh, iq, ik: (bb, hh // n_rep, ik, 0),
+            pl.BlockSpec((1, 1, bk, d_store), lambda bb, hh, iq, ik: (bb, hh // n_rep, ik, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hkv, bk), lambda bb, hh, iq, ik: (bb, 0, ik),
                          memory_space=pltpu.VMEM),

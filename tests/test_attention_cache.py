@@ -257,3 +257,104 @@ def test_generate_with_int8_kv_cache():
     # int8 KV is lossy; with random weights logits gaps are tiny — require the
     # first few greedy tokens to agree
     assert res_a.tokens[:4] == res_b.tokens[:4]
+
+
+def test_quant4_kv_cache_roundtrip_and_model():
+    """int4 KV cache: pack/dequant roundtrip within 4-bit error; model
+    logits stay usable vs the fp32 cache path."""
+    import jax.random as jr
+    from mllm_tpu.core.config import TextConfig
+    from mllm_tpu.kv.cache import Quant4KVCache
+    from mllm_tpu.models.transformer import CausalLM
+
+    # roundtrip: per-vector 4-bit quantization error bound (scale/2 per elem)
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 2, 8, 16), jnp.float32)
+    q, s = Quant4KVCache._quantize(x)
+    back = np.asarray(Quant4KVCache._dequant(q, s), np.float32)
+    err = np.abs(back - np.asarray(x))
+    bound = np.asarray(s)[..., None] * 0.51 + 1e-6
+    assert (err <= bound).all(), float(err.max())
+
+    cfg = TextConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=64,
+        eos_token_id=63, rope_theta=10000.0,
+    )
+    model = CausalLM.init(jr.PRNGKey(0), cfg)
+    ids = jnp.asarray(np.arange(1, 11)[None], jnp.int32)
+    cache_fp = model.init_cache(1, 32, jnp.float32)
+    ref, _ = model(ids, cache_fp, last_only=False)
+    cache_q = model.init_cache(1, 32, kv_dtype="int4")
+    assert isinstance(cache_q, Quant4KVCache)
+    out, cache_q = model(ids, cache_q, last_only=False)
+    rel = np.max(np.abs(np.asarray(out) - np.asarray(ref))) / (np.max(np.abs(np.asarray(ref))) + 1e-9)
+    assert rel < 0.25, rel  # 4-bit KV is lossy; must stay in the ballpark
+    assert int(cache_q.pos) == 10
+    out2, cache_q = model(jnp.asarray([[5]], jnp.int32), cache_q, last_only=True)
+    assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_decode_attention_quant4_interpret():
+    """Fused int4-KV decode kernel vs sdpa on the dequantized cache."""
+    from mllm_tpu.kv.cache import Quant4KVCache
+    from mllm_tpu.nn.attention import sdpa
+    from mllm_tpu.ops.decode_attention import decode_attention_quant
+
+    B, H, HKV, D, SKV = 2, 4, 2, 128, 384
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, 1, H, D), jnp.float32)
+    kf = jax.random.normal(jax.random.PRNGKey(1), (B, SKV, HKV, D), jnp.float32)
+    vf = jax.random.normal(jax.random.PRNGKey(2), (B, SKV, HKV, D), jnp.float32)
+    cache = Quant4KVCache.init(1, B, SKV, HKV, D)
+    cache = cache.update_layer(0, kf, vf).advance(SKV)
+    kd, vd = cache.layer(0)  # dequantized [B, H, S, D]
+    for valid in (300, 384):
+        ref = sdpa(q, kd.astype(jnp.float32), vd.astype(jnp.float32),
+                   q_offset=valid - 1, kv_valid_len=valid, causal=False)
+        out = decode_attention_quant(
+            q, cache.k[0], cache.v[0], cache.k_scale[0], cache.v_scale[0],
+            kv_valid_len=valid, block_k=256, interpret=True)
+        assert float(jnp.max(jnp.abs(ref - out))) < 2e-2
+
+
+def test_flash_attention_quant4_interpret():
+    """int4-KV flash prefill kernel vs dequant-then-flash oracle."""
+    from mllm_tpu.kv.cache import Quant4KVCache
+    from mllm_tpu.nn.attention import sdpa
+    from mllm_tpu.ops.flash_attention import flash_attention_quant
+
+    B, H, HKV, D, SQ, SKV = 1, 4, 2, 128, 128, 256
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, SQ, H, D), jnp.float32)
+    kf = jax.random.normal(jax.random.PRNGKey(1), (B, SKV, HKV, D), jnp.float32)
+    vf = jax.random.normal(jax.random.PRNGKey(2), (B, SKV, HKV, D), jnp.float32)
+    cache = Quant4KVCache.init(1, B, SKV, HKV, D)
+    cache = cache.update_layer(0, kf, vf).advance(SKV)
+    kd, vd = cache.layer(0)
+    q_off = SKV - SQ
+    ref = sdpa(q, kd.astype(jnp.float32), vd.astype(jnp.float32),
+               q_offset=q_off, kv_valid_len=SKV, causal=True)
+    out = flash_attention_quant(
+        q, cache.k[0], cache.v[0], cache.k_scale[0], cache.v_scale[0],
+        q_offset=q_off, kv_valid_len=SKV, causal=True, interpret=True)
+    assert float(jnp.max(jnp.abs(ref - out))) < 2e-2
+
+
+def test_generate_with_int4_kv_cache():
+    """End-to-end generate over Quant4KVCache tracks the bf16-KV output."""
+    import jax.random as jr
+    from mllm_tpu.core.config import TextConfig
+    from mllm_tpu.generation.generate import generate
+    from mllm_tpu.generation.sampling import SamplingConfig
+    from mllm_tpu.models.transformer import CausalLM
+
+    cfg = TextConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+        eos_token_id=127,
+    )
+    model = CausalLM.init(jr.PRNGKey(0), cfg)
+    ids = np.arange(1, 9, dtype=np.int32)[None]
+    scfg = SamplingConfig(max_new_tokens=8, temperature=0.0)
+
+    res_a, _ = generate(model, ids, model.init_cache(1, 192, jnp.float32), scfg)
+    res_b, _ = generate(model, ids, model.init_cache(1, 192, kv_dtype="int4"), scfg)
+    assert res_a.tokens[:3] == res_b.tokens[:3]
