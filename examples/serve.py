@@ -33,7 +33,7 @@ import jax.numpy as jnp
 class ContinuousFrontend:
     """Adapter: ContinuousEngine scheduling + serving metrics."""
 
-    def __init__(self, model, tok, cfg, max_len=2048, max_batch=8):
+    def __init__(self, model, tok, cfg, max_len=2048, max_batch=8, kv_dtype="bf16"):
         from mllm_tpu.generation.engine import ContinuousEngine, collect
         from mllm_tpu.utils.metrics import GLOBAL, GenerationMetrics
 
@@ -43,7 +43,8 @@ class ContinuousFrontend:
         self.genmetrics = GenerationMetrics(GLOBAL)
         self._collect = collect
         self.engine = ContinuousEngine(model, slots=max_batch, max_len=max_len,
-                                       eos_token_id=getattr(tok, "eos_token_id", None))
+                                       eos_token_id=getattr(tok, "eos_token_id", None),
+                                       kv_dtype=kv_dtype)
 
     def submit(self, prompt_ids, max_tokens):
         import queue as _q
@@ -181,13 +182,17 @@ def main():
     ap.add_argument("--batch-window-ms", type=int, default=30)
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--engine", choices=["continuous", "window"], default="continuous")
+    ap.add_argument("--kv", choices=["bf16", "int8", "int4"], default="bf16",
+                    help="serving KV cache dtype (int8 = 2x context per chip, "
+                         "int4 = 4x; fused quant decode kernels)")
     args = ap.parse_args()
 
     from mllm_tpu.models.registry import auto_model
 
     model, tok, cfg = auto_model(args.model, dtype=jnp.bfloat16, quant=args.quant)
     if args.engine == "continuous":
-        engine = ContinuousFrontend(model, tok, cfg, args.limits, args.max_batch)
+        engine = ContinuousFrontend(model, tok, cfg, args.limits, args.max_batch,
+                                    kv_dtype=args.kv)
     else:
         engine = Engine(model, tok, cfg, args.limits, args.batch_window_ms, args.max_batch)
     server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(engine))

@@ -76,8 +76,8 @@ def _admit_step(model, cache: SlotKVCache, state: SchedState, slot, ids,
     from .sampling import sample_tokens_batched
 
     cfg = model.cfg
-    small = KVCache.init(cache.n_layers, 1, bucket, cfg.num_key_value_heads,
-                         cfg.head_dim_, cache.k.dtype)
+    small = cache.make_prefill_cache(1, bucket, cache.n_layers,
+                                     cfg.num_key_value_heads, cfg.head_dim_)
     hidden, small = model.hidden_states(ids, small)
     last = jax.lax.dynamic_slice_in_dim(hidden, true_len - 1, 1, axis=1)
     logits = model.logits(last)
@@ -111,8 +111,8 @@ def _admit_batch(model, cache: SlotKVCache, state: SchedState, slot_ids, ids,
 
     cfg = model.cfg
     a = ids.shape[0]
-    small = KVCache.init(cache.n_layers, a, bucket, cfg.num_key_value_heads,
-                         cfg.head_dim_, cache.k.dtype)
+    small = cache.make_prefill_cache(a, bucket, cache.n_layers,
+                                     cfg.num_key_value_heads, cfg.head_dim_)
     hidden, small = model.hidden_states(ids, small)
     idx = jnp.arange(a)
     last = hidden[idx, true_lens - 1]  # [A, D]
@@ -120,14 +120,7 @@ def _admit_batch(model, cache: SlotKVCache, state: SchedState, slot_ids, ids,
     key, sub = jax.random.split(state.key)
     toks = sample_tokens_batched(sub, logits, temperature, top_k, top_p)
     pad = slot_ids >= cache.k.shape[1]  # padding rows
-    # single advanced index among slices keeps its axis position:
-    # [L, A, H_kv, bucket, D] both sides
-    k = cache.k.at[:, slot_ids, :, :bucket, :].set(
-        small.k.astype(cache.k.dtype), mode="drop")
-    v = cache.v.at[:, slot_ids, :, :bucket, :].set(
-        small.v.astype(cache.v.dtype), mode="drop")
-    pos = cache.pos.at[slot_ids].set(true_lens, mode="drop")
-    cache = SlotKVCache(k, v, pos)
+    cache = cache.admit_batch(slot_ids, small, true_lens, bucket)
     state = SchedState(
         state.cur.at[slot_ids].set(toks, mode="drop"),
         state.active.at[slot_ids].set(~pad, mode="drop"),
@@ -213,9 +206,20 @@ class ContinuousEngine:
         # per window; admission happens between windows).  1 = the old
         # step-per-token behavior.
         self.window = max(1, decode_window)
-        self.cache = SlotKVCache.init(
-            cfg.num_hidden_layers, slots, max_len, cfg.num_key_value_heads,
-            cfg.head_dim_, kv_dtype)
+        if kv_dtype in ("int8", "q8", "int4", "q4"):
+            # quantized serving cache: 2x (int8) / 4x (int4) context per chip,
+            # decode streams through the fused quant attention kernel
+            from ..kv.cache import SlotQuantKVCache
+
+            self.cache = SlotQuantKVCache.init(
+                cfg.num_hidden_layers, slots, max_len, cfg.num_key_value_heads,
+                cfg.head_dim_, bits=4 if kv_dtype in ("int4", "q4") else 8)
+        else:
+            if kv_dtype in ("bf16", "bfloat16"):
+                kv_dtype = jnp.bfloat16
+            self.cache = SlotKVCache.init(
+                cfg.num_hidden_layers, slots, max_len, cfg.num_key_value_heads,
+                cfg.head_dim_, kv_dtype)
         e = eos_token_id if eos_token_id is not None else cfg.eos_token_id
         self.eos = set(e) if isinstance(e, (tuple, list, set)) else {e}
         self._eos_arr = jnp.asarray(sorted(self.eos) or [-9999], jnp.int32)

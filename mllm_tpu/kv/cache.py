@@ -170,6 +170,23 @@ class SlotKVCache(Module):
         pos = self.pos.at[slot].set(jnp.asarray(true_len, jnp.int32))
         return SlotKVCache(k, v, pos)
 
+    def make_prefill_cache(self, batch: int, bucket: int, n_layers: int,
+                           n_kv_heads: int, head_dim: int) -> "KVCache":
+        """Small admission-prefill cache of the matching storage type."""
+        return KVCache.init(n_layers, batch, bucket, n_kv_heads, head_dim, self.k.dtype)
+
+    def admit_batch(self, slot_ids, small: "KVCache", true_lens, bucket: int) -> "SlotKVCache":
+        """Scatter-install A prefilled sequences (rows with slot_ids >= B drop).
+
+        Single advanced index among slices keeps its axis position:
+        [L, A, H_kv, bucket, D] both sides."""
+        k = self.k.at[:, slot_ids, :, :bucket, :].set(
+            small.k.astype(self.k.dtype), mode="drop")
+        v = self.v.at[:, slot_ids, :, :bucket, :].set(
+            small.v.astype(self.v.dtype), mode="drop")
+        pos = self.pos.at[slot_ids].set(true_lens, mode="drop")
+        return SlotKVCache(k, v, pos)
+
 
 class QuantKVCache(Module):
     """int8 KV cache with per-(token, head) vector scales.
@@ -385,3 +402,115 @@ class Quant4KVCache(Module):
         ks = jax.lax.dynamic_update_slice(self.k_scale, jnp.take(self.k_scale, src, axis=3), sstart)
         vs = jax.lax.dynamic_update_slice(self.v_scale, jnp.take(self.v_scale, src, axis=3), sstart)
         return Quant4KVCache(k, v, ks, vs, jnp.asarray(draft_start + n_accept, jnp.int32))
+
+
+class SlotQuantKVCache(Module):
+    """Continuous-batching cache with quantized K/V (int8 or int4 packed).
+
+    SlotKVCache's per-slot write heads + Quant(4)KVCache's storage: the
+    serving engine holds 2x (int8) / 4x (int4) the context per chip and
+    decode streams through the fused quant attention kernel.  `bits` is
+    static metadata (part of the jit cache key).
+
+    k, v:             int8 [L,B,H,S,D] (bits=8) or uint8 [L,B,H,S,D/2] (bits=4)
+    k_scale, v_scale: f32 [L,B,H,S]
+    pos:              [B] int32 per-slot valid lengths
+    """
+
+    def __init__(self, k, v, k_scale, v_scale, pos, bits: int = 8):
+        self.k = k
+        self.v = v
+        self.k_scale = k_scale
+        self.v_scale = v_scale
+        self.pos = pos
+        self.bits = bits
+
+    @staticmethod
+    def init(n_layers: int, batch: int, max_len: int, n_kv_heads: int, head_dim: int,
+             bits: int = 8) -> "SlotQuantKVCache":
+        max_len = -(-max_len // 128) * 128
+        d_store = head_dim // 2 if bits == 4 else head_dim
+        shape = (n_layers, batch, n_kv_heads, max_len, d_store)
+
+        def fill():  # distinct buffers: k/v must not alias (donation)
+            return (jnp.full(shape, 0x88, jnp.uint8) if bits == 4
+                    else jnp.zeros(shape, jnp.int8))
+
+        return SlotQuantKVCache(
+            fill(), fill(), jnp.ones(shape[:-1], jnp.float32),
+            jnp.ones(shape[:-1], jnp.float32), jnp.zeros((batch,), jnp.int32), bits)
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[3]
+
+    @property
+    def n_layers(self) -> int:
+        return self.k.shape[0]
+
+    def _q(self, x):
+        return (Quant4KVCache._quantize(x) if self.bits == 4
+                else QuantKVCache._quantize(x))
+
+    def update_layer(self, layer: int, k_new: jax.Array, v_new: jax.Array) -> "SlotQuantKVCache":
+        """Decode append: k_new/v_new [B, 1, H_kv, D] at pos[b] per slot."""
+        b = k_new.shape[0]
+        bi = jnp.arange(b)
+        kq, ks = self._q(k_new[:, None, 0])  # [B, 1(H-pos), H, D] -> quantize over D
+        vq, vs = self._q(v_new[:, None, 0])
+        # _quantize expects [B, H, S, D]; we fed [B, 1, H, D] so the output is
+        # [B, 1, H, D'] / [B, 1, H]: drop the singleton and scatter
+        kq, ks = kq[:, 0], ks[:, 0]  # [B, H, D'], [B, H]
+        vq, vs = vq[:, 0], vs[:, 0]
+        k = self.k.at[layer, bi, :, self.pos, :].set(kq, mode="drop")
+        v = self.v.at[layer, bi, :, self.pos, :].set(vq, mode="drop")
+        ksc = self.k_scale.at[layer, bi, :, self.pos].set(ks, mode="drop")
+        vsc = self.v_scale.at[layer, bi, :, self.pos].set(vs, mode="drop")
+        return SlotQuantKVCache(k, v, ksc, vsc, self.pos, self.bits)
+
+    def layer(self, layer: int):
+        deq = Quant4KVCache._dequant if self.bits == 4 else None
+        if deq is not None:
+            return (deq(self.k[layer], self.k_scale[layer]),
+                    deq(self.v[layer], self.v_scale[layer]))
+        k = (self.k[layer].astype(jnp.bfloat16)
+             * self.k_scale[layer][..., None].astype(jnp.bfloat16))
+        v = (self.v[layer].astype(jnp.bfloat16)
+             * self.v_scale[layer][..., None].astype(jnp.bfloat16))
+        return k, v
+
+    def layer_quant(self, layer: int):
+        return self.k[layer], self.v[layer], self.k_scale[layer], self.v_scale[layer]
+
+    def advance(self, n) -> "SlotQuantKVCache":
+        return SlotQuantKVCache(self.k, self.v, self.k_scale, self.v_scale,
+                                self.pos + jnp.asarray(n, jnp.int32), self.bits)
+
+    def make_prefill_cache(self, batch: int, bucket: int, n_layers: int,
+                           n_kv_heads: int, head_dim: int):
+        """Small single/multi-sequence cache of the matching quant type for
+        admission prefill (bucket must be a 128-multiple)."""
+        cls = Quant4KVCache if self.bits == 4 else QuantKVCache
+        return cls.init(n_layers, batch, bucket, n_kv_heads, head_dim)
+
+    def admit(self, slot, small, true_len) -> "SlotQuantKVCache":
+        """Copy a freshly prefilled quantized 1-sequence cache into `slot`."""
+        z = jnp.zeros((), jnp.int32)
+        start = (z, jnp.asarray(slot, jnp.int32), z, z, z)
+        k = jax.lax.dynamic_update_slice(self.k, small.k, start)
+        v = jax.lax.dynamic_update_slice(self.v, small.v, start)
+        ks = jax.lax.dynamic_update_slice(self.k_scale, small.k_scale, start[:-1])
+        vs = jax.lax.dynamic_update_slice(self.v_scale, small.v_scale, start[:-1])
+        pos = self.pos.at[slot].set(jnp.asarray(true_len, jnp.int32))
+        return SlotQuantKVCache(k, v, ks, vs, pos, self.bits)
+
+    def admit_batch(self, slot_ids, small, true_lens, bucket: int) -> "SlotQuantKVCache":
+        """Scatter-install A prefilled sequences (rows with slot_ids >= B drop)."""
+        k = self.k.at[:, slot_ids, :, :bucket, :].set(small.k[:, :, :, :bucket, :], mode="drop")
+        v = self.v.at[:, slot_ids, :, :bucket, :].set(small.v[:, :, :, :bucket, :], mode="drop")
+        ks = self.k_scale.at[:, slot_ids, :, :bucket].set(
+            small.k_scale[:, :, :, :bucket], mode="drop")
+        vs = self.v_scale.at[:, slot_ids, :, :bucket].set(
+            small.v_scale[:, :, :, :bucket], mode="drop")
+        pos = self.pos.at[slot_ids].set(true_lens, mode="drop")
+        return SlotQuantKVCache(k, v, ks, vs, pos, self.bits)

@@ -129,10 +129,10 @@ def attend_from_cache(
     through the fused quant kernel (the SageAttention-KVQ8 counterpart) —
     never materializing a dequantized max_len cache.  Everything else
     dequantizes the layer once and takes the standard `attend` dispatch."""
-    from ..kv.cache import Quant4KVCache, QuantKVCache
+    from ..kv.cache import Quant4KVCache, QuantKVCache, SlotQuantKVCache
     from ..utils.runtime import on_tpu as _on_tpu
 
-    if isinstance(cache, (QuantKVCache, Quant4KVCache)):
+    if isinstance(cache, (QuantKVCache, Quant4KVCache, SlotQuantKVCache)):
         sq, d = q.shape[1], q.shape[3]
         if (_on_tpu() and sq == 1 and d % 128 == 0 and cache.max_len % 128 == 0
                 and bias is None and logit_softcap is None):

@@ -138,3 +138,34 @@ def test_engine_pipelined_matches_single_stream():
         eng.step()
     got = [collect(q, timeout=5) for q in qs]
     assert got == want
+
+
+def test_engine_quant_kv_matches_single_stream():
+    """Serving over a quantized slot cache (int8 + int4): greedy outputs are
+    token-exact vs the single-stream path over the same quant cache type
+    (per-vector quantization is padding-invariant)."""
+    import pytest
+
+    model, cfg = _tiny()
+    for kv in ("int8", "int4"):
+        prompts = [
+            np.arange(5, dtype=np.int32) % 97,
+            (np.arange(9, dtype=np.int32) * 3) % 97,
+        ]
+        want = []
+        for p in prompts:
+            cache = model.init_cache(1, 64, kv_dtype=kv)
+            res, _ = generate(model, p[None, :], cache,
+                              SamplingConfig(max_new_tokens=6), bucket=16)
+            want.append(res.tokens)
+        eng = ContinuousEngine(model, slots=2, max_len=64, prompt_bucket=16,
+                               kv_dtype=kv, start_thread=False)
+        from mllm_tpu.kv.cache import SlotQuantKVCache
+
+        assert isinstance(eng.cache, SlotQuantKVCache)
+        qs = [eng.submit(p, 6) for p in prompts]
+        for _ in range(12):
+            eng.step()
+        got = [collect(q, timeout=5) for q in qs]
+        assert got[0] == want[0], (kv, got[0], want[0])
+        assert got[1] == want[1], (kv, got[1], want[1])
