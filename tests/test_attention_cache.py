@@ -358,3 +358,20 @@ def test_generate_with_int4_kv_cache():
     res_a, _ = generate(model, ids, model.init_cache(1, 192, jnp.float32), scfg)
     res_b, _ = generate(model, ids, model.init_cache(1, 192, kv_dtype="int4"), scfg)
     assert res_a.tokens[:3] == res_b.tokens[:3]
+
+
+def test_quant4_rollback_accept():
+    """Quant4KVCache composes with tree speculative decoding (packed bytes
+    and their scales move together)."""
+    from mllm_tpu.kv.cache import Quant4KVCache
+
+    cache = Quant4KVCache.init(1, 1, 16, 1, 4)
+    base = jnp.arange(1, 5, dtype=jnp.float32)[None, :, None, None] * jnp.ones((1, 4, 1, 4))
+    cache = cache.update_layer(0, base, base).advance(4)
+    draft = (10 + jnp.arange(4, dtype=jnp.float32))[None, :, None, None] * jnp.ones((1, 4, 1, 4))
+    cache = cache.update_layer(0, draft, draft)
+    cache = cache.rollback_accept(4, jnp.asarray([0, 2, 0, 0], jnp.int32), 2)
+    assert int(cache.pos) == 6
+    k0 = np.asarray(cache.layer(0)[0], np.float32)[0, 0]  # dequantized [S, D]
+    np.testing.assert_allclose(k0[4, 0], 10.0, rtol=8e-2)
+    np.testing.assert_allclose(k0[5, 0], 12.0, rtol=8e-2)
