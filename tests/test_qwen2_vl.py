@@ -284,3 +284,37 @@ def test_vl_int8_kv_cache_decode_close(tiny_vl):
     assert isinstance(qcache, QuantKVCache)
     # int8 KV is lossy; greedy tokens still match on this tiny model
     assert got == ref
+
+
+def test_vl_int4_kv_cache_decode_close(tiny_vl):
+    """Qwen2-VL decode over a Quant4KVCache (4x context) tracks the
+    bf16-cache greedy decode on the tiny fixture."""
+    from mllm_tpu.kv.cache import Quant4KVCache
+    from mllm_tpu.models.qwen2_vl import get_rope_index
+
+    hf, d = tiny_vl
+    ours, cfg = _ours(d)
+    ids, patches, grid = _inputs()
+    pos, delta = get_rope_index(ids[0], [grid], IMG, VID, 2)
+
+    def run(kv_dtype):
+        cache = ours.init_cache(1, 64, jnp.float32, kv_dtype=kv_dtype)
+        logits, cache = ours(
+            jnp.asarray(ids, jnp.int32), cache,
+            patches=jnp.asarray(patches), grid_thw=grid,
+            positions=jnp.asarray(pos[:, None, :]), last_only=True,
+        )
+        toks = []
+        next_pos = ids.shape[1] + delta
+        for i in range(4):
+            t = int(np.argmax(np.asarray(logits)[0, 0]))
+            toks.append(t)
+            p = np.full((3, 1, 1), next_pos + i, np.int32)
+            logits, cache = ours(jnp.asarray([[t]], jnp.int32), cache,
+                                 positions=jnp.asarray(p), last_only=True)
+        return toks, cache
+
+    ref, _ = run("bf16")
+    got, qcache = run("int4")
+    assert isinstance(qcache, Quant4KVCache)
+    assert got[:2] == ref[:2]  # 4-bit KV: first greedy steps must agree
