@@ -35,7 +35,7 @@ import numpy as np
 
 from ..kv.cache import KVCache, SlotKVCache
 from ..nn.module import Module
-from .sampling import SamplingConfig, sample_token
+from .sampling import SamplingConfig
 
 
 class SchedState(Module):
@@ -130,13 +130,6 @@ def _admit_batch(model, cache: SlotKVCache, state: SchedState, slot_ids, ids,
         state.top_p.at[slot_ids].set(top_p, mode="drop"),
         key)
     return toks, cache, state
-
-
-@functools.partial(jax.jit, donate_argnames=("cache",))
-def _slot_decode(model, cache: SlotKVCache, toks):
-    """One decode step for every slot: toks [B] -> (logits [B, V], cache)."""
-    logits, cache = model(toks[:, None], cache, last_only=True)
-    return logits[:, 0, :], cache
 
 
 @functools.partial(jax.jit, donate_argnames=("cache", "state"),

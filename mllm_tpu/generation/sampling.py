@@ -87,9 +87,23 @@ def sample_tokens_batched(key, logits: jax.Array, temperature: jax.Array,
 
 
 def sample_token(key, logits: jax.Array, cfg: SamplingConfig) -> jax.Array:
-    """Unified entry used by the generate loops (static dispatch on cfg)."""
+    """Unified entry used by the generate loops (static dispatch on cfg).
+
+    top_k AND top_p together intersect the two keep-sets (same semantics as
+    `sample_tokens_batched`, so the offline and serving paths sample from
+    identical distributions for identical configs)."""
     if not cfg.do_sample:
         return greedy(logits)
+    if cfg.top_k and cfg.top_k > 0 and cfg.top_p and cfg.top_p > 0.0:
+        scaled = logits.astype(jnp.float32) / jnp.asarray(cfg.temperature, jnp.float32)
+        sorted_desc = jnp.sort(scaled, axis=-1)[..., ::-1]
+        kth = sorted_desc[..., min(cfg.top_k, logits.shape[-1]) - 1, None]
+        sp = jax.nn.softmax(sorted_desc, axis=-1)
+        cum = jnp.cumsum(sp, axis=-1)
+        keep_sorted = (cum - sp) < cfg.top_p  # exclusive-cum < p, first always kept
+        minkeep = jnp.min(jnp.where(keep_sorted, sorted_desc, jnp.inf), axis=-1, keepdims=True)
+        masked = jnp.where((scaled >= kth) & (scaled >= minkeep), scaled, -jnp.inf)
+        return jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)
     if cfg.top_k and cfg.top_k > 0:
         return sample_top_k(key, logits, cfg.top_k, cfg.temperature)
     if cfg.top_p and cfg.top_p > 0.0:

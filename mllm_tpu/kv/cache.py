@@ -299,7 +299,7 @@ class Quant4KVCache(Module):
 
     Packing is planar along head_dim: byte j of a vector holds d=j (low
     nibble) and d=j+D/2 (high), both excess-8 — the kernels' unpack is an
-    order-preserving concat (ops/decode_attention._unpack4_planar).
+    order-preserving concat (ops/decode_attention.unpack4_planar).
 
     k, v:             uint8 [L, B, H_kv, max_len, D/2]
     k_scale, v_scale: f32   [L, B, H_kv, max_len]
@@ -348,10 +348,10 @@ class Quant4KVCache(Module):
     @staticmethod
     def _dequant(packed, scale):
         """(uint8 [..., S, D/2], f32 [..., S]) -> bf16 [..., S, D]."""
-        lo = (packed & 0x0F).astype(jnp.int8) - 8
-        hi = (packed >> 4).astype(jnp.int8) - 8
-        q = jnp.concatenate([lo, hi], axis=-1).astype(jnp.bfloat16)
-        return q * scale[..., None].astype(jnp.bfloat16)
+        from ..ops.decode_attention import unpack4_planar
+
+        # single source of truth for the nibble layout: the kernel-side unpack
+        return unpack4_planar(packed) * scale[..., None].astype(jnp.bfloat16)
 
     def update_layer(self, layer: int, k_new: jax.Array, v_new: jax.Array) -> "Quant4KVCache":
         kn = jnp.transpose(k_new, (0, 2, 1, 3))  # [B, H, S, D]

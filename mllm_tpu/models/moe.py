@@ -269,13 +269,24 @@ def to_mbp(model, max_device_entries: int = 16, device=None):
             new_blocks.append(blk)
             continue
         e = mlp.w_gate.shape[0]
+        quant = isinstance(mlp, QuantMoEMLP)
         for ei in range(e):
             # host layout per expert: gate/up [ff, d], down [d, ff] (HF
-            # row-major, what mbp_moe_forward consumes)
+            # row-major, what mbp_moe_forward consumes).  Quantized experts
+            # dequantize on copy (int8 [d, ff] * per-out-channel scale [ff])
+            # so the host store always holds ready-to-stream float weights —
+            # mbp_moe_forward has no scale channel.
+            if quant:
+                g = np.asarray(mlp.w_gate[ei], np.float32) * np.asarray(mlp.s_gate[ei])[None, :]
+                u = np.asarray(mlp.w_up[ei], np.float32) * np.asarray(mlp.s_up[ei])[None, :]
+                d = np.asarray(mlp.w_down[ei], np.float32) * np.asarray(mlp.s_down[ei])[None, :]
+            else:
+                g, u, d = (np.asarray(mlp.w_gate[ei]), np.asarray(mlp.w_up[ei]),
+                           np.asarray(mlp.w_down[ei]))
             weights[(li, ei)] = (
-                np.ascontiguousarray(np.asarray(mlp.w_gate[ei]).T),
-                np.ascontiguousarray(np.asarray(mlp.w_up[ei]).T),
-                np.ascontiguousarray(np.asarray(mlp.w_down[ei]).T),
+                np.ascontiguousarray(g.T),
+                np.ascontiguousarray(u.T),
+                np.ascontiguousarray(d.T),
             )
         new_blocks.append(blk.replace(mlp=MBPMoEMLP(
             mlp.router_weight, store, li, n_layers, mlp.top_k,

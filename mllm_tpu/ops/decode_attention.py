@@ -29,12 +29,15 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _unpack4_planar(p, d: int):
+def unpack4_planar(p):
     """uint8 (..., D/2) excess-8 nibble pairs -> bf16 (..., D).
 
-    Planar along the head_dim axis: byte j holds d=j (low nibble) and
-    d=j+D/2 (high), so the unpack is a concat — order-preserving, no
-    interleave.  Values are stored excess-8 (q = v + 8, v in [-8, 7])."""
+    THE single definition of the int4-KV packing contract (Quant4KVCache
+    packs with the inverse; kv/cache.py imports this for its dequant path so
+    the two sides cannot drift).  Planar along the head_dim axis: byte j
+    holds d=j (low nibble) and d=j+D/2 (high), so the unpack is a concat —
+    order-preserving, no interleave.  Values are stored excess-8
+    (q = v + 8, v in [-8, 7])."""
     p32 = p.astype(jnp.int32)
     lo = ((p32 & 0x0F) - 8).astype(jnp.bfloat16)
     hi = ((p32 >> 4) - 8).astype(jnp.bfloat16)
@@ -199,7 +202,7 @@ def _decode_quant_kernel(
         for c in dmas(slot, i):
             c.wait()
 
-        kb = (_unpack4_planar(k_buf[slot], d) if bits4
+        kb = (unpack4_planar(k_buf[slot]) if bits4
               else k_buf[slot].astype(jnp.bfloat16))  # (BK, D)
         s = jax.lax.dot_general(
             q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
@@ -219,7 +222,7 @@ def _decode_quant_kernel(
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
         pv = (p * vs_buf[slot]).astype(jnp.bfloat16)  # fold V scale into probs
-        vb = (_unpack4_planar(v_buf[slot], d) if bits4
+        vb = (unpack4_planar(v_buf[slot]) if bits4
               else v_buf[slot].astype(jnp.bfloat16))
         acc = acc * alpha + jax.lax.dot_general(
             pv, vb, (((1,), (0,)), ((), ())),

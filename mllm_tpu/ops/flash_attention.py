@@ -200,11 +200,11 @@ def _flash_kernel_q8(
         ks = ks_ref[0, hkv_idx]  # (BK,)
         vs = vs_ref[0, hkv_idx]
         if bits4:  # packed nibbles, planar along head_dim (Quant4KVCache)
-            from .decode_attention import _unpack4_planar
+            from .decode_attention import unpack4_planar
 
             d_full = 2 * k_ref.shape[-1]
-            kq4 = _unpack4_planar(k_ref[0, 0], d_full).astype(jnp.float32)
-            vq4 = _unpack4_planar(v_ref[0, 0], d_full).astype(jnp.float32)
+            kq4 = unpack4_planar(k_ref[0, 0]).astype(jnp.float32)
+            vq4 = unpack4_planar(v_ref[0, 0]).astype(jnp.float32)
             k = (kq4 * ks[:, None]).astype(jnp.bfloat16)
             v = (vq4 * vs[:, None]).astype(jnp.bfloat16)
         else:

@@ -33,25 +33,42 @@ import numpy as np
 
 def tp_head_plan(h: int, hkv: int, tp: int):
     """Returns (q_index [h'], kv_index [hkv'], h', hkv') or None if no
-    transform is needed.  q_index[i] = original q head for new head i, or -1
-    for a zero pad; kv_index[j] = original kv head for new kv head j."""
-    if h % tp == 0 and hkv % tp == 0:
+    transform is needed (or none applies — the caller then falls back to
+    replicating the non-divisible axes, the pre-expansion behavior).
+    q_index[i] = original q head for new head i, or -1 for a zero pad;
+    kv_index[j] = original kv head for new kv head j, or -1 for a zero
+    kv head (all-zero K/V rows: pad q heads see uniform attention over
+    zero values, and their o_proj columns are zero, so outputs are exact).
+    """
+    if (h % tp == 0 and hkv % tp == 0) or h % hkv != 0:
         return None
-    if hkv >= tp:
-        raise ValueError(f"kv heads {hkv} not divisible by tp {tp}")
-    if tp % hkv != 0:
-        raise ValueError(f"tp {tp} not a multiple of kv heads {hkv}")
-    r = tp // hkv
     gq = h // hkv  # q heads per original kv head
-    qpg = math.ceil(gq / r)  # q heads per expanded kv head (padded)
-    q_index = []
-    for g in range(hkv):
-        for j in range(r):
-            for t in range(qpg):
-                k = j * qpg + t
-                q_index.append(g * gq + k if k < gq else -1)
-    kv_index = [g for g in range(hkv) for _ in range(r)]
-    return np.asarray(q_index), np.asarray(kv_index), hkv * r * qpg, tp
+    if hkv < tp and tp % hkv == 0:
+        # GQA expansion: repeat each kv head r times, regroup/zero-pad q
+        r = tp // hkv
+        qpg = math.ceil(gq / r)  # q heads per expanded kv head (padded)
+        q_index = []
+        for g in range(hkv):
+            for j in range(r):
+                for t in range(qpg):
+                    k = j * qpg + t
+                    q_index.append(g * gq + k if k < gq else -1)
+        kv_index = [g for g in range(hkv) for _ in range(r)]
+        return np.asarray(q_index), np.asarray(kv_index), hkv * r * qpg, tp
+    if hkv >= tp:
+        # MHA / wide-GQA: zero-pad kv heads to the next multiple of tp,
+        # keeping the q-per-kv group size; pad groups are entirely -1.
+        hkv2 = math.ceil(hkv / tp) * tp
+        kv_index = list(range(hkv)) + [-1] * (hkv2 - hkv)
+        q_index = [g * gq + t if g < hkv else -1
+                   for g in range(hkv2) for t in range(gq)]
+        return np.asarray(q_index), np.asarray(kv_index), hkv2 * gq, hkv2
+    # e.g. hkv=3, tp=8: no exact uniform expansion — replicate instead
+    import warnings
+
+    warnings.warn(f"tp_head_plan: no exact head expansion for h={h} "
+                  f"hkv={hkv} tp={tp}; falling back to replicated KV")
+    return None
 
 
 def _take_heads(x, index, hd: int, axis: int):

@@ -123,3 +123,27 @@ def test_ragged_batched_generate(tiny_model):
                           eos_token_id={-1}, bucket=4)
         np.testing.assert_array_equal(toks[i, : len(res.tokens)], res.tokens,
                                       err_msg=f"seq {i}")
+
+
+def test_sample_token_topk_topp_matches_batched():
+    """SamplingConfig with BOTH top_k and top_p set samples from the same
+    (intersected) distribution in the offline path (sample_token) as in the
+    serving path (sample_tokens_batched) — regression: sample_token used to
+    silently ignore top_p whenever top_k was set."""
+    from mllm_tpu.generation.sampling import sample_token, sample_tokens_batched
+
+    rng = np.random.default_rng(11)
+    logits = jnp.asarray(rng.standard_normal((1, 64)) * 3, jnp.float32)
+    cfg = SamplingConfig(do_sample=True, temperature=0.9, top_k=10, top_p=0.5)
+    for seed in range(8):
+        key = jax.random.PRNGKey(seed)
+        a = sample_token(jax.random.fold_in(key, 0), logits, cfg)
+        b = sample_tokens_batched(key, logits, jnp.asarray([0.9]),
+                                  jnp.asarray([10]), jnp.asarray([0.5]))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the intersection actually bites: p small enough to exclude some
+    # of the top-k set means the sampled token must come from the nucleus
+    cfg_tight = SamplingConfig(do_sample=True, temperature=1.0, top_k=64, top_p=1e-6)
+    toks = {int(sample_token(jax.random.PRNGKey(s), logits, cfg_tight)[0])
+            for s in range(16)}
+    assert toks == {int(np.argmax(np.asarray(logits)))}

@@ -158,3 +158,39 @@ def test_mbp_forward_jitted_subblocks(tmp_path):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), rtol=2e-4, atol=2e-5)
     assert store.hits > 0
+
+
+def test_to_mbp_quantized_experts_dequantize(tmp_path):
+    """to_mbp on a QuantMoEMLP model dequantizes the int8 expert stacks into
+    the host store (scales folded per out-channel) — MBP output matches the
+    resident quantized model instead of streaming raw unscaled integers."""
+    import torch
+    import transformers
+
+    from mllm_tpu.models.moe import MBPMoEMLP, QuantMoEMLP, to_mbp
+    from mllm_tpu.models.registry import auto_model
+    from mllm_tpu.ops.quantize_model import quantize_model
+
+    torch.manual_seed(1)
+    cfg = transformers.MixtralConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=128,
+        num_local_experts=4, num_experts_per_tok=2, rope_theta=10000.0,
+    )
+    transformers.MixtralForCausalLM(cfg).eval().save_pretrained(tmp_path / "m")
+    with jax.default_device(_cpu()):
+        ours, _, _ = auto_model(str(tmp_path / "m"), dtype=jnp.float32,
+                                with_tokenizer=False)
+        ours = quantize_model(ours, "int8", min_size=1, quant_embed_head=False)
+        assert any(isinstance(b.mlp, QuantMoEMLP) for b in ours.blocks)
+        ids = jnp.asarray([[3, 17, 42, 99, 7, 23, 56, 11]], jnp.int32)
+        want, _ = ours(ids, ours.init_cache(1, 32, jnp.float32), last_only=False)
+
+        mbp, store = to_mbp(ours, max_device_entries=8, device=_cpu())
+        assert all(isinstance(b.mlp, MBPMoEMLP) for b in mbp.blocks)
+        # host store holds dequantized float experts, not raw int8
+        some = next(iter(store.host.values()))
+        assert all(np.issubdtype(np.asarray(w).dtype, np.floating) for w in some)
+        got, _ = mbp(ids, mbp.init_cache(1, 32, jnp.float32), last_only=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)

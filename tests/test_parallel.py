@@ -392,3 +392,38 @@ def test_ulysses_in_real_model(cpu8):
         out, _ = model.hidden_states(jnp.asarray(ids), None,
                                      ring=(mesh, "sp", "ulysses"))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_pad_heads_mha_geometry():
+    """MHA (h == hkv, not divisible by tp) zero-pads both head axes to the
+    next multiple of tp instead of raising — exact outputs, shardable cache
+    (regression: the first head-plan version hard-failed any hkv >= tp)."""
+    from mllm_tpu.parallel.heads import pad_heads_for_tp, tp_head_plan
+
+    plan = tp_head_plan(12, 12, 8)
+    assert plan is not None
+    q_index, kv_index, h2, hkv2 = plan
+    assert h2 == 16 and hkv2 == 16
+    assert (q_index >= 0).sum() == 12 and (kv_index >= 0).sum() == 12
+
+    cfg = TextConfig(
+        vocab_size=128, hidden_size=192, intermediate_size=256, num_hidden_layers=2,
+        num_attention_heads=12, num_key_value_heads=12, head_dim=16,
+        max_position_embeddings=128, eos_token_id=-3,
+    )
+    model = CausalLM.init(jax.random.PRNGKey(5), cfg)
+    padded = pad_heads_for_tp(model, 8)
+    assert padded.cfg.num_attention_heads == 16
+    assert padded.cfg.num_key_value_heads == 16
+    ids = jnp.asarray(np.random.default_rng(7).integers(0, 128, (2, 10)), jnp.int32)
+    ref, _ = model(ids, model.init_cache(2, 32, jnp.float32), last_only=False)
+    got, _ = padded(ids, padded.init_cache(2, 32, jnp.float32), last_only=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    # geometries with no exact expansion replicate (warn) instead of raising
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert tp_head_plan(9, 3, 8) is None
+    assert any("replicated KV" in str(x.message) for x in w)
