@@ -33,7 +33,8 @@ import jax.numpy as jnp
 class ContinuousFrontend:
     """Adapter: ContinuousEngine scheduling + serving metrics."""
 
-    def __init__(self, model, tok, cfg, max_len=2048, max_batch=8, kv_dtype="bf16"):
+    def __init__(self, model, tok, cfg, max_len=2048, max_batch=8, kv_dtype="bf16",
+                 prefix_cache=0):
         from mllm_tpu.generation.engine import ContinuousEngine, collect
         from mllm_tpu.utils.metrics import GLOBAL, GenerationMetrics
 
@@ -44,7 +45,7 @@ class ContinuousFrontend:
         self._collect = collect
         self.engine = ContinuousEngine(model, slots=max_batch, max_len=max_len,
                                        eos_token_id=getattr(tok, "eos_token_id", None),
-                                       kv_dtype=kv_dtype)
+                                       kv_dtype=kv_dtype, prefix_cache=prefix_cache)
 
     def submit(self, prompt_ids, max_tokens):
         import queue as _q
@@ -58,6 +59,8 @@ class ContinuousFrontend:
             dt = time.perf_counter() - t0
             active = sum(r is not None for r in self.engine.req)
             self.metrics.set("mllm_last_batch_size", max(active, 1))
+            self.metrics.set("mllm_prefix_tokens_reused",
+                             self.engine.prefix_tokens_reused)
             self.genmetrics.record(len(prompt_ids), len(toks), dt, dt)
             done.put(toks)
 
@@ -185,6 +188,10 @@ def main():
     ap.add_argument("--kv", choices=["bf16", "int8", "int4"], default="bf16",
                     help="serving KV cache dtype (int8 = 2x context per chip, "
                          "int4 = 4x; fused quant decode kernels)")
+    ap.add_argument("--prefix-cache", type=int, default=0, metavar="N",
+                    help="automatic prefix caching: keep the KV of the last N "
+                         "admitted prompts; requests sharing a bucket-aligned "
+                         "prefix (e.g. a system prompt) skip its re-prefill")
     args = ap.parse_args()
 
     from mllm_tpu.models.registry import auto_model
@@ -192,7 +199,7 @@ def main():
     model, tok, cfg = auto_model(args.model, dtype=jnp.bfloat16, quant=args.quant)
     if args.engine == "continuous":
         engine = ContinuousFrontend(model, tok, cfg, args.limits, args.max_batch,
-                                    kv_dtype=args.kv)
+                                    kv_dtype=args.kv, prefix_cache=args.prefix_cache)
     else:
         engine = Engine(model, tok, cfg, args.limits, args.batch_window_ms, args.max_batch)
     server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(engine))

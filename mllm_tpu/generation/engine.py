@@ -93,7 +93,56 @@ def _admit_step(model, cache: SlotKVCache, state: SchedState, slot, ids,
         state.top_k.at[slot].set(top_k),
         state.top_p.at[slot].set(top_p),
         key)
-    return tok, cache, state
+    return tok, cache, state, small.with_pos(true_len)
+
+
+def _pad_small_seq(small, new_len: int):
+    """Grow a small prefill cache along the sequence axis (axis 3 of every
+    KV/scale leaf) to `new_len` rows.  Works for KVCache and both quant
+    small caches — all store sequence at axis 3; scalar leaves (pos) pass
+    through."""
+    def pad(a):
+        if getattr(a, "ndim", 0) < 4 or a.shape[3] >= new_len:
+            return a
+        widths = [(0, 0)] * a.ndim
+        widths[3] = (0, new_len - a.shape[3])
+        return jnp.pad(a, widths)
+
+    return jax.tree.map(pad, small)
+
+
+@functools.partial(jax.jit, donate_argnames=("cache", "state"),
+                   static_argnames=("bucket_total",))
+def _admit_prefix_step(model, cache: SlotKVCache, state: SchedState, slot,
+                       prefix_small, suffix_ids, true_len, max_tokens,
+                       temperature, top_k, top_p, bucket_total: int):
+    """Admission with prefix-cache reuse: `prefix_small` already holds the
+    KV of the first `prefix_small.pos` prompt tokens (a bucket-aligned
+    prefix), so only the suffix runs through the model — the TPU-native
+    automatic-prefix-caching admission (no reference counterpart; the
+    reference has no serving engine).  suffix_ids [1, sb] with
+    prefix_small.pos + sb == bucket_total; logits are taken at prompt
+    position true_len - 1 (suffix-local true_len - 1 - pos)."""
+    from .sampling import sample_tokens_batched
+
+    m = prefix_small.pos  # traced: reused prefix length
+    small = _pad_small_seq(prefix_small, bucket_total)
+    hidden, small = model.hidden_states(suffix_ids, small)
+    last = jax.lax.dynamic_slice_in_dim(hidden, true_len - 1 - m, 1, axis=1)
+    logits = model.logits(last)
+    cache = cache.admit(slot, small, true_len)
+    key, sub = jax.random.split(state.key)
+    tok = sample_tokens_batched(jax.random.fold_in(sub, slot), logits[:, 0, :],
+                                temperature[None], top_k[None], top_p[None])
+    state = SchedState(
+        state.cur.at[slot].set(tok[0]),
+        state.active.at[slot].set(True),
+        state.budget.at[slot].set(max_tokens - 1),
+        state.temperature.at[slot].set(temperature),
+        state.top_k.at[slot].set(top_k),
+        state.top_p.at[slot].set(top_p),
+        key)
+    return tok, cache, state, small.with_pos(true_len)
 
 
 @functools.partial(jax.jit, donate_argnames=("cache", "state"),
@@ -129,7 +178,7 @@ def _admit_batch(model, cache: SlotKVCache, state: SchedState, slot_ids, ids,
         state.top_k.at[slot_ids].set(top_k, mode="drop"),
         state.top_p.at[slot_ids].set(top_p, mode="drop"),
         key)
-    return toks, cache, state
+    return toks, cache, state, small
 
 
 @functools.partial(jax.jit, donate_argnames=("cache", "state"),
@@ -189,7 +238,8 @@ class ContinuousEngine:
     def __init__(self, model, *, slots: int = 8, max_len: int = 2048,
                  prompt_bucket: int = 128, eos_token_id=None,
                  kv_dtype=jnp.bfloat16, start_thread: bool = True,
-                 decode_window: int = 8, pipeline: bool = False):
+                 decode_window: int = 8, pipeline: bool = False,
+                 prefix_cache: int = 0):
         cfg = model.cfg
         self.model = model
         self.slots = slots
@@ -227,6 +277,16 @@ class ContinuousEngine:
         self._gen = [0] * slots  # admission generation per slot
         self.steps = 0
         self._stop = False
+        # automatic prefix caching: LRU of admission small-caches keyed by
+        # prompt tokens; reuse is bucket-aligned (shared system prompts /
+        # chat history skip re-prefill).  0 = off.
+        self._pcache = None
+        if prefix_cache > 0:
+            from .prefill import PromptCache
+
+            self._pcache = PromptCache(prefix_cache)
+        self.prefix_hits = 0
+        self.prefix_tokens_reused = 0
         if start_thread:
             self._thread = threading.Thread(target=self.run, daemon=True)
             self._thread.start()
@@ -258,23 +318,49 @@ class ContinuousEngine:
                 return i
         return None
 
+    def _prefix_match(self, ids: np.ndarray) -> int:
+        """Bucket-aligned reusable prefix length for `ids` (0 = no hit)."""
+        if self._pcache is None:
+            return 0
+        _, matched = self._pcache.lookup_common(ids)
+        m = min(matched, len(ids) - 1)  # keep >= 1 suffix token for logits
+        return (m // self.bucket) * self.bucket
+
     def _admit(self, slot: int, r: _Request):
         """Prefill + install into `slot`; the first token stays a LAZY device
         scalar (self._first[slot]) fetched at the next window boundary —
-        admission never blocks on the host."""
+        admission never blocks on the host.
+
+        With the prefix cache enabled, a bucket-aligned shared prefix skips
+        re-prefill: only the suffix runs through the model."""
         n = len(r.ids)
         bucket = -(-max(n, 1) // self.bucket) * self.bucket
         bucket = min(bucket, self.max_len)
-        ids = np.zeros((1, bucket), np.int32)
-        ids[0, :n] = r.ids[:bucket]
         s = r.sampling
-        tok, self.cache, self._state = _admit_step(
-            self.model, self.cache, self._state, jnp.asarray(slot, jnp.int32),
-            jnp.asarray(ids), jnp.asarray(min(n, bucket), jnp.int32),
-            jnp.asarray(r.max_tokens, jnp.int32),
-            jnp.asarray(s.temperature if s.do_sample else 0.0, jnp.float32),
-            jnp.asarray(s.top_k if s.do_sample else 0, jnp.int32),
-            jnp.asarray(s.top_p if s.do_sample else 0.0, jnp.float32), bucket)
+        temp = jnp.asarray(s.temperature if s.do_sample else 0.0, jnp.float32)
+        topk = jnp.asarray(s.top_k if s.do_sample else 0, jnp.int32)
+        topp = jnp.asarray(s.top_p if s.do_sample else 0.0, jnp.float32)
+        m = self._prefix_match(r.ids)
+        hit = self._pcache.lookup_prefix_rows(r.ids, m) if m > 0 else None
+        if hit is not None:
+            sb = bucket - m
+            ids = np.zeros((1, sb), np.int32)
+            ids[0, : n - m] = r.ids[m:n]
+            tok, self.cache, self._state, small = _admit_prefix_step(
+                self.model, self.cache, self._state, jnp.asarray(slot, jnp.int32),
+                hit, jnp.asarray(ids), jnp.asarray(n, jnp.int32),
+                jnp.asarray(r.max_tokens, jnp.int32), temp, topk, topp, bucket)
+            self.prefix_hits += 1
+            self.prefix_tokens_reused += m
+        else:
+            ids = np.zeros((1, bucket), np.int32)
+            ids[0, :n] = r.ids[:bucket]
+            tok, self.cache, self._state, small = _admit_step(
+                self.model, self.cache, self._state, jnp.asarray(slot, jnp.int32),
+                jnp.asarray(ids), jnp.asarray(min(n, bucket), jnp.int32),
+                jnp.asarray(r.max_tokens, jnp.int32), temp, topk, topp, bucket)
+        if self._pcache is not None:
+            self._pcache.store(r.ids[: min(n, bucket)], small)
         self.req[slot] = r
         self.emitted[slot] = 0
         self._first[slot] = tok
@@ -300,7 +386,7 @@ class ContinuousEngine:
             temp[row] = s.temperature if s.do_sample else 0.0
             topk[row] = s.top_k if s.do_sample else 0
             topp[row] = s.top_p if s.do_sample else 0.0
-        toks, self.cache, self._state = _admit_batch(
+        toks, self.cache, self._state, small = _admit_batch(
             self.model, self.cache, self._state, jnp.asarray(slot_ids),
             jnp.asarray(ids), jnp.asarray(lens), jnp.asarray(mt),
             jnp.asarray(temp), jnp.asarray(topk), jnp.asarray(topp), self.bucket)
@@ -309,6 +395,13 @@ class ContinuousEngine:
             self.emitted[slot] = 0
             self._first[slot] = toks[row : row + 1]
             self._gen[slot] += 1
+            if self._pcache is not None:
+                # slice this row's small cache (fresh buffers) for the prefix
+                # store; batch axis is 1 on every KV/scale leaf
+                one = jax.tree.map(
+                    lambda a: (jax.lax.slice_in_dim(a, row, row + 1, axis=1)
+                               if getattr(a, "ndim", 0) >= 4 else a), small)
+                self._pcache.store(r.ids, one.with_pos(len(r.ids)))
 
     def _emit(self, slot: int, tok: int):
         r = self.req[slot]
@@ -358,10 +451,10 @@ class ContinuousEngine:
                 r = self.pending.get_nowait()
             except queue.Empty:
                 break
-            if len(r.ids) <= self.bucket:
+            if len(r.ids) <= self.bucket and self._prefix_match(r.ids) == 0:
                 self.req[slot] = r  # reserve; installed by _admit_many below
                 batch.append((slot, r))
-            else:  # multi-bucket prompt: per-request bucketed program
+            else:  # multi-bucket prompt or prefix-cache hit: per-request program
                 self._admit(slot, r)
             worked = True
         if batch:

@@ -87,7 +87,9 @@ class PromptCache:
         while len(self._entries) > self.max_entries:
             self._entries.popitem(last=False)
 
-    def lookup(self, ids) -> tuple[Optional[KVCache], int]:
+    def lookup_raw(self, ids) -> tuple[Optional[KVCache], int]:
+        """Longest cached prefix WITHOUT copying (caller must not donate the
+        returned pytree's buffers — slice or copy first)."""
         seq = tuple(int(t) for t in np.asarray(ids).reshape(-1))
         best_key = None
         for key in self._entries:
@@ -97,9 +99,50 @@ class PromptCache:
         if best_key is None:
             return None, 0
         self._entries.move_to_end(best_key)
-        c = self._entries[best_key]
+        return self._entries[best_key], len(best_key)
+
+    def lookup(self, ids) -> tuple[Optional[KVCache], int]:
+        c, matched = self.lookup_raw(ids)
+        if c is None:
+            return None, 0
         # copy so the cached entry survives donation by the caller
-        return jax.tree.map(jnp.copy, c), len(best_key)
+        return jax.tree.map(jnp.copy, c), matched
+
+    def lookup_common(self, ids) -> tuple[Optional[KVCache], int]:
+        """Entry with the longest token-level COMMON prefix with `ids` (the
+        stored prompt need not be a full prefix of the new one — serving-
+        style automatic prefix caching: 'system prompt + different question'
+        matches through the shared system prompt).  No copy — callers must
+        slice/copy before donating."""
+        seq = tuple(int(t) for t in np.asarray(ids).reshape(-1))
+        best_key, best_n = None, 0
+        for key in self._entries:
+            n = 0
+            for a, b in zip(key, seq):
+                if a != b:
+                    break
+                n += 1
+            if n > best_n:
+                best_key, best_n = key, n
+        if best_key is None:
+            return None, 0
+        self._entries.move_to_end(best_key)
+        return self._entries[best_key], best_n
+
+    def lookup_prefix_rows(self, ids, m: int) -> Optional[KVCache]:
+        """First `m` KV rows of the best common-prefix entry, as fresh
+        buffers with pos == m (donation-safe) — the serving engine's
+        prefix-reuse fetch.  Returns None if no entry shares >= m tokens."""
+        c, common = self.lookup_common(ids)
+        if c is None or common < m:
+            return None
+
+        def trunc(a):
+            if getattr(a, "ndim", 0) < 4:
+                return a
+            return jax.lax.slice_in_dim(a, 0, min(m, a.shape[3]), axis=3)
+
+        return jax.tree.map(trunc, c).with_pos(m)
 
     def __len__(self):
         return len(self._entries)

@@ -169,3 +169,58 @@ def test_engine_quant_kv_matches_single_stream():
         got = [collect(q, timeout=5) for q in qs]
         assert got[0] == want[0], (kv, got[0], want[0])
         assert got[1] == want[1], (kv, got[1], want[1])
+
+
+def test_engine_prefix_cache_exact():
+    """Automatic prefix caching: two requests sharing a bucket-aligned
+    prefix (system prompt) produce token-identical greedy output to an
+    engine without the cache, and the second admission reuses KV rows."""
+    model, cfg = _tiny()
+    rng = np.random.default_rng(6)
+    system = rng.integers(0, 97, 20).astype(np.int32)  # > bucket (16)
+    p_a = np.concatenate([system, rng.integers(0, 97, 4).astype(np.int32)])
+    p_b = np.concatenate([system, rng.integers(0, 97, 5).astype(np.int32)])
+    want_a = _single_stream(model, p_a, 6)
+    want_b = _single_stream(model, p_b, 6)
+
+    eng = ContinuousEngine(model, slots=2, max_len=64, prompt_bucket=16,
+                           kv_dtype=jnp.float32, start_thread=False,
+                           prefix_cache=4)
+    qa = eng.submit(p_a, 6)
+    for _ in range(10):
+        eng.step()
+    qb = eng.submit(p_b, 6)
+    for _ in range(10):
+        eng.step()
+    assert collect(qa, timeout=5) == want_a
+    assert collect(qb, timeout=5) == want_b
+    assert eng.prefix_hits == 1
+    assert eng.prefix_tokens_reused == 16  # bucket-aligned share of 20
+
+
+def test_engine_prefix_cache_quant_kv():
+    """Prefix reuse composes with the quantized serving cache (int8 slot
+    cache -> quant small caches get sliced/padded/reinstalled)."""
+    model, cfg = _tiny()
+    rng = np.random.default_rng(8)
+    system = rng.integers(0, 97, 18).astype(np.int32)
+    p_a = np.concatenate([system, rng.integers(0, 97, 3).astype(np.int32)])
+    p_b = np.concatenate([system, rng.integers(0, 97, 6).astype(np.int32)])
+
+    def run(prefix_cache):
+        eng = ContinuousEngine(model, slots=2, max_len=64, prompt_bucket=16,
+                               kv_dtype="int8", start_thread=False,
+                               prefix_cache=prefix_cache)
+        qa = eng.submit(p_a, 6)
+        for _ in range(10):
+            eng.step()
+        qb = eng.submit(p_b, 6)
+        for _ in range(10):
+            eng.step()
+        return collect(qa, timeout=5), collect(qb, timeout=5), eng
+
+    a0, b0, _ = run(0)
+    a1, b1, eng = run(4)
+    assert a1 == a0
+    assert b1 == b0
+    assert eng.prefix_hits == 1 and eng.prefix_tokens_reused == 16
