@@ -18,6 +18,7 @@ TPU deployment needs: an OpenAI-style HTTP endpoint with two schedulers:
 
 import argparse
 import json
+import os
 import queue
 import sys
 import threading
@@ -46,12 +47,31 @@ class ContinuousFrontend:
         self.engine = ContinuousEngine(model, slots=max_batch, max_len=max_len,
                                        eos_token_id=getattr(tok, "eos_token_id", None),
                                        kv_dtype=kv_dtype, prefix_cache=prefix_cache)
+        self.vl_proc = None
+        if hasattr(model, "visual"):  # Qwen2-VL: accept image requests
+            from mllm_tpu.processor.qwen2_vl import Qwen2VLProcessor
+
+            self.vl_proc = Qwen2VLProcessor(
+                tok, image_token_id=model.cfg.image_token_id,
+                video_token_id=model.cfg.video_token_id)
+
+    def submit_image(self, text, image, max_tokens):
+        """Multimodal request: PIL image + prompt through the VL processor,
+        served by the continuous engine in shared slots."""
+        if self.vl_proc is None:
+            raise ValueError("model is not multimodal (no vision tower)")
+        proc_out = self.vl_proc(self.vl_proc.chat_text(text), images=[image])
+        n_prompt = int(proc_out.input_ids.shape[1])
+        stream = self.engine.submit_vl(proc_out, max_tokens)
+        return self._drain_to_queue(stream, n_prompt, time.perf_counter()), n_prompt
 
     def submit(self, prompt_ids, max_tokens):
-        import queue as _q
-
         t0 = time.perf_counter()
         stream = self.engine.submit(prompt_ids, max_tokens)
+        return self._drain_to_queue(stream, len(prompt_ids), t0)
+
+    def _drain_to_queue(self, stream, n_prompt, t0):
+        import queue as _q
         done: _q.Queue = _q.Queue()
 
         def drain():
@@ -61,7 +81,7 @@ class ContinuousFrontend:
             self.metrics.set("mllm_last_batch_size", max(active, 1))
             self.metrics.set("mllm_prefix_tokens_reused",
                              self.engine.prefix_tokens_reused)
-            self.genmetrics.record(len(prompt_ids), len(toks), dt, dt)
+            self.genmetrics.record(n_prompt, len(toks), dt, dt)
             done.put(toks)
 
         threading.Thread(target=drain, daemon=True).start()
@@ -158,8 +178,20 @@ def make_handler(engine: Engine):
                 text = render(engine.cfg.model_type, req.get("messages", []))
             else:
                 text = req.get("prompt", "")
-            ids = np.asarray(engine.tok.encode(text, bos=True), np.int32)
-            done = engine.submit(ids, int(req.get("max_tokens", 64)))
+            image_b64 = req.get("image_b64")
+            if image_b64 and getattr(engine, "vl_proc", None) is not None:
+                import base64
+                import io
+
+                from PIL import Image
+
+                img = Image.open(io.BytesIO(base64.b64decode(image_b64)))
+                done, n_prompt = engine.submit_image(
+                    text, img, int(req.get("max_tokens", 64)))
+                ids = np.zeros(n_prompt, np.int32)  # for the usage report
+            else:
+                ids = np.asarray(engine.tok.encode(text, bos=True), np.int32)
+                done = engine.submit(ids, int(req.get("max_tokens", 64)))
             out_ids = done.get()
             text_out = engine.tok.decode(out_ids)
             resp = {
@@ -196,7 +228,19 @@ def main():
 
     from mllm_tpu.models.registry import auto_model
 
-    model, tok, cfg = auto_model(args.model, dtype=jnp.bfloat16, quant=args.quant)
+    import json as _json
+
+    with open(os.path.join(args.model, "config.json")) as f:
+        _mt = _json.load(f).get("model_type", "")
+    if _mt == "qwen2_vl":  # flagship multimodal serving
+        from mllm_tpu.models.registry import auto_model_any
+        from mllm_tpu.tokenizers.hf_json import auto_tokenizer
+
+        model, _ = auto_model_any(args.model, dtype=jnp.bfloat16, quant=args.quant)
+        tok = auto_tokenizer(args.model)
+        cfg = model.cfg.text
+    else:
+        model, tok, cfg = auto_model(args.model, dtype=jnp.bfloat16, quant=args.quant)
     if args.engine == "continuous":
         engine = ContinuousFrontend(model, tok, cfg, args.limits, args.max_batch,
                                     kv_dtype=args.kv, prefix_cache=args.prefix_cache)

@@ -45,7 +45,8 @@ class SchedState(Module):
     through the remote relay costs ~25 ms, which at window=16 halved the
     engine's throughput)."""
 
-    def __init__(self, cur, active, budget, temperature, top_k, top_p, key):
+    def __init__(self, cur, active, budget, temperature, top_k, top_p, key,
+                 pos_delta=None):
         self.cur = cur  # [B] int32 current token per slot
         self.active = active  # [B] bool
         self.budget = budget  # [B] int32 remaining tokens per slot
@@ -53,6 +54,10 @@ class SchedState(Module):
         self.top_k = top_k  # [B] int32 (0 -> off)
         self.top_p = top_p  # [B] f32 (0 -> off)
         self.key = key  # PRNG key, split every window
+        # [B] int32 M-RoPE decode-position offset per slot (Qwen2-VL image
+        # requests: rope position = cache head + delta; 0 for text)
+        self.pos_delta = (pos_delta if pos_delta is not None
+                          else jnp.zeros_like(cur))
 
     @staticmethod
     def init(slots: int, seed: int = 0) -> "SchedState":
@@ -75,7 +80,7 @@ def _admit_step(model, cache: SlotKVCache, state: SchedState, slot, ids,
     with the next decode window (one round-trip per window, not per admit)."""
     from .sampling import sample_tokens_batched
 
-    cfg = model.cfg
+    cfg = getattr(model.cfg, "text", model.cfg)  # VL models nest the LM config
     small = cache.make_prefill_cache(1, bucket, cache.n_layers,
                                      cfg.num_key_value_heads, cfg.head_dim_)
     hidden, small = model.hidden_states(ids, small)
@@ -92,7 +97,7 @@ def _admit_step(model, cache: SlotKVCache, state: SchedState, slot, ids,
         state.temperature.at[slot].set(temperature),
         state.top_k.at[slot].set(top_k),
         state.top_p.at[slot].set(top_p),
-        key)
+        key, state.pos_delta.at[slot].set(0))
     return tok, cache, state, small.with_pos(true_len)
 
 
@@ -141,8 +146,46 @@ def _admit_prefix_step(model, cache: SlotKVCache, state: SchedState, slot,
         state.temperature.at[slot].set(temperature),
         state.top_k.at[slot].set(top_k),
         state.top_p.at[slot].set(top_p),
-        key)
+        key, state.pos_delta.at[slot].set(0))
     return tok, cache, state, small.with_pos(true_len)
+
+
+@functools.partial(jax.jit, donate_argnames=("cache", "state"),
+                   static_argnames=("bucket", "grid_thw"))
+def _admit_vl_step(model, cache: SlotKVCache, state: SchedState, slot, ids,
+                   patches, positions, true_len, pos_delta, max_tokens,
+                   temperature, top_k, top_p, bucket: int, grid_thw):
+    """Multimodal admission: vision encode + spliced prefill + install, one
+    program.  `positions` [3, 1, bucket] are the M-RoPE prompt positions from
+    the processor; `pos_delta` is its mrope_delta, recorded per slot so the
+    decode window offsets this slot's rope positions (image tokens compress
+    the position space).  The serving counterpart of the reference's
+    demo_qwen2_vl flow (processing_qwen2_vl.hpp get_rope_index), which only
+    runs one request at a time."""
+    from .sampling import sample_tokens_batched
+
+    cfg = getattr(model.cfg, "text", model.cfg)
+    small = cache.make_prefill_cache(1, bucket, cache.n_layers,
+                                     cfg.num_key_value_heads, cfg.head_dim_)
+    image_embeds = model.visual(patches, grid_thw)
+    x = model.embed(ids, image_embeds)
+    hidden, small = model.trunk(x, positions, small)
+    last = jax.lax.dynamic_slice_in_dim(hidden, true_len - 1, 1, axis=1)
+    logits = model.logits(last)
+    small = small.with_pos(true_len)
+    cache = cache.admit(slot, small, true_len)
+    key, sub = jax.random.split(state.key)
+    tok = sample_tokens_batched(jax.random.fold_in(sub, slot), logits[:, 0, :],
+                                temperature[None], top_k[None], top_p[None])
+    state = SchedState(
+        state.cur.at[slot].set(tok[0]),
+        state.active.at[slot].set(True),
+        state.budget.at[slot].set(max_tokens - 1),
+        state.temperature.at[slot].set(temperature),
+        state.top_k.at[slot].set(top_k),
+        state.top_p.at[slot].set(top_p),
+        key, state.pos_delta.at[slot].set(pos_delta))
+    return tok, cache, state
 
 
 @functools.partial(jax.jit, donate_argnames=("cache", "state"),
@@ -158,7 +201,7 @@ def _admit_batch(model, cache: SlotKVCache, state: SchedState, slot_ids, ids,
     Returns (toks [A], cache, state)."""
     from .sampling import sample_tokens_batched
 
-    cfg = model.cfg
+    cfg = getattr(model.cfg, "text", model.cfg)  # VL models nest the LM config
     a = ids.shape[0]
     small = cache.make_prefill_cache(a, bucket, cache.n_layers,
                                      cfg.num_key_value_heads, cfg.head_dim_)
@@ -177,7 +220,7 @@ def _admit_batch(model, cache: SlotKVCache, state: SchedState, slot_ids, ids,
         state.temperature.at[slot_ids].set(temperature, mode="drop"),
         state.top_k.at[slot_ids].set(top_k, mode="drop"),
         state.top_p.at[slot_ids].set(top_p, mode="drop"),
-        key)
+        key, state.pos_delta.at[slot_ids].set(0, mode="drop"))
     return toks, cache, state, small
 
 
@@ -201,9 +244,17 @@ def _decode_window(model, cache: SlotKVCache, state: SchedState, eos_ids,
 
     key, sub = jax.random.split(state.key)
 
+    is_vl = hasattr(model, "visual")  # static: M-RoPE models take positions
+
     def body(i, carry):
         toks, cache, out, active, budget = carry
-        logits, cache = model(toks[:, None], cache, last_only=True)
+        if is_vl:
+            # per-slot M-RoPE decode position = cache head + image delta
+            p = (cache.pos + state.pos_delta)[None, :, None].astype(jnp.int32)
+            p = jnp.broadcast_to(p, (3,) + p.shape[1:])
+            logits, cache = model(toks[:, None], cache, positions=p, last_only=True)
+        else:
+            logits, cache = model(toks[:, None], cache, last_only=True)
         nxt = sample_tokens_batched(jax.random.fold_in(sub, i), logits[:, 0, :],
                                     state.temperature, state.top_k, state.top_p)
         emit = active & (budget > 0)
@@ -219,7 +270,7 @@ def _decode_window(model, cache: SlotKVCache, state: SchedState, eos_ids,
     toks, cache, out, active, budget = jax.lax.fori_loop(
         0, steps, body, (state.cur, cache, out, state.active, state.budget))
     state = SchedState(toks, active, budget, state.temperature, state.top_k,
-                       state.top_p, key)
+                       state.top_p, key, state.pos_delta)
     return out, cache, state
 
 
@@ -230,6 +281,9 @@ class _Request:
     out: queue.Queue
     t_submit: float
     sampling: SamplingConfig = field(default_factory=SamplingConfig)
+    # multimodal (Qwen2-VL): (patches [Sp, F], grid_thw, positions [3,1,S],
+    # mrope_delta) from the processor; None for text requests
+    vl: Optional[tuple] = None
 
 
 class ContinuousEngine:
@@ -240,7 +294,7 @@ class ContinuousEngine:
                  kv_dtype=jnp.bfloat16, start_thread: bool = True,
                  decode_window: int = 8, pipeline: bool = False,
                  prefix_cache: int = 0):
-        cfg = model.cfg
+        cfg = getattr(model.cfg, "text", model.cfg)  # VL models nest the LM config
         self.model = model
         self.slots = slots
         self.max_len = max_len
@@ -308,6 +362,24 @@ class ContinuousEngine:
                                   sampling or SamplingConfig()))
         return out
 
+    def submit_vl(self, proc_out, max_tokens: int = 64,
+                  sampling: Optional[SamplingConfig] = None) -> queue.Queue:
+        """Submit a multimodal (Qwen2-VL) request: `proc_out` is a
+        Qwen2VLProcessorOutput (input_ids/patches/grid_thw/position_ids/
+        mrope_delta).  Image and text requests share slots — the decode
+        window offsets this slot's rope positions by mrope_delta."""
+        out: queue.Queue = queue.Queue()
+        ids = np.asarray(proc_out.input_ids, np.int32).reshape(-1)
+        if len(ids) >= self.max_len:
+            raise ValueError(
+                f"prompt length {len(ids)} >= engine max_len {self.max_len}")
+        max_tokens = min(max_tokens, self.max_len - len(ids))
+        vl = (proc_out.patches, proc_out.grid_thw,
+              np.asarray(proc_out.position_ids, np.int32), int(proc_out.mrope_delta))
+        self.pending.put(_Request(ids, max_tokens, out, time.perf_counter(),
+                                  sampling or SamplingConfig(), vl=vl))
+        return out
+
     def stop(self):
         self._stop = True
 
@@ -361,6 +433,34 @@ class ContinuousEngine:
                 jnp.asarray(r.max_tokens, jnp.int32), temp, topk, topp, bucket)
         if self._pcache is not None:
             self._pcache.store(r.ids[: min(n, bucket)], small)
+        self.req[slot] = r
+        self.emitted[slot] = 0
+        self._first[slot] = tok
+        self._gen[slot] += 1
+
+    def _admit_vl(self, slot: int, r: _Request):
+        """Vision admission: one program encodes the image(s), splices, and
+        prefills; the slot records the M-RoPE decode offset."""
+        patches, grid_thw, positions, delta = r.vl
+        n = len(r.ids)
+        bucket = -(-max(n, 1) // self.bucket) * self.bucket
+        bucket = min(bucket, self.max_len)
+        ids = np.zeros((1, bucket), np.int32)
+        ids[0, :n] = r.ids
+        pos = np.zeros((3, 1, bucket), np.int32)
+        pos[:, :, :n] = positions[:, :, :n]
+        # pad positions continue past the last real one (masked rows anyway)
+        pos[:, :, n:] = positions[:, :, n - 1 : n] + np.arange(1, bucket - n + 1)[None, None, :]
+        s = r.sampling
+        tok, self.cache, self._state = _admit_vl_step(
+            self.model, self.cache, self._state, jnp.asarray(slot, jnp.int32),
+            jnp.asarray(ids), jnp.asarray(patches), jnp.asarray(pos),
+            jnp.asarray(n, jnp.int32), jnp.asarray(delta, jnp.int32),
+            jnp.asarray(r.max_tokens, jnp.int32),
+            jnp.asarray(s.temperature if s.do_sample else 0.0, jnp.float32),
+            jnp.asarray(s.top_k if s.do_sample else 0, jnp.int32),
+            jnp.asarray(s.top_p if s.do_sample else 0.0, jnp.float32),
+            bucket, tuple(grid_thw))
         self.req[slot] = r
         self.emitted[slot] = 0
         self._first[slot] = tok
@@ -451,7 +551,9 @@ class ContinuousEngine:
                 r = self.pending.get_nowait()
             except queue.Empty:
                 break
-            if len(r.ids) <= self.bucket and self._prefix_match(r.ids) == 0:
+            if r.vl is not None:  # multimodal: vision-prefill program
+                self._admit_vl(slot, r)
+            elif len(r.ids) <= self.bucket and self._prefix_match(r.ids) == 0:
                 self.req[slot] = r  # reserve; installed by _admit_many below
                 batch.append((slot, r))
             else:  # multi-bucket prompt or prefix-cache hit: per-request program

@@ -301,13 +301,9 @@ class Qwen2VLForConditionalGeneration(Module):
             x = jnp.where(is_img[..., None], img_at.astype(x.dtype), x)
         return x
 
-    def forward_text(self, x, positions, cache: Optional[KVCache], last_only=True,
-                     last_pos: Optional[int] = None):
-        """Decoder trunk with M-RoPE positions [3, B, S].
-
-        last_pos: static index of the true final token (ragged prefill) — the
-        LM head then runs on ONE position instead of the padded S (the vocab
-        matmul at S~1k is otherwise the biggest single cost of prefill)."""
+    def trunk(self, x, positions, cache: Optional[KVCache]):
+        """Decoder trunk with M-RoPE positions [3, B, S] -> (normed hidden
+        [B, S, D], cache advanced by S)."""
         lm = self.lm
 
         def run_block(x, cache, blk, layer_idx):
@@ -334,11 +330,40 @@ class Qwen2VLForConditionalGeneration(Module):
         x = lm.norm(x)
         if cache is not None:
             cache = cache.advance(x.shape[1])
+        return x, cache
+
+    def forward_text(self, x, positions, cache: Optional[KVCache], last_only=True,
+                     last_pos: Optional[int] = None):
+        """Trunk + LM head.
+
+        last_pos: static index of the true final token (ragged prefill) — the
+        LM head then runs on ONE position instead of the padded S (the vocab
+        matmul at S~1k is otherwise the biggest single cost of prefill)."""
+        x, cache = self.trunk(x, positions, cache)
         if last_pos is not None:
             x = x[:, last_pos : last_pos + 1, :]
         elif last_only:
             x = x[:, -1:, :]
-        return lm.logits(x), cache
+        return self.lm.logits(x), cache
+
+    def hidden_states(self, input_ids, cache: Optional[KVCache], inputs_embeds=None,
+                      pad_lens=None):
+        """Text-only trunk with the CausalLM.hidden_states signature, so the
+        serving engine's generic admission programs (engine.py _admit_step /
+        _admit_prefix_step) work on the VL model unchanged — positions are
+        the cache heads broadcast over the three M-RoPE axes (pure-text
+        requests have no image offset)."""
+        assert pad_lens is None, "VL serving admission has no ragged-pad path"
+        x = inputs_embeds if inputs_embeds is not None else self.embed(input_ids, None)
+        pos0 = cache.pos if cache is not None else jnp.zeros((), jnp.int32)
+        if getattr(pos0, "ndim", 0) == 1:  # SlotKVCache per-slot heads [B]
+            pos0 = pos0[:, None]
+        p = pos0 + jnp.arange(x.shape[1], dtype=jnp.int32)[None, :]
+        p = jnp.broadcast_to(p[None], (3,) + p.shape)
+        return self.trunk(x, p, cache)
+
+    def logits(self, hidden):
+        return self.lm.logits(hidden)
 
     def __call__(self, input_ids, cache, patches=None, grid_thw=None, positions=None,
                  last_only=True, last_pos: Optional[int] = None):

@@ -318,3 +318,60 @@ def test_vl_int4_kv_cache_decode_close(tiny_vl):
     got, qcache = run("int4")
     assert isinstance(qcache, Quant4KVCache)
     assert got[:2] == ref[:2]  # 4-bit KV: first greedy steps must agree
+
+
+def test_vl_continuous_engine_serving(tiny_vl):
+    """The serving engine admits a Qwen2-VL image request (vision encode +
+    spliced prefill in one program, per-slot M-RoPE decode offset) alongside
+    a plain text request in shared slots; both streams are token-exact vs
+    their offline greedy paths."""
+    from mllm_tpu.generation.engine import ContinuousEngine, collect
+    from mllm_tpu.models.qwen2_vl import get_rope_index
+
+    hf, d = tiny_vl
+    ours, cfg = _ours(d)
+    ids, patches, grid = _inputs()
+    pos, delta = get_rope_index(ids[0], [grid], IMG, VID, 2)
+
+    # offline greedy reference: VL request
+    cache = ours.init_cache(1, 64, jnp.float32)
+    logits, cache = ours(jnp.asarray(ids, jnp.int32), cache,
+                         patches=jnp.asarray(patches), grid_thw=grid,
+                         positions=jnp.asarray(pos[:, None, :]), last_only=True)
+    want_vl = []
+    next_pos = ids.shape[1] + delta
+    for i in range(5):
+        t = int(np.argmax(np.asarray(logits)[0, 0]))
+        want_vl.append(t)
+        p = np.full((3, 1, 1), next_pos + i, np.int32)
+        logits, cache = ours(jnp.asarray([[t]], jnp.int32), cache,
+                             positions=jnp.asarray(p), last_only=True)
+
+    # offline greedy reference: text request (positions = cache heads)
+    text = np.array([7, 100, 3000, 42, 9], np.int32)
+    cache = ours.init_cache(1, 64, jnp.float32)
+    logits, cache = ours(jnp.asarray(text[None]), cache, last_only=True)
+    want_txt = []
+    for i in range(5):
+        t = int(np.argmax(np.asarray(logits)[0, 0]))
+        want_txt.append(t)
+        logits, cache = ours(jnp.asarray([[t]], jnp.int32), cache, last_only=True)
+
+    class _P:  # processor-output shape (Qwen2VLProcessorOutput fields)
+        input_ids = ids.astype(np.int32)
+        patches_ = patches
+
+    eng = ContinuousEngine(ours, slots=2, max_len=64, prompt_bucket=16,
+                           kv_dtype=jnp.float32, start_thread=False,
+                           eos_token_id=-7)
+    from mllm_tpu.processor.qwen2_vl import Qwen2VLProcessorOutput
+
+    proc_out = Qwen2VLProcessorOutput(
+        input_ids=ids.astype(np.int32), patches=patches, grid_thw=grid,
+        position_ids=pos[:, None, :], mrope_delta=delta)
+    q_vl = eng.submit_vl(proc_out, 5)
+    q_txt = eng.submit(text, 5)
+    for _ in range(10):
+        eng.step()
+    assert collect(q_vl, timeout=5) == want_vl
+    assert collect(q_txt, timeout=5) == want_txt
