@@ -55,12 +55,17 @@ class ContinuousFrontend:
                 tok, image_token_id=model.cfg.image_token_id,
                 video_token_id=model.cfg.video_token_id)
 
-    def submit_image(self, text, image, max_tokens):
-        """Multimodal request: PIL image + prompt through the VL processor,
-        served by the continuous engine in shared slots."""
+    def submit_image(self, text, image, max_tokens, video=None):
+        """Multimodal request: PIL image (or a video as a list of frames) +
+        prompt through the VL processor, served by the continuous engine in
+        shared slots."""
         if self.vl_proc is None:
             raise ValueError("model is not multimodal (no vision tower)")
-        proc_out = self.vl_proc(self.vl_proc.chat_text(text), images=[image])
+        if video is not None:
+            proc_out = self.vl_proc(self.vl_proc.chat_text(text, video=True),
+                                    videos=video)
+        else:
+            proc_out = self.vl_proc(self.vl_proc.chat_text(text), images=[image])
         n_prompt = int(proc_out.input_ids.shape[1])
         stream = self.engine.submit_vl(proc_out, max_tokens)
         return self._drain_to_queue(stream, n_prompt, time.perf_counter()), n_prompt
@@ -179,15 +184,23 @@ def make_handler(engine: Engine):
             else:
                 text = req.get("prompt", "")
             image_b64 = req.get("image_b64")
-            if image_b64 and getattr(engine, "vl_proc", None) is not None:
+            video_b64 = req.get("video_b64")  # list of base64 frames
+            if (image_b64 or video_b64) and getattr(engine, "vl_proc", None) is not None:
                 import base64
                 import io
 
                 from PIL import Image
 
-                img = Image.open(io.BytesIO(base64.b64decode(image_b64)))
-                done, n_prompt = engine.submit_image(
-                    text, img, int(req.get("max_tokens", 64)))
+                def dec(b):
+                    return Image.open(io.BytesIO(base64.b64decode(b)))
+
+                if video_b64:
+                    done, n_prompt = engine.submit_image(
+                        text, None, int(req.get("max_tokens", 64)),
+                        video=[dec(f) for f in video_b64])
+                else:
+                    done, n_prompt = engine.submit_image(
+                        text, dec(image_b64), int(req.get("max_tokens", 64)))
                 ids = np.zeros(n_prompt, np.int32)  # for the usage report
             else:
                 ids = np.asarray(engine.tok.encode(text, bos=True), np.int32)

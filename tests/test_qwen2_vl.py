@@ -375,3 +375,69 @@ def test_vl_continuous_engine_serving(tiny_vl):
         eng.step()
     assert collect(q_vl, timeout=5) == want_vl
     assert collect(q_txt, timeout=5) == want_txt
+
+
+def _video_inputs():
+    # 4 frames of 4x4-patch grid -> grid (2, 4, 4), merged 2x2 -> 8 video tokens
+    rng = np.random.default_rng(5)
+    grid = (2, 4, 4)
+    patches = rng.standard_normal((32, 3 * 2 * 14 * 14)).astype(np.float32)
+    ids = np.array([[10, 20, VSTART] + [VID] * 8 + [30, 40, 50]], np.int64)
+    return ids, patches, grid
+
+
+def test_video_rope_index_matches_hf(tiny_vl):
+    """Video grids (t > 1) produce HF-identical 3-axis M-RoPE positions:
+    the temporal axis advances per temporal block of frames."""
+    from mllm_tpu.models.qwen2_vl import get_rope_index
+
+    hf, d = tiny_vl
+    ids, _, grid = _video_inputs()
+    hf_pos, hf_delta = hf.model.get_rope_index(
+        torch.from_numpy(ids), video_grid_thw=torch.tensor([list(grid)]),
+    )
+    pos, delta = get_rope_index(ids[0], [grid], IMG, VID, 2)
+    np.testing.assert_array_equal(pos, hf_pos[:, 0].numpy())
+    assert delta == int(hf_delta[0])
+
+
+def test_video_e2e_logits_parity(tiny_vl):
+    """Full video forward (temporal patches through the vision tower,
+    video-token splice, M-RoPE) matches HF logits."""
+    hf, d = tiny_vl
+    ours, cfg = _ours(d)
+    ids, patches, grid = _video_inputs()
+    with torch.no_grad():
+        out = hf(input_ids=torch.from_numpy(ids),
+                 pixel_values_videos=torch.from_numpy(patches),
+                 video_grid_thw=torch.tensor([list(grid)]))
+    from mllm_tpu.models.qwen2_vl import get_rope_index
+
+    pos, _ = get_rope_index(ids[0], [grid], IMG, VID, 2)
+    cache = ours.init_cache(1, 64, jnp.float32)
+    logits, _ = ours(jnp.asarray(ids, jnp.int32), cache,
+                     patches=jnp.asarray(patches), grid_thw=grid,
+                     positions=jnp.asarray(pos[:, None, :]), last_only=False)
+    np.testing.assert_allclose(np.asarray(logits)[0], out.logits[0].numpy(),
+                               rtol=2e-3, atol=5e-3)
+
+
+def test_processor_video_pad_expansion():
+    """The processor expands <|video_pad|> by t*h*w/merge^2 using stacked
+    frames (grid_t = n_frames / temporal_patch_size)."""
+    from mllm_tpu.processor.qwen2_vl import Qwen2VLProcessor
+
+    class _Tok:
+        def encode(self, text):
+            out = []
+            for part in text.replace("<|video_pad|>", " <|video_pad|> ").split():
+                out.append(VID if part == "<|video_pad|>" else hash(part) % 100)
+            return out
+
+    proc = Qwen2VLProcessor(_Tok())
+    rng = np.random.default_rng(2)
+    frames = [rng.integers(0, 255, (56, 56, 3)).astype(np.uint8) for _ in range(4)]
+    out = proc(proc.chat_text("what happens?", video=True), videos=frames)
+    assert out.grid_thw == (2, 4, 4)
+    assert out.patches.shape[0] == 2 * 4 * 4
+    assert int((out.input_ids == VID).sum()) == (2 * 4 * 4) // 4
