@@ -35,7 +35,7 @@ class ContinuousFrontend:
     """Adapter: ContinuousEngine scheduling + serving metrics."""
 
     def __init__(self, model, tok, cfg, max_len=2048, max_batch=8, kv_dtype="bf16",
-                 prefix_cache=0):
+                 prefix_cache=0, image_size=None):
         from mllm_tpu.generation.engine import ContinuousEngine, collect
         from mllm_tpu.utils.metrics import GLOBAL, GenerationMetrics
 
@@ -49,10 +49,16 @@ class ContinuousFrontend:
                                        kv_dtype=kv_dtype, prefix_cache=prefix_cache)
         self.vl_proc = None
         if hasattr(model, "visual"):  # Qwen2-VL: accept image requests
+            from mllm_tpu.processor.image import Qwen2VLImageProcessor
             from mllm_tpu.processor.qwen2_vl import Qwen2VLProcessor
 
+            # fixed serving resolution -> ONE compiled vision/admission
+            # program for every request (no per-aspect-ratio recompiles)
+            ip = Qwen2VLImageProcessor(
+                fixed_resolution=(image_size, image_size) if image_size else None)
             self.vl_proc = Qwen2VLProcessor(
-                tok, image_token_id=model.cfg.image_token_id,
+                tok, image_processor=ip,
+                image_token_id=model.cfg.image_token_id,
                 video_token_id=model.cfg.video_token_id)
 
     def submit_image(self, text, image, max_tokens, video=None):
@@ -233,6 +239,10 @@ def main():
     ap.add_argument("--kv", choices=["bf16", "int8", "int4"], default="bf16",
                     help="serving KV cache dtype (int8 = 2x context per chip, "
                          "int4 = 4x; fused quant decode kernels)")
+    ap.add_argument("--image-size", type=int, default=448, metavar="PX",
+                    help="resize served images to PX x PX (multiple of 28; one "
+                         "compiled vision program for all requests; 0 = "
+                         "aspect-preserving smart_resize, compiles per shape)")
     ap.add_argument("--prefix-cache", type=int, default=0, metavar="N",
                     help="automatic prefix caching: keep the KV of the last N "
                          "admitted prompts; requests sharing a bucket-aligned "
@@ -256,7 +266,8 @@ def main():
         model, tok, cfg = auto_model(args.model, dtype=jnp.bfloat16, quant=args.quant)
     if args.engine == "continuous":
         engine = ContinuousFrontend(model, tok, cfg, args.limits, args.max_batch,
-                                    kv_dtype=args.kv, prefix_cache=args.prefix_cache)
+                                    kv_dtype=args.kv, prefix_cache=args.prefix_cache,
+                                    image_size=args.image_size or None)
     else:
         engine = Engine(model, tok, cfg, args.limits, args.batch_window_ms, args.max_batch)
     server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(engine))

@@ -162,6 +162,10 @@ class Qwen2VLImageProcessor:
     std: tuple = CLIP_STD
     min_pixels: int = MIN_PIXELS
     max_pixels: int = MAX_PIXELS
+    # (H, W) to resize EVERY image to (aspect ratio not preserved).  Serving
+    # mode: one fixed grid -> one compiled vision/admission program for all
+    # requests, instead of an XLA compile per distinct smart_resize shape.
+    fixed_resolution: Optional[tuple] = None
 
     def __call__(self, images) -> tuple[np.ndarray, tuple[int, int, int]]:
         if not isinstance(images, (list, tuple)):
@@ -170,7 +174,13 @@ class Qwen2VLImageProcessor:
         for im in images:
             x = load_image(im)
             h, w = x.shape[:2]
-            nh, nw = smart_resize(h, w, IMAGE_FACTOR, self.min_pixels, self.max_pixels)
+            if self.fixed_resolution is not None:
+                nh, nw = self.fixed_resolution
+                f = self.patch_size * self.merge_size
+                if nh % f or nw % f:
+                    raise ValueError(f"fixed_resolution must be a multiple of {f}")
+            else:
+                nh, nw = smart_resize(h, w, IMAGE_FACTOR, self.min_pixels, self.max_pixels)
             x = resize(x, nh, nw, "bicubic")
             x = rescale_normalize(x, self.mean, self.std)
             frames.append(x.transpose(2, 0, 1))  # CHW

@@ -124,3 +124,23 @@ def test_device_resize_bicubic_matches_pil():
     diff = np.abs(out - ref)
     assert diff.max() <= 1
     assert (diff > 0).mean() < 0.005
+
+
+def test_fixed_resolution_pins_grid():
+    """Serving mode: fixed_resolution resizes every image to one shape so
+    all requests share ONE compiled vision/admission program."""
+    from mllm_tpu.processor.image import Qwen2VLImageProcessor
+
+    import numpy as np
+
+    proc = Qwen2VLImageProcessor(fixed_resolution=(56, 56))
+    rng = np.random.default_rng(0)
+    for shape in [(30, 99, 3), (400, 200, 3), (56, 56, 3)]:
+        patches, grid = proc(rng.integers(0, 255, shape).astype(np.uint8))
+        assert grid == (1, 4, 4)
+        assert patches.shape == (16, 3 * 2 * 14 * 14)
+    import pytest
+
+    with pytest.raises(ValueError):
+        Qwen2VLImageProcessor(fixed_resolution=(50, 56))(
+            rng.integers(0, 255, (64, 64, 3)).astype(np.uint8))
