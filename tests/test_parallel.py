@@ -427,3 +427,38 @@ def test_pad_heads_mha_geometry():
         warnings.simplefilter("always")
         assert tp_head_plan(9, 3, 8) is None
     assert any("replicated KV" in str(x.message) for x in w)
+
+
+def test_hybrid_mesh_and_host_batch(cpu8):
+    """Multi-host helpers degrade correctly on one slice: DCN axes lead,
+    ICI axes trail, and a dp x tp train step runs over the hybrid mesh
+    (single-process host_local_batch = device_put with the dp sharding)."""
+    from mllm_tpu.parallel.multihost import (host_local_batch, hybrid_mesh,
+                                             process_batch_slice)
+    from mllm_tpu.parallel.sharding import sgd_train_step, shard_model
+
+    mesh = hybrid_mesh(ici={"tp": 4}, dcn={"dp": 2})
+    assert mesh.axis_names == ("dp", "tp")
+    assert mesh.devices.shape == (2, 4)
+
+    cfg = TextConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4, head_dim=16,
+        max_position_embeddings=64, eos_token_id=-3,
+    )
+    model = CausalLM.init(jax.random.PRNGKey(2), cfg)
+    sharded = shard_model(model, mesh)
+    ids = np.random.default_rng(0).integers(0, 128, (4, 8)).astype(np.int32)
+    rows = process_batch_slice(4)
+    assert rows == slice(0, 4)  # single process loads everything
+    gb = host_local_batch(ids, mesh, "dp")
+    assert "dp" in str(gb.sharding.spec)
+    tgt = host_local_batch(np.roll(ids, -1, axis=1), mesh, "dp")
+    with jax.set_mesh(mesh):
+        m2, loss = sgd_train_step(sharded, gb, tgt)
+    assert np.isfinite(float(loss))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        hybrid_mesh(ici={"tp": 16}, dcn={"dp": 2})
