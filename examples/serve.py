@@ -183,14 +183,37 @@ def make_handler(engine: Engine):
                 self.end_headers()
                 self.wfile.write(b'{"error": "invalid JSON body"}')
                 return
+            image_b64 = req.get("image_b64")
+            video_b64 = req.get("video_b64")  # list of base64 frames
             if self.path.endswith("chat/completions"):
                 from mllm_tpu.tokenizers.chat_templates import render
 
-                text = render(engine.cfg.model_type, req.get("messages", []))
+                # OpenAI-style multimodal content: flatten text parts and
+                # collect data-URI image parts into image_b64
+                messages = []
+                for m in req.get("messages", []):
+                    content = m.get("content", "")
+                    if isinstance(content, list):
+                        texts = []
+                        for part in content:
+                            if part.get("type") == "text":
+                                texts.append(part.get("text", ""))
+                            elif part.get("type") == "image_url":
+                                url = part.get("image_url", {}).get("url", "")
+                                if url.startswith("data:") and "," in url:
+                                    image_b64 = url.split(",", 1)[1]
+                        content = "\n".join(texts)
+                    messages.append({**m, "content": content})
+                if image_b64 or video_b64:
+                    # the VL processor applies its own chat template with the
+                    # vision tokens — pass it the raw user text, not a
+                    # second rendering
+                    text = "\n".join(m["content"] for m in messages
+                                      if m.get("role") == "user")
+                else:
+                    text = render(engine.cfg.model_type, messages)
             else:
                 text = req.get("prompt", "")
-            image_b64 = req.get("image_b64")
-            video_b64 = req.get("video_b64")  # list of base64 frames
             if (image_b64 or video_b64) and getattr(engine, "vl_proc", None) is not None:
                 import base64
                 import io
