@@ -61,7 +61,7 @@ class ContinuousFrontend:
                 image_token_id=model.cfg.image_token_id,
                 video_token_id=model.cfg.video_token_id)
 
-    def submit_image(self, text, image, max_tokens, video=None):
+    def submit_image(self, text, image, max_tokens, video=None, sampling=None):
         """Multimodal request: PIL image (or a video as a list of frames) +
         prompt through the VL processor, served by the continuous engine in
         shared slots."""
@@ -73,12 +73,12 @@ class ContinuousFrontend:
         else:
             proc_out = self.vl_proc(self.vl_proc.chat_text(text), images=[image])
         n_prompt = int(proc_out.input_ids.shape[1])
-        stream = self.engine.submit_vl(proc_out, max_tokens)
+        stream = self.engine.submit_vl(proc_out, max_tokens, sampling=sampling)
         return self._drain_to_queue(stream, n_prompt, time.perf_counter()), n_prompt
 
-    def submit(self, prompt_ids, max_tokens):
+    def submit(self, prompt_ids, max_tokens, sampling=None):
         t0 = time.perf_counter()
-        stream = self.engine.submit(prompt_ids, max_tokens)
+        stream = self.engine.submit(prompt_ids, max_tokens, sampling=sampling)
         return self._drain_to_queue(stream, len(prompt_ids), t0)
 
     def _drain_to_queue(self, stream, n_prompt, t0):
@@ -116,9 +116,12 @@ class Engine:
         self.genmetrics = GenerationMetrics(GLOBAL)
         threading.Thread(target=self._loop, daemon=True).start()
 
-    def submit(self, prompt_ids: np.ndarray, max_tokens: int) -> "queue.Queue":
+    def submit(self, prompt_ids: np.ndarray, max_tokens: int, sampling=None) -> "queue.Queue":
+        # window batches share one compiled loop; the batch runs with the
+        # FIRST request's sampling config (the continuous engine is the
+        # per-request-config path)
         done: queue.Queue = queue.Queue()
-        self.q.put((prompt_ids, max_tokens, done, time.perf_counter()))
+        self.q.put((prompt_ids, max_tokens, done, time.perf_counter(), sampling))
         return done
 
     def _loop(self):
@@ -136,14 +139,18 @@ class Engine:
                     break
             prompts = [b[0] for b in batch]
             max_new = max(b[1] for b in batch)
+            cfg0 = batch[0][4] or SamplingConfig()
             t0 = time.perf_counter()
             cache = self.model.init_cache(len(batch), self.max_len, jnp.bfloat16)
             toks, n_valid, _ = ragged_batched_generate(
-                self.model, prompts, cache, SamplingConfig(max_new_tokens=max_new)
+                self.model, prompts, cache,
+                SamplingConfig(max_new_tokens=max_new, do_sample=cfg0.do_sample,
+                               temperature=cfg0.temperature, top_k=cfg0.top_k,
+                               top_p=cfg0.top_p)
             )
             dt = time.perf_counter() - t0
             self.metrics.set("mllm_last_batch_size", len(batch))
-            for i, (pids, mt, done, t_in) in enumerate(batch):
+            for i, (pids, mt, done, t_in, _cfg) in enumerate(batch):
                 out = toks[i, : min(int(n_valid[i]), mt)].tolist()
                 self.genmetrics.record(len(pids), len(out), dt, time.perf_counter() - t_in)
                 done.put(out)
@@ -214,6 +221,16 @@ def make_handler(engine: Engine):
                     text = render(engine.cfg.model_type, messages)
             else:
                 text = req.get("prompt", "")
+            from mllm_tpu.generation.sampling import SamplingConfig
+
+            temp = float(req.get("temperature", 0.0))
+            sampling = SamplingConfig(
+                do_sample=temp > 0, temperature=temp or 0.7,
+                top_k=int(req.get("top_k", 0)),
+                top_p=float(req.get("top_p", 0.0)))
+            stop = req.get("stop") or []
+            if isinstance(stop, str):
+                stop = [stop]
             if (image_b64 or video_b64) and getattr(engine, "vl_proc", None) is not None:
                 import base64
                 import io
@@ -226,19 +243,28 @@ def make_handler(engine: Engine):
                 if video_b64:
                     done, n_prompt = engine.submit_image(
                         text, None, int(req.get("max_tokens", 64)),
-                        video=[dec(f) for f in video_b64])
+                        video=[dec(f) for f in video_b64], sampling=sampling)
                 else:
                     done, n_prompt = engine.submit_image(
-                        text, dec(image_b64), int(req.get("max_tokens", 64)))
+                        text, dec(image_b64), int(req.get("max_tokens", 64)),
+                        sampling=sampling)
                 ids = np.zeros(n_prompt, np.int32)  # for the usage report
             else:
                 ids = np.asarray(engine.tok.encode(text, bos=True), np.int32)
-                done = engine.submit(ids, int(req.get("max_tokens", 64)))
+                done = engine.submit(ids, int(req.get("max_tokens", 64)),
+                                     sampling=sampling)
             out_ids = done.get()
             text_out = engine.tok.decode(out_ids)
+            finish = "stop"
+            for ss in stop:  # OpenAI `stop`: truncate at the first occurrence
+                i = text_out.find(ss)
+                if i >= 0:
+                    text_out = text_out[:i]
+            if len(out_ids) >= int(req.get("max_tokens", 64)):
+                finish = "length"
             resp = {
                 "object": "text_completion",
-                "choices": [{"text": text_out, "index": 0, "finish_reason": "stop"}],
+                "choices": [{"text": text_out, "index": 0, "finish_reason": finish}],
                 "usage": {"prompt_tokens": len(ids), "completion_tokens": len(out_ids)},
             }
             body = json.dumps(resp).encode()
