@@ -81,6 +81,10 @@ class ContinuousFrontend:
         stream = self.engine.submit(prompt_ids, max_tokens, sampling=sampling)
         return self._drain_to_queue(stream, len(prompt_ids), t0)
 
+    def submit_stream(self, prompt_ids, max_tokens, sampling=None):
+        """Raw per-token queue (None sentinel) for SSE streaming."""
+        return self.engine.submit(prompt_ids, max_tokens, sampling=sampling)
+
     def _drain_to_queue(self, stream, n_prompt, t0):
         import queue as _q
         done: _q.Queue = _q.Queue()
@@ -251,6 +255,9 @@ def make_handler(engine: Engine):
                 ids = np.zeros(n_prompt, np.int32)  # for the usage report
             else:
                 ids = np.asarray(engine.tok.encode(text, bos=True), np.int32)
+                if req.get("stream") and hasattr(engine, "submit_stream"):
+                    self._stream_response(engine, ids, req, sampling, stop)
+                    return
                 done = engine.submit(ids, int(req.get("max_tokens", 64)),
                                      sampling=sampling)
             out_ids = done.get()
@@ -272,6 +279,45 @@ def make_handler(engine: Engine):
             self.send_header("Content-Type", "application/json")
             self.end_headers()
             self.wfile.write(body)
+
+        def _stream_response(self, engine, ids, req, sampling, stop):
+            """OpenAI-style SSE: one `data: {...}` chunk per token delta,
+            then `data: [DONE]`.  Tokens arrive from the engine's per-window
+            queue; text deltas re-decode the accumulated ids so multi-byte
+            characters assemble correctly across token boundaries."""
+            q = engine.submit_stream(ids, int(req.get("max_tokens", 64)),
+                                     sampling=sampling)
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            toks, sent = [], ""
+            while True:
+                t = q.get(timeout=600)
+                if t is None:
+                    break
+                toks.append(t)
+                full = engine.tok.decode(toks)
+                if full.endswith("\ufffd"):  # mid-codepoint: wait for more
+                    continue
+                delta, cut = full[len(sent):], None
+                probe = sent + delta
+                for ss in stop:
+                    i = probe.find(ss)
+                    if i >= 0:
+                        cut = i
+                if cut is not None:
+                    delta = probe[:cut][len(sent):]
+                if delta:
+                    chunk = {"object": "text_completion.chunk",
+                             "choices": [{"text": delta, "index": 0}]}
+                    self.wfile.write(f"data: {json.dumps(chunk)}\n\n".encode())
+                    self.wfile.flush()
+                    sent += delta
+                if cut is not None:
+                    break
+            self.wfile.write(b"data: [DONE]\n\n")
+            self.wfile.flush()
 
     return Handler
 
