@@ -103,6 +103,57 @@ class ContinuousFrontend:
         return done
 
 
+class SpeculativeFrontend:
+    """Single-stream speculative-decoding scheduler (--engine sd).
+
+    The latency-optimized path: suffix-automaton drafts + one verify
+    forward per window (greedy, like the reference's demo_qwen_sd) —
+    requests run sequentially, each at SD speed.  Exports the acceptance
+    rate as `mllm_sd_acceptance`."""
+
+    def __init__(self, model, tok, cfg, max_len=2048, max_draft=8):
+        from mllm_tpu.utils.metrics import GLOBAL, GenerationMetrics
+
+        self.model = model
+        self.tok = tok
+        self.cfg = cfg
+        self.max_len = max_len
+        self.max_draft = max_draft
+        self.metrics = GLOBAL
+        self.genmetrics = GenerationMetrics(GLOBAL)
+        self._lock = threading.Lock()
+
+    def _run(self, prompt_ids, max_tokens, cb=None):
+        from mllm_tpu.generation.speculative import speculative_generate
+
+        t0 = time.perf_counter()
+        with self._lock:  # one stream at a time (latency mode)
+            cache = self.model.init_cache(1, self.max_len, jnp.bfloat16)
+            toks, _, stats = speculative_generate(
+                self.model, np.asarray(prompt_ids, np.int32)[None],
+                cache, max_tokens, max_draft=self.max_draft, callback=cb)
+        dt = time.perf_counter() - t0
+        self.metrics.set("mllm_sd_acceptance", round(float(stats.acceptance), 4))
+        self.genmetrics.record(len(prompt_ids), len(toks), dt, dt)
+        return toks
+
+    def submit(self, prompt_ids, max_tokens, sampling=None):
+        done: queue.Queue = queue.Queue()
+        threading.Thread(target=lambda: done.put(self._run(prompt_ids, max_tokens)),
+                         daemon=True).start()
+        return done
+
+    def submit_stream(self, prompt_ids, max_tokens, sampling=None):
+        q: queue.Queue = queue.Queue()
+
+        def run():
+            self._run(prompt_ids, max_tokens, cb=q.put)
+            q.put(None)
+
+        threading.Thread(target=run, daemon=True).start()
+        return q
+
+
 class Engine:
     """Background batching loop: collects requests, runs ragged batches."""
 
@@ -330,7 +381,11 @@ def main():
     ap.add_argument("-q", "--quant", choices=["int8", "int4"], default=None)
     ap.add_argument("--batch-window-ms", type=int, default=30)
     ap.add_argument("--max-batch", type=int, default=8)
-    ap.add_argument("--engine", choices=["continuous", "window"], default="continuous")
+    ap.add_argument("--engine", choices=["continuous", "window", "sd"],
+                    default="continuous",
+                    help="continuous = slot batching (throughput); window = "
+                         "lockstep micro-batching; sd = single-stream "
+                         "speculative decoding (latency)")
     ap.add_argument("--kv", choices=["bf16", "int8", "int4"], default="bf16",
                     help="serving KV cache dtype (int8 = 2x context per chip, "
                          "int4 = 4x; fused quant decode kernels)")
@@ -359,7 +414,9 @@ def main():
         cfg = model.cfg.text
     else:
         model, tok, cfg = auto_model(args.model, dtype=jnp.bfloat16, quant=args.quant)
-    if args.engine == "continuous":
+    if args.engine == "sd":
+        engine = SpeculativeFrontend(model, tok, cfg, args.limits)
+    elif args.engine == "continuous":
         engine = ContinuousFrontend(model, tok, cfg, args.limits, args.max_batch,
                                     kv_dtype=args.kv, prefix_cache=args.prefix_cache,
                                     image_size=args.image_size or None)
