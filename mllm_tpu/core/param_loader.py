@@ -322,3 +322,89 @@ def write_vocab(path: str | os.PathLike, tokens: list[str], scores=None):
             f.write(struct.pack("<ii", i, len(tb)))
             f.write(tb)
             f.write(struct.pack("<f", scores[i] if scores else 0.0))
+
+
+def save_safetensors_model(out_dir: str, model, src_dir: str = None,
+                           names=None) -> str:
+    """Write a CausalLM back to an HF-style checkpoint directory.
+
+    The inverse of `load_causal_lm` for the standard dense layout
+    (q/k/v/o + gate/up/down + norms) — the reference only READS weights
+    (ParamLoader.cpp); this closes the fine-tune -> redeploy loop: the
+    output directory loads with `auto_model` (and transformers).  Copies
+    config.json / tokenizer files from `src_dir` when given.  Fused or
+    quantized projections must be unfused/dequantized first."""
+    import json
+    import shutil
+
+    from safetensors.numpy import save_file
+
+    from ..models.loading import NameMap
+
+    nm = names or NameMap()
+    if getattr(model, "stacked_blocks", None) is not None:
+        model = model.unstack()
+    t = {}
+
+    def put(name, arr):
+        if arr is not None:
+            t[name] = np.ascontiguousarray(np.asarray(arr, np.float32))
+
+    def put_linear(prefix, lin):
+        if lin is None:
+            return
+        if type(lin).__name__ != "Linear":
+            raise ValueError(
+                f"save_safetensors_model: {prefix} is {type(lin).__name__}; "
+                "merge/unfuse/dequantize before saving")
+        put(prefix + ".weight", lin.weight)
+        put(prefix + ".bias", lin.bias)
+
+    def put_norm(name, norm):
+        if norm is None:
+            return
+        base = name[: -len(".weight")] if name.endswith(".weight") else name
+        put(base + ".weight", norm.weight)
+        if getattr(norm, "bias", None) is not None:
+            put(base + ".bias", norm.bias)
+
+    put(nm.token_embd, model.embed_tokens.weight)
+    put_norm(nm.final_norm, model.norm)
+    if model.lm_head is not None:
+        put_linear(nm.lm_head[: -len(".weight")], model.lm_head)
+    for i, blk in enumerate(model.blocks):
+        p = nm.blk.format(i=i)
+        a = blk.attn
+        if a.qkv_proj is not None:
+            raise ValueError("save_safetensors_model: unfuse qkv_proj first")
+        put_linear(p + nm.attn_q, a.q_proj)
+        put_linear(p + nm.attn_k, a.k_proj)
+        put_linear(p + nm.attn_v, a.v_proj)
+        put_linear(p + nm.attn_o, a.o_proj)
+        if a.q_norm is not None:
+            put_norm(p + nm.q_norm, a.q_norm)
+            put_norm(p + nm.k_norm, a.k_norm)
+        m = blk.mlp
+        if type(m).__name__ != "MLP":
+            raise ValueError(f"save_safetensors_model: layer {i} mlp is "
+                             f"{type(m).__name__} (dense MLP only)")
+        if m.gateup_proj is not None:
+            raise ValueError("save_safetensors_model: unfuse gateup_proj first")
+        put_linear(p + nm.gate, m.gate_proj)
+        put_linear(p + nm.up, m.up_proj)
+        put_linear(p + nm.down, m.down_proj)
+        put_norm(p + nm.attn_norm, blk.input_norm)
+        put_norm(p + nm.ffn_norm, blk.post_attn_norm)
+        put_norm(p + nm.pre_ffn_norm, blk.pre_ffn_norm)
+        put_norm(p + nm.post_ffn_norm, blk.post_ffn_norm)
+
+    os.makedirs(out_dir, exist_ok=True)
+    save_file(t, os.path.join(out_dir, "model.safetensors"),
+              metadata={"format": "np"})
+    if src_dir:
+        for f in ("config.json", "generation_config.json", "tokenizer.json",
+                  "tokenizer_config.json", "vocab.json", "merges.txt"):
+            s = os.path.join(src_dir, f)
+            if os.path.exists(s):
+                shutil.copy(s, os.path.join(out_dir, f))
+    return out_dir
