@@ -462,3 +462,37 @@ def test_hybrid_mesh_and_host_batch(cpu8):
 
     with pytest.raises(ValueError):
         hybrid_mesh(ici={"tp": 16}, dcn={"dp": 2})
+
+
+def test_sharded_lora_finetune(cpu8):
+    """Distributed fine-tuning: LoRA adapters on a dp x tp sharded model —
+    the optax train step runs under the mesh with GSPMD inserting the
+    grad/activation collectives; only adapter leaves move."""
+    import optax
+
+    from mllm_tpu.parallel.sharding import make_mesh, shard_model
+    from mllm_tpu.training import (TrainState, add_lora, lora_params_filter,
+                                   make_train_step)
+
+    model, cfg = _tiny()
+    lora = add_lora(model, jax.random.PRNGKey(9), rank=4)
+    mesh = make_mesh(dp=2, tp=4, devices=cpu8)
+    lora = shard_model(lora, mesh)
+    tx = optax.adamw(3e-3)
+    state = TrainState.create(lora, tx, trainable=lora_params_filter)
+    step = make_train_step(tx, trainable=lora_params_filter)
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(0, 128, (4, 8)), jnp.int32)
+    tgt = jnp.roll(ids, -1, axis=1)
+    # no set_mesh context: shardings propagate from the explicit param
+    # NamedShardings (the context-mesh sharding-recovery path trips a JAX
+    # internal KeyError on the rank-4 adapter outputs)
+    l0 = float(lora.loss(ids, tgt))
+    for _ in range(4):
+        state, loss = step(state, ids, tgt)
+    assert float(loss) < l0
+    # frozen base still sharded AND unchanged
+    w = state.model.blocks[0].attn.q_proj.weight
+    assert "tp" in str(w.sharding.spec)
+    np.testing.assert_array_equal(
+        np.asarray(w), np.asarray(lora.blocks[0].attn.q_proj.weight))
