@@ -368,13 +368,17 @@ class CausalLM(Module):
         return out
 
     def hidden_states(self, input_ids, cache: Optional[KVCache], inputs_embeds=None,
-                      pad_lens=None, ring=None):
+                      pad_lens=None, ring=None, remat=False):
         """Run the trunk; returns (hidden [B,S,D], cache with pos advanced).
 
         pad_lens: [B] number of left-pad tokens per sequence (ragged batching);
         rope positions shift back by pad_lens and the pad prefix is masked.
         ring: (mesh, axis) — cacheless sequence-parallel trunk via ring
         attention (mllm_tpu/parallel/ring_attention.py).
+        remat: rematerialize per-block activations in the backward pass
+        (`jax.checkpoint`) — training memory drops from O(layers x S x D)
+        activations to O(1 block) at ~1/3 extra FLOPs (the standard TPU
+        HBM-for-FLOPs trade; cacheless/training paths only).
         """
         x = inputs_embeds if inputs_embeds is not None else self.embed_tokens(input_ids)
         if self.cfg.embedding_multiplier != 1.0:
@@ -401,23 +405,40 @@ class CausalLM(Module):
                 (x, cache), _ = jax.lax.scan(body, (x, cache),
                                              (stacked, jnp.arange(n, dtype=jnp.int32)))
             else:
+                def blk_fn(xc, blk, idx):
+                    out, _ = blk(xc, self.rope, None, positions, kv_start=kv_start,
+                                 layer_idx=idx, ring=ring)
+                    return out
+
+                if remat:
+                    blk_fn = jax.checkpoint(blk_fn)
+
                 def body(carry, inp):
                     blk, idx = inp
-                    xc, _ = blk(carry, self.rope, None, positions, kv_start=kv_start,
-                                layer_idx=idx, ring=ring)
-                    return xc, None
+                    return blk_fn(carry, blk, idx), None
                 x, _ = jax.lax.scan(body, x, (stacked, jnp.arange(n, dtype=jnp.int32)))
         else:
+            def blk_fn2(xc, blk):
+                out, _ = blk(xc, self.rope, None, positions, kv_start=kv_start,
+                             ring=ring)
+                return out
+
+            if remat and cache is None:
+                blk_fn2 = jax.checkpoint(blk_fn2)
             for blk in self.blocks:
-                x, cache = blk(x, self.rope, cache, positions, kv_start=kv_start,
-                               ring=ring)
+                if cache is None:
+                    x = blk_fn2(x, blk)
+                else:
+                    x, cache = blk(x, self.rope, cache, positions,
+                                   kv_start=kv_start, ring=ring)
         x = self.norm(x)
         return x, (cache.advance(s) if cache is not None else None)
 
-    def loss(self, input_ids, targets, mask=None, ring=None):
+    def loss(self, input_ids, targets, mask=None, ring=None, remat=False):
         """Next-token cross-entropy (cacheless forward) — the training path.
-        ring: (mesh, axis) runs the trunk with sequence-parallel ring attention."""
-        hidden, _ = self.hidden_states(input_ids, None, ring=ring)
+        ring: (mesh, axis) runs the trunk with sequence-parallel ring attention.
+        remat: per-block activation rematerialization (see hidden_states)."""
+        hidden, _ = self.hidden_states(input_ids, None, ring=ring, remat=remat)
         logits = self.logits(hidden)  # [B, S, V] f32
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]

@@ -127,3 +127,23 @@ def test_save_safetensors_roundtrip(tmp_path):
     want, _ = merged(ids, merged.init_cache(2, 32, jnp.float32), last_only=False)
     got, _ = reloaded(ids, reloaded.init_cache(2, 32, jnp.float32), last_only=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_remat_grads_match():
+    """jax.checkpoint rematerialization: identical loss AND gradients on
+    both the unrolled and lax.scan-stacked trunks (memory-for-FLOPs trade
+    must not change the math)."""
+    model = _tiny()
+    ids, tgt = _batch(5)
+
+    def g(m, remat):
+        return jax.grad(lambda mm: mm.loss(ids, tgt, remat=remat))(m)
+
+    for m in (model, model.stack()):
+        l0 = float(m.loss(ids, tgt))
+        l1 = float(m.loss(ids, tgt, remat=True))
+        np.testing.assert_allclose(l0, l1, rtol=1e-6)
+        g0, g1 = g(m, False), g(m, True)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
