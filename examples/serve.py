@@ -405,7 +405,7 @@ def main():
 
     with open(os.path.join(args.model, "config.json")) as f:
         _mt = _json.load(f).get("model_type", "")
-    if _mt == "qwen2_vl":  # flagship multimodal serving
+    if _mt in ("qwen2_vl", "qwen2_5_vl"):  # flagship multimodal serving
         from mllm_tpu.models.registry import auto_model_any
         from mllm_tpu.tokenizers.hf_json import auto_tokenizer
 

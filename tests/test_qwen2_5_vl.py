@@ -78,3 +78,44 @@ def test_e2e_logits_parity(tiny_vl25):
     logits, _ = ours(jnp.asarray(ids, jnp.int32), cache, patches=jnp.asarray(patches),
                      grid_thw=grid, positions=jnp.asarray(pos[:, None, :]), last_only=False)
     np.testing.assert_allclose(np.asarray(logits), out, rtol=3e-3, atol=3e-3)
+
+
+def test_vl25_continuous_engine_serving(tiny_vl25):
+    """Qwen2.5-VL (windowed vision tower) serves through the continuous
+    engine exactly like Qwen2-VL: token-exact vs the offline greedy path."""
+    import jax
+    from mllm_tpu.generation.engine import ContinuousEngine, collect
+    from mllm_tpu.models.qwen2_vl import get_rope_index
+    from mllm_tpu.processor.qwen2_vl import Qwen2VLProcessorOutput
+
+    hf, d = tiny_vl25
+    ours, _ = _ours(d)
+    rng = np.random.default_rng(4)
+    grid = (1, 4, 4)
+    patches = rng.standard_normal((16, 3 * 2 * 14 * 14)).astype(np.float32)
+    ids = np.array([[10, 20, 151652] + [IMG] * 4 + [30, 40, 50]], np.int64)
+    pos, delta = get_rope_index(ids[0], [grid], IMG, 151656, 2)
+
+    cache = ours.init_cache(1, 64, jnp.float32)
+    logits, cache = ours(jnp.asarray(ids, jnp.int32), cache,
+                         patches=jnp.asarray(patches), grid_thw=grid,
+                         positions=jnp.asarray(pos[:, None, :]), last_only=True)
+    want = []
+    next_pos = ids.shape[1] + delta
+    for i in range(4):
+        t = int(np.argmax(np.asarray(logits)[0, 0]))
+        want.append(t)
+        p = np.full((3, 1, 1), next_pos + i, np.int32)
+        logits, cache = ours(jnp.asarray([[t]], jnp.int32), cache,
+                             positions=jnp.asarray(p), last_only=True)
+
+    eng = ContinuousEngine(ours, slots=2, max_len=64, prompt_bucket=16,
+                           kv_dtype=jnp.float32, start_thread=False,
+                           eos_token_id=-7)
+    proc_out = Qwen2VLProcessorOutput(
+        input_ids=ids.astype(np.int32), patches=patches, grid_thw=grid,
+        position_ids=pos[:, None, :], mrope_delta=delta)
+    q = eng.submit_vl(proc_out, 4)
+    for _ in range(8):
+        eng.step()
+    assert collect(q, timeout=5) == want
