@@ -224,3 +224,37 @@ def test_engine_prefix_cache_quant_kv():
     assert a1 == a0
     assert b1 == b0
     assert eng.prefix_hits == 1 and eng.prefix_tokens_reused == 16
+
+
+def test_engine_stress_randomized_load():
+    """Randomized serving load: 12 greedy requests with random lengths and
+    budgets, submitted at random times over 3 slots with prefix caching on
+    — every stream must be token-exact vs its single-stream run."""
+    model, cfg = _tiny()
+    rng = np.random.default_rng(13)
+    shared = rng.integers(0, 97, 20).astype(np.int32)  # some share a prefix
+    prompts, budgets = [], []
+    for i in range(12):
+        if i % 3 == 0:
+            p = np.concatenate([shared, rng.integers(0, 97, rng.integers(1, 6))])
+        else:
+            p = rng.integers(0, 97, rng.integers(2, 30))
+        prompts.append(p.astype(np.int32))
+        budgets.append(int(rng.integers(1, 10)))
+    want = [_single_stream(model, p, b) for p, b in zip(prompts, budgets)]
+
+    eng = ContinuousEngine(model, slots=3, max_len=64, prompt_bucket=16,
+                           kv_dtype=jnp.float32, start_thread=False,
+                           prefix_cache=4, decode_window=4, pipeline=True)
+    qs, nxt = [], 0
+    for step in range(200):
+        if nxt < len(prompts) and rng.random() < 0.5:
+            qs.append(eng.submit(prompts[nxt], budgets[nxt]))
+            nxt += 1
+        eng.step()
+        if nxt == len(prompts) and all(r is None for r in eng.req) \
+                and eng._inflight is None and eng.pending.empty():
+            break
+    got = [collect(q, timeout=5) for q in qs]
+    assert got == want
+    assert eng.prefix_hits >= 2  # the shared-prefix group actually reused
