@@ -35,7 +35,7 @@ class ContinuousFrontend:
     """Adapter: ContinuousEngine scheduling + serving metrics."""
 
     def __init__(self, model, tok, cfg, max_len=2048, max_batch=8, kv_dtype="bf16",
-                 prefix_cache=0, image_size=None):
+                 prefix_cache=0, image_size=None, paged=0):
         from mllm_tpu.generation.engine import ContinuousEngine, collect
         from mllm_tpu.utils.metrics import GLOBAL, GenerationMetrics
 
@@ -46,7 +46,8 @@ class ContinuousFrontend:
         self._collect = collect
         self.engine = ContinuousEngine(model, slots=max_batch, max_len=max_len,
                                        eos_token_id=getattr(tok, "eos_token_id", None),
-                                       kv_dtype=kv_dtype, prefix_cache=prefix_cache)
+                                       kv_dtype=kv_dtype, prefix_cache=prefix_cache,
+                                       paged=paged)
         self.vl_proc = None
         if hasattr(model, "visual"):  # Qwen2-VL: accept image requests
             from mllm_tpu.processor.image import Qwen2VLImageProcessor
@@ -389,6 +390,11 @@ def main():
     ap.add_argument("--kv", choices=["bf16", "int8", "int4"], default="bf16",
                     help="serving KV cache dtype (int8 = 2x context per chip, "
                          "int4 = 4x; fused quant decode kernels)")
+    ap.add_argument("--paged", type=int, default=0, metavar="BLOCKS",
+                    help="paged KV cache: reserve 128-token blocks per request "
+                         "from a BLOCKS-sized pool instead of max_len per slot "
+                         "(vLLM-style; short requests stop paying for long "
+                         "contexts). 0 = dense per-slot cache")
     ap.add_argument("--image-size", type=int, default=448, metavar="PX",
                     help="resize served images to PX x PX (multiple of 28; one "
                          "compiled vision program for all requests; 0 = "
@@ -419,7 +425,8 @@ def main():
     elif args.engine == "continuous":
         engine = ContinuousFrontend(model, tok, cfg, args.limits, args.max_batch,
                                     kv_dtype=args.kv, prefix_cache=args.prefix_cache,
-                                    image_size=args.image_size or None)
+                                    image_size=args.image_size or None,
+                                    paged=args.paged)
     else:
         engine = Engine(model, tok, cfg, args.limits, args.batch_window_ms, args.max_batch)
     server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(engine))

@@ -293,7 +293,7 @@ class ContinuousEngine:
                  prompt_bucket: int = 128, eos_token_id=None,
                  kv_dtype=jnp.bfloat16, start_thread: bool = True,
                  decode_window: int = 8, pipeline: bool = False,
-                 prefix_cache: int = 0):
+                 prefix_cache: int = 0, paged: int = 0):
         cfg = getattr(model.cfg, "text", model.cfg)  # VL models nest the LM config
         self.model = model
         self.slots = slots
@@ -303,7 +303,26 @@ class ContinuousEngine:
         # per window; admission happens between windows).  1 = the old
         # step-per-token behavior.
         self.window = max(1, decode_window)
-        if kv_dtype in ("int8", "q8", "int4", "q4"):
+        # paged (block-table) KV: blocks reserved per request from a shared
+        # pool instead of max_len per slot — vLLM-style capacity elasticity
+        self._free_blocks: list = []
+        self._slot_blocks: list = [[] for _ in range(slots)]
+        # two-phase quarantine: a retired slot's blocks survive TWO drains
+        # before reuse (a pipelined window dispatched before its table row
+        # was cleared may still write them; retired slots keep appending
+        # garbage at their advancing heads until the -1 row drops the writes)
+        self._deferred_free: list = []
+        self._free_pending: list = []
+        if paged > 0:
+            from ..kv.cache import PagedKVCache
+
+            self.cache = PagedKVCache.init(
+                cfg.num_hidden_layers, slots, max_len, cfg.num_key_value_heads,
+                cfg.head_dim_,
+                jnp.bfloat16 if kv_dtype in ("bf16", "bfloat16") else kv_dtype,
+                n_blocks=paged)
+            self._free_blocks = list(range(self.cache.n_blocks))
+        elif kv_dtype in ("int8", "q8", "int4", "q4"):
             # quantized serving cache: 2x (int8) / 4x (int4) context per chip,
             # decode streams through the fused quant attention kernel
             from ..kv.cache import SlotQuantKVCache
@@ -390,6 +409,50 @@ class ContinuousEngine:
                 return i
         return None
 
+    def _paged_reserve(self, slot: int, n: int, max_tokens: int, bucket: int) -> bool:
+        """Reserve this request's blocks in table[slot] (False = pool full).
+        Upfront reservation (prompt + full budget) means decode never
+        allocates mid-flight — the write path stays one compiled program."""
+        from ..kv.cache import PagedKVCache
+
+        if not isinstance(self.cache, PagedKVCache):
+            return True
+        bs = PagedKVCache.BS
+        need = max(-(-(n + max_tokens) // bs), bucket // bs)
+        need = min(need, self.cache.table.shape[1])
+        if len(self._free_blocks) < need:
+            return False
+        # previous tenant's blocks go to the deferred pool (an in-flight
+        # pipelined window may still write through the old table snapshot)
+        self._deferred_free.extend(self._slot_blocks[slot])
+        self._slot_blocks[slot] = [self._free_blocks.pop() for _ in range(need)]
+        tbl = np.array(self.cache.table)  # writable copy
+        row = np.full(tbl.shape[1], -1, np.int32)
+        row[: need] = self._slot_blocks[slot]
+        tbl[slot] = row
+        self.cache = self.cache.with_tables(tbl)
+        return True
+
+    def _paged_release(self):
+        """Advance the free quarantine one drain: pending -> free,
+        deferred -> pending.  Two drains after a table-row clear, every
+        program dispatched with the old table has retired."""
+        self._free_blocks.extend(self._free_pending)
+        self._free_pending = self._deferred_free
+        self._deferred_free = []
+
+    def _paged_retire(self, slot: int):
+        """Request finished: quarantine its blocks and clear the table row
+        so the slot's zombie decode writes (pos keeps advancing until
+        re-tenancy) drop instead of corrupting reused blocks."""
+        if not self._slot_blocks[slot]:
+            return
+        self._deferred_free.extend(self._slot_blocks[slot])
+        self._slot_blocks[slot] = []
+        tbl = np.array(self.cache.table)
+        tbl[slot] = -1
+        self.cache = self.cache.with_tables(tbl)
+
     def _prefix_match(self, ids: np.ndarray) -> int:
         """Bucket-aligned reusable prefix length for `ids` (0 = no hit)."""
         if self._pcache is None:
@@ -408,6 +471,8 @@ class ContinuousEngine:
         n = len(r.ids)
         bucket = -(-max(n, 1) // self.bucket) * self.bucket
         bucket = min(bucket, self.max_len)
+        if not self._paged_reserve(slot, n, r.max_tokens, bucket):
+            return False
         s = r.sampling
         temp = jnp.asarray(s.temperature if s.do_sample else 0.0, jnp.float32)
         topk = jnp.asarray(s.top_k if s.do_sample else 0, jnp.int32)
@@ -437,6 +502,7 @@ class ContinuousEngine:
         self.emitted[slot] = 0
         self._first[slot] = tok
         self._gen[slot] += 1
+        return True
 
     def _admit_vl(self, slot: int, r: _Request):
         """Vision admission: one program encodes the image(s), splices, and
@@ -445,6 +511,8 @@ class ContinuousEngine:
         n = len(r.ids)
         bucket = -(-max(n, 1) // self.bucket) * self.bucket
         bucket = min(bucket, self.max_len)
+        if not self._paged_reserve(slot, n, r.max_tokens, bucket):
+            return False
         ids = np.zeros((1, bucket), np.int32)
         ids[0, :n] = r.ids
         pos = np.zeros((3, 1, bucket), np.int32)
@@ -465,6 +533,7 @@ class ContinuousEngine:
         self.emitted[slot] = 0
         self._first[slot] = tok
         self._gen[slot] += 1
+        return True
 
     def _admit_many(self, batch):
         """Admit several bucket-sized requests in ONE batched program."""
@@ -510,6 +579,7 @@ class ContinuousEngine:
         if tok in self.eos or self.emitted[slot] >= r.max_tokens:
             r.out.put(None)  # finished sentinel
             self.req[slot] = None
+            self._paged_retire(slot)
 
     def _drain(self, out, firsts, gens):
         """Fetch + emit one window's tokens (the only host round-trip).
@@ -538,10 +608,16 @@ class ContinuousEngine:
                     break
                 self.cur[slot] = tok
                 self._emit(slot, tok)
+        self._paged_release()  # this drain proves the prior window retired
 
     def step(self) -> bool:
         """One scheduler iteration; returns True if any work was done."""
         worked = False
+        if self._inflight is None and all(r is None for r in self.req):
+            # no dispatched program outstanding: the whole quarantine is
+            # safe to release (otherwise it only advances on drains)
+            self._paged_release()
+            self._paged_release()
         batch = []
         while True:
             slot = self._free_slot()
@@ -552,12 +628,20 @@ class ContinuousEngine:
             except queue.Empty:
                 break
             if r.vl is not None:  # multimodal: vision-prefill program
-                self._admit_vl(slot, r)
+                if not self._admit_vl(slot, r):
+                    self.pending.put(r)  # pool full: retry next step
+                    break
             elif len(r.ids) <= self.bucket and self._prefix_match(r.ids) == 0:
+                if not self._paged_reserve(slot, len(r.ids), r.max_tokens,
+                                           self.bucket):
+                    self.pending.put(r)
+                    break
                 self.req[slot] = r  # reserve; installed by _admit_many below
                 batch.append((slot, r))
             else:  # multi-bucket prompt or prefix-cache hit: per-request program
-                self._admit(slot, r)
+                if not self._admit(slot, r):
+                    self.pending.put(r)
+                    break
             worked = True
         if batch:
             self._admit_many(batch)

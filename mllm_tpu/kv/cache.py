@@ -404,6 +404,150 @@ class Quant4KVCache(Module):
         return Quant4KVCache(k, v, ks, vs, jnp.asarray(draft_start + n_accept, jnp.int32))
 
 
+class PagedKVCache(Module):
+    """Paged (block-table) continuous-batching cache — vLLM-style
+    PagedAttention realized TPU-natively.
+
+    K/V live in a shared physical pool of BS-token blocks; each slot maps
+    logical block i -> physical block via its table row.  HBM is allocated
+    by DEMAND (ceil((prompt+budget)/BS) blocks per request, reserved at
+    admission by the engine's free-list) instead of max_len x slots — short
+    requests stop paying for the longest request's context.  Static shapes
+    throughout: the pool, tables, and per-slot heads never change shape, so
+    the decode program never recompiles.
+
+    k, v:   [L, NB, H_kv, BS, D]   physical pool
+    table:  [B, MAXB] int32        physical block per logical block (-1 free)
+    pos:    [B] int32              per-slot write heads (token positions)
+
+    BS = 128 matches the fused decode kernel's DMA chunk, so the paged
+    kernel streams one block per grid step with the same double-buffered
+    pipeline as the dense kernel (ops/decode_attention.py).  No reference
+    counterpart (single-sequence ring cache, op/CPUKVCache.cpp).
+    """
+
+    BS = 128
+
+    def __init__(self, k, v, table, pos):
+        self.k = k
+        self.v = v
+        self.table = table
+        self.pos = pos
+
+    @staticmethod
+    def init(n_layers: int, batch: int, max_len: int, n_kv_heads: int,
+             head_dim: int, dtype=jnp.bfloat16, n_blocks: int = 0) -> "PagedKVCache":
+        """max_len: per-slot LOGICAL capacity (table width = max_len/BS).
+        n_blocks: physical pool size; default = half of batch*max_len/BS
+        (the capacity win vs a dense SlotKVCache)."""
+        bs = PagedKVCache.BS
+        max_len = -(-max_len // bs) * bs
+        maxb = max_len // bs
+        if n_blocks <= 0:
+            n_blocks = max(batch * maxb // 2, maxb)
+        shape = (n_layers, n_blocks, n_kv_heads, bs, head_dim)
+        return PagedKVCache(
+            jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+            jnp.full((batch, maxb), -1, jnp.int32),
+            jnp.zeros((batch,), jnp.int32))
+
+    @property
+    def max_len(self) -> int:
+        return self.table.shape[1] * self.BS
+
+    @property
+    def n_layers(self) -> int:
+        return self.k.shape[0]
+
+    @property
+    def n_blocks(self) -> int:
+        return self.k.shape[1]
+
+    def _phys(self, logical):
+        """[B] physical block of each slot's `logical` block; unallocated ->
+        n_blocks (dropped by scatter mode='drop')."""
+        p = jnp.take_along_axis(self.table, logical[:, None], axis=1)[:, 0]
+        return jnp.where(p < 0, self.n_blocks, p)
+
+    def update_layer(self, layer: int, k_new: jax.Array, v_new: jax.Array) -> "PagedKVCache":
+        """Decode append: k_new/v_new [B, 1, H_kv, D] at each slot's head."""
+        phys = self._phys(self.pos // self.BS)
+        row = self.pos % self.BS
+        kn = k_new[:, 0].astype(self.k.dtype)  # [B, H, D]
+        vn = v_new[:, 0].astype(self.v.dtype)
+        k = self.k.at[layer, phys, :, row, :].set(kn, mode="drop")
+        v = self.v.at[layer, phys, :, row, :].set(vn, mode="drop")
+        return PagedKVCache(k, v, self.table, self.pos)
+
+    def layer(self, layer: int):
+        """Gathered dense view [B, H, MAXB*BS, D] (XLA fallback path; the
+        TPU decode path streams blocks directly via the paged kernel)."""
+        b, maxb = self.table.shape
+        idx = jnp.clip(self.table, 0, self.n_blocks - 1)  # [B, MAXB]
+        g = self.k[layer][idx]  # [B, MAXB, H, BS, D]
+        gv = self.v[layer][idx]
+        h, d = g.shape[2], g.shape[4]
+        k = jnp.transpose(g, (0, 2, 1, 3, 4)).reshape(b, h, maxb * self.BS, d)
+        v = jnp.transpose(gv, (0, 2, 1, 3, 4)).reshape(b, h, maxb * self.BS, d)
+        return k, v
+
+    def advance(self, n) -> "PagedKVCache":
+        return PagedKVCache(self.k, self.v, self.table, self.pos + jnp.asarray(n, jnp.int32))
+
+    def make_prefill_cache(self, batch: int, bucket: int, n_layers: int,
+                           n_kv_heads: int, head_dim: int) -> "KVCache":
+        return KVCache.init(n_layers, batch, bucket, n_kv_heads, head_dim, self.k.dtype)
+
+    def admit(self, slot, small: "KVCache", true_len) -> "PagedKVCache":
+        """Scatter a prefilled contiguous small cache into this slot's
+        blocks (the engine reserved them in `table[slot]` before admit)."""
+        l, _, h, bucket, d = small.k.shape
+        if bucket % self.BS:  # admission buckets smaller than a block: pad up
+            pad = -bucket % self.BS
+            small = KVCache(jnp.pad(small.k, ((0, 0),) * 3 + ((0, pad), (0, 0))),
+                            jnp.pad(small.v, ((0, 0),) * 3 + ((0, pad), (0, 0))),
+                            small.pos)
+            bucket += pad
+        nbk = bucket // self.BS
+        row = jax.lax.dynamic_slice_in_dim(self.table, slot, 1, axis=0)[0]  # [MAXB]
+        phys = jnp.where(row[:nbk] < 0, self.n_blocks, row[:nbk])  # [nbk]
+        ks = jnp.transpose(small.k[:, 0].reshape(l, h, nbk, self.BS, d),
+                           (0, 2, 1, 3, 4))  # [L, nbk, H, BS, D]
+        vs = jnp.transpose(small.v[:, 0].reshape(l, h, nbk, self.BS, d),
+                           (0, 2, 1, 3, 4))
+        k = self.k.at[:, phys].set(ks.astype(self.k.dtype), mode="drop")
+        v = self.v.at[:, phys].set(vs.astype(self.v.dtype), mode="drop")
+        pos = self.pos.at[slot].set(jnp.asarray(true_len, jnp.int32))
+        return PagedKVCache(k, v, self.table, pos)
+
+    def admit_batch(self, slot_ids, small: "KVCache", true_lens, bucket: int) -> "PagedKVCache":
+        """Scatter-install A prefilled sequences into their slots' blocks."""
+        l, a, h, _, d = small.k.shape
+        if bucket % self.BS:
+            pad = -bucket % self.BS
+            small = KVCache(jnp.pad(small.k, ((0, 0),) * 3 + ((0, pad), (0, 0))),
+                            jnp.pad(small.v, ((0, 0),) * 3 + ((0, pad), (0, 0))),
+                            small.pos)
+            bucket += pad
+        nbk = bucket // self.BS
+        rows = self.table.at[jnp.clip(slot_ids, 0, self.table.shape[0] - 1)].get()
+        phys = jnp.where(rows[:, :nbk] < 0, self.n_blocks, rows[:, :nbk])  # [A, nbk]
+        pad = slot_ids >= self.table.shape[0]
+        phys = jnp.where(pad[:, None], self.n_blocks, phys)
+        ks = jnp.transpose(small.k[:, :, :, :bucket].reshape(l, a, h, nbk, self.BS, d),
+                           (0, 1, 3, 2, 4, 5))  # [L, A, nbk, H, BS, D]
+        vs = jnp.transpose(small.v[:, :, :, :bucket].reshape(l, a, h, nbk, self.BS, d),
+                           (0, 1, 3, 2, 4, 5))
+        k = self.k.at[:, phys].set(ks.astype(self.k.dtype), mode="drop")
+        v = self.v.at[:, phys].set(vs.astype(self.v.dtype), mode="drop")
+        pos = self.pos.at[slot_ids].set(true_lens, mode="drop")
+        return PagedKVCache(k, v, self.table, pos)
+
+    def with_tables(self, table: np.ndarray) -> "PagedKVCache":
+        """Host-side allocator update (eager, between programs)."""
+        return PagedKVCache(self.k, self.v, jnp.asarray(table, jnp.int32), self.pos)
+
+
 class SlotQuantKVCache(Module):
     """Continuous-batching cache with quantized K/V (int8 or int4 packed).
 

@@ -129,9 +129,19 @@ def attend_from_cache(
     through the fused quant kernel (the SageAttention-KVQ8 counterpart) —
     never materializing a dequantized max_len cache.  Everything else
     dequantizes the layer once and takes the standard `attend` dispatch."""
-    from ..kv.cache import Quant4KVCache, QuantKVCache, SlotQuantKVCache
+    from ..kv.cache import PagedKVCache, Quant4KVCache, QuantKVCache, SlotQuantKVCache
     from ..utils.runtime import on_tpu as _on_tpu
 
+    if isinstance(cache, PagedKVCache):
+        sq, d = q.shape[1], q.shape[3]
+        if (_on_tpu() and sq == 1 and d % 128 == 0 and bias is None
+                and logit_softcap is None and kv_start is None):
+            from ..ops.decode_attention import decode_attention_paged
+
+            return decode_attention_paged(
+                q, cache.k[layer_idx], cache.v[layer_idx], cache.table,
+                kv_valid_len=kv_valid_len, scale=scale, window=window)
+        # fallback (CPU tests / odd shapes): gather a dense view per layer
     if isinstance(cache, (QuantKVCache, Quant4KVCache, SlotQuantKVCache)):
         sq, d = q.shape[1], q.shape[3]
         if (_on_tpu() and sq == 1 and d % 128 == 0 and cache.max_len % 128 == 0

@@ -371,3 +371,146 @@ def decode_attention(
     )(scalars, qg, k, v)
 
     return out.reshape(b, 1, h, d)
+
+
+def _decode_paged_kernel(
+    scalars_ref,  # SMEM (B + B*MAXB,) int32: [kv_valid_0..B-1, table row-major]
+    q_ref,  # VMEM (1, 1, G, D)
+    k_hbm,  # HBM  (NB, H_kv, BS, D) — physical block pool
+    v_hbm,  # HBM  (NB, H_kv, BS, D)
+    o_ref,  # VMEM (1, 1, G, D)
+    k_buf,  # scratch VMEM (2, BS, D)
+    v_buf,
+    sems,  # DMA semaphores (2, 2)
+    *,
+    scale: float,
+    window: Optional[int],
+    bs: int,
+    maxb: int,
+    n_b: int,
+    n_blocks: int,
+):
+    """Paged decode attention: logical block i of sequence bb streams from
+    physical pool block table[bb, i].  Same double-buffered DMA + online
+    softmax as `_decode_kernel`; the only change is the indirection on the
+    DMA source index (one SMEM lookup per block)."""
+    bb = pl.program_id(0)
+    hh = pl.program_id(1)
+    kv_valid = scalars_ref[bb]
+    n_log = pl.cdiv(kv_valid, bs)  # traced trip count (allocated prefix)
+    g, d = q_ref.shape[2], q_ref.shape[3]
+    q = q_ref[0, 0] * scale
+
+    def _phys(blk):
+        t = scalars_ref[n_b + bb * maxb + blk]
+        return jnp.clip(t, 0, n_blocks - 1)  # unallocated never reached
+
+    def k_dma(slot, blk):
+        return pltpu.make_async_copy(
+            k_hbm.at[_phys(blk), hh, :, :], k_buf.at[slot], sems.at[0, slot])
+
+    def v_dma(slot, blk):
+        return pltpu.make_async_copy(
+            v_hbm.at[_phys(blk), hh, :, :], v_buf.at[slot], sems.at[1, slot])
+
+    k_dma(0, 0).start()
+    v_dma(0, 0).start()
+
+    def body(i, carry):
+        m_prev, l_prev, acc = carry
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < n_log)
+        def _prefetch():
+            k_dma(nxt, i + 1).start()
+            v_dma(nxt, i + 1).start()
+
+        k_dma(slot, i).wait()
+        v_dma(slot, i).wait()
+
+        kb = k_buf[slot]  # (BS, D)
+        vb = v_buf[slot]
+        s = jax.lax.dot_general(
+            q.astype(kb.dtype), kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (G, BS)
+        k_pos = i * bs + jax.lax.broadcasted_iota(jnp.int32, (g, bs), 1)
+        ok = k_pos < kv_valid
+        if window is not None:
+            ok = jnp.logical_and(ok, k_pos > kv_valid - 1 - window)
+        s = jnp.where(ok, s, NEG_INF)
+
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc
+
+    m0 = jnp.full((g, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((g, 1), jnp.float32)
+    acc0 = jnp.zeros((g, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_log, body, (m0, l0, acc0))
+    l = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+
+
+def decode_attention_paged(
+    q: jax.Array,  # [B, 1, H, D]
+    k_pool: jax.Array,  # [NB, H_kv, BS, D]
+    v_pool: jax.Array,
+    table: jax.Array,  # [B, MAXB] int32 (-1 = unallocated)
+    *,
+    kv_valid_len=None,  # [B] per-slot valid lengths
+    scale: Optional[float] = None,
+    window: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """PagedAttention decode over the block pool (kv/cache.py PagedKVCache):
+    HBM traffic is exactly the ALLOCATED prefix of each sequence — early
+    exit at the valid length, indirection via the SMEM-resident table."""
+    b, sq, h, d = q.shape
+    assert sq == 1, "decode_attention_paged is single-token"
+    nb, hkv, bs, _ = k_pool.shape
+    maxb = table.shape[1]
+    g = h // hkv
+    if scale is None:
+        scale = d**-0.5
+    if kv_valid_len is None:
+        kv_valid_len = jnp.full((b,), maxb * bs, jnp.int32)
+    scalars = jnp.concatenate([
+        jnp.broadcast_to(jnp.asarray(kv_valid_len, jnp.int32), (b,)),
+        jnp.asarray(table, jnp.int32).reshape(b * maxb),
+    ])
+
+    qg = q.reshape(b, hkv, g, d)
+
+    kernel = functools.partial(
+        _decode_paged_kernel, scale=scale, window=window, bs=bs, maxb=maxb,
+        n_b=b, n_blocks=nb)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, hkv),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, g, d), lambda bb, hh: (bb, hh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, g, d), lambda bb, hh: (bb, hh, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, bs, d), k_pool.dtype),
+            pltpu.VMEM((2, bs, d), v_pool.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )(scalars, qg, k_pool, v_pool)
+
+    return out.reshape(b, 1, h, d)

@@ -258,3 +258,51 @@ def test_engine_stress_randomized_load():
     got = [collect(q, timeout=5) for q in qs]
     assert got == want
     assert eng.prefix_hits >= 2  # the shared-prefix group actually reused
+
+
+def test_paged_kv_cache_exactness():
+    """PagedKVCache (block tables over a shared pool) is token-exact vs the
+    dense SlotKVCache under interleaved serving, including prefix caching
+    and slot reuse through the block allocator."""
+    model, cfg = _tiny()
+    rng = np.random.default_rng(17)
+    prompts = [rng.integers(0, 97, rng.integers(2, 30)).astype(np.int32)
+               for _ in range(6)]
+    budgets = [int(rng.integers(2, 8)) for _ in range(6)]
+    want = [_single_stream(model, p, b) for p, b in zip(prompts, budgets)]
+
+    eng = ContinuousEngine(model, slots=2, max_len=64, prompt_bucket=16,
+                           kv_dtype=jnp.float32, start_thread=False,
+                           paged=64, decode_window=4)
+    from mllm_tpu.kv.cache import PagedKVCache
+
+    assert isinstance(eng.cache, PagedKVCache)
+    qs = [eng.submit(p, b) for p, b in zip(prompts, budgets)]
+    for _ in range(80):
+        eng.step()
+    got = [collect(q, timeout=5) for q in qs]
+    assert got == want
+
+
+def test_paged_pool_exhaustion_requeues():
+    """When the block pool is too small for all pending requests, admission
+    requeues instead of corrupting; everything completes as slots retire
+    and their blocks return to the pool."""
+    model, cfg = _tiny()
+    rng = np.random.default_rng(19)
+    prompts = [rng.integers(0, 97, 5).astype(np.int32) for _ in range(4)]
+    want = [_single_stream(model, p, 4) for p in prompts]
+    from mllm_tpu.kv.cache import PagedKVCache
+
+    # pool of 2 blocks: exactly ONE request in flight at a time
+    eng = ContinuousEngine(model, slots=2, max_len=2 * PagedKVCache.BS,
+                           prompt_bucket=16, kv_dtype=jnp.float32,
+                           start_thread=False, paged=2, decode_window=4)
+    qs = [eng.submit(p, 4) for p in prompts]
+    for _ in range(120):
+        eng.step()
+        if all(r is None for r in eng.req) and eng.pending.empty() \
+                and eng._inflight is None:
+            break
+    got = [collect(q, timeout=5) for q in qs]
+    assert got == want

@@ -150,3 +150,36 @@ def test_flash_attention_quant_interpret():
         q, kq, vq, ks, vs, q_offset=64, kv_valid_len=192, causal=True,
         block_q=128, block_k=128, interpret=True)
     assert float(jnp.max(jnp.abs(ref2 - out2))) < 3e-2
+
+
+def test_decode_attention_paged_interpret():
+    """Paged decode kernel: block-table indirection over a shuffled physical
+    pool matches dense attention over the logically-contiguous K/V."""
+    from mllm_tpu.ops.decode_attention import decode_attention_paged
+
+    B, H, HKV, D, BS, MAXB, NB = 2, 4, 2, 128, 128, 4, 16
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.float32)
+    # logical K/V per slot, then scatter into a shuffled pool
+    k_log = rng.standard_normal((B, HKV, MAXB * BS, D)).astype(np.float32)
+    v_log = rng.standard_normal((B, HKV, MAXB * BS, D)).astype(np.float32)
+    perm = rng.permutation(NB)
+    table = np.full((B, MAXB), -1, np.int32)
+    pool_k = np.zeros((NB, HKV, BS, D), np.float32)
+    pool_v = np.zeros((NB, HKV, BS, D), np.float32)
+    valid = np.asarray([300, 130], np.int32)
+    pi = 0
+    for b in range(B):
+        for lb in range(-(-int(valid[b]) // BS)):
+            phys = int(perm[pi]); pi += 1
+            table[b, lb] = phys
+            pool_k[phys] = k_log[b, :, lb * BS : (lb + 1) * BS]
+            pool_v[phys] = v_log[b, :, lb * BS : (lb + 1) * BS]
+
+    ref = sdpa(q, jnp.asarray(k_log), jnp.asarray(v_log),
+               q_offset=jnp.asarray(valid) - 1, kv_valid_len=jnp.asarray(valid),
+               causal=True)
+    out = decode_attention_paged(q, jnp.asarray(pool_k), jnp.asarray(pool_v),
+                                 jnp.asarray(table),
+                                 kv_valid_len=jnp.asarray(valid), interpret=True)
+    assert float(jnp.max(jnp.abs(ref - out))) < 2e-2
