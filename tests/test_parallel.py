@@ -437,7 +437,9 @@ def test_hybrid_mesh_and_host_batch(cpu8):
                                              process_batch_slice)
     from mllm_tpu.parallel.sharding import sgd_train_step, shard_model
 
-    mesh = hybrid_mesh(ici={"tp": 4}, dcn={"dp": 2})
+    # explicit devices: jax.devices() returns the real TPU when the axon
+    # tunnel is up (its backend registers itself regardless of JAX_PLATFORMS)
+    mesh = hybrid_mesh(ici={"tp": 4}, dcn={"dp": 2}, devices=cpu8)
     assert mesh.axis_names == ("dp", "tp")
     assert mesh.devices.shape == (2, 4)
 
@@ -461,7 +463,7 @@ def test_hybrid_mesh_and_host_batch(cpu8):
     import pytest
 
     with pytest.raises(ValueError):
-        hybrid_mesh(ici={"tp": 16}, dcn={"dp": 2})
+        hybrid_mesh(ici={"tp": 16}, dcn={"dp": 2}, devices=cpu8)
 
 
 def test_sharded_lora_finetune(cpu8):
