@@ -105,7 +105,11 @@ def model_builder(cfg: TextConfig, quant, stacked: bool = False):
         if quant:
             from mllm_tpu.ops.quantize_model import fuse_projections, quantize_model
 
-            m = quantize_model(fuse_projections(m), quant, on_device=True)
+            if quant == "int4-mixed":
+                m = quantize_model(fuse_projections(m), "int4", on_device=True,
+                                   attn_quant="int8")
+            else:
+                m = quantize_model(fuse_projections(m), quant, on_device=True)
         return m if stacked else m.unstack()
 
     return mk
@@ -443,15 +447,16 @@ def bench_config(name: str) -> dict:
         import os
 
         results = []
-        for impl in ("xla", "pallas"):
+        for impl, q in (("xla", "int4"), ("pallas", "int4"),
+                        ("pallas", "int4-mixed")):
             os.environ["MLLM_INT4_IMPL"] = impl
             try:
-                r = _bench_config_body(name, cfg, quant, batch, *rest)
-                r["int4_impl"] = impl
+                r = _bench_config_body(name, cfg, q, batch, *rest)
+                r["int4_impl"] = impl if q == "int4" else f"{impl}-mixed"
                 results.append(r)
             finally:
                 os.environ.pop("MLLM_INT4_IMPL", None)
-            print(json.dumps({"config": name, "impl": impl,
+            print(json.dumps({"config": name, "impl": r["int4_impl"],
                               "decode_tps": r["decode_tps"]}), file=sys.stderr)
         return max(results, key=lambda r: r["decode_tps"])
     return _bench_config_body(name, cfg, quant, batch, *rest)

@@ -65,6 +65,8 @@ def load_tensor(loader, name: str, shape, dtype=np.float32) -> np.ndarray:
 def make_linear(loader, prefix: str, out_f: int, in_f: int, dtype,
                 quant: QuantMode = None, bias_optional: bool = True):
     """Build Linear/QuantLinear/Int4Linear from `prefix`.weight/.bias."""
+    if quant == "int4-mixed":  # non-attention tensors: plain int4
+        quant = "int4"
     wname = prefix + ".weight"
     bname = prefix + ".bias"
     bias = None
@@ -77,7 +79,8 @@ def make_linear(loader, prefix: str, out_f: int, in_f: int, dtype,
         raw = loader.raw(wname)
         if ldt == dt.DataType.Q4_0:
             packed, scales, zeros = qm.prepare_int4(*qm.repack_q4_0(np.asarray(raw), out_f, in_f))
-            return make_int4_linear(packed, scales, zeros, bias, k=in_f)
+            return make_int4_linear(packed, scales, zeros, bias, k=in_f,
+                                    symmetric=True)  # Q4_0: value = (q-8)*d
         if ldt == dt.DataType.Q4_K:
             p_, s_, z_ = qm.repack_q4_k(np.asarray(raw), out_f, in_f)
             p_, s_, z_ = qm.prepare_int4(p_, s_, 32, z_)
@@ -95,7 +98,8 @@ def make_linear(loader, prefix: str, out_f: int, in_f: int, dtype,
         return QuantLinear(jnp.asarray(qv), jnp.asarray(sc), bias)
     if quant == "int4":
         packed, scales, zeros = qm.prepare_int4(*qm.repack_float_to_int4(w, 32))
-        return make_int4_linear(packed, scales, zeros, bias, k=in_f)
+        return make_int4_linear(packed, scales, zeros, bias, k=in_f,
+                                symmetric=True)
     return Linear(jnp.asarray(w, dtype), bias)
 
 
@@ -119,6 +123,10 @@ def load_causal_lm(loader, cfg: TextConfig, dtype=jnp.bfloat16,
     nm = names or NameMap()
     d, hd = cfg.hidden_size, cfg.head_dim_
     h, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    # "int4-mixed": attention projections stay int8 (small GEMVs live in the
+    # fused XLA graph; no Pallas call boundary), MLP/head stream int4 — see
+    # ops.quantize_model.quantize_model(attn_quant=...)
+    aq = "int8" if quant == "int4-mixed" else quant
 
     embed = Embedding(jnp.asarray(load_tensor(loader, nm.token_embd, (cfg.vocab_size, d)), dtype))
 
@@ -152,14 +160,14 @@ def load_causal_lm(loader, cfg: TextConfig, dtype=jnp.bfloat16,
             q_proj, k_proj, v_proj = _mk(0), _mk(1), _mk(2)
         elif _has(loader, p + nm.attn_qkv + ".weight"):
             wq, wk, wv = _split_rows(loader, p + nm.attn_qkv + ".weight", [h * hd, hkv * hd, hkv * hd], d)
-            q_proj = _maybe_quant_from_float(wq, dtype, quant)
-            k_proj = _maybe_quant_from_float(wk, dtype, quant)
-            v_proj = _maybe_quant_from_float(wv, dtype, quant)
+            q_proj = _maybe_quant_from_float(wq, dtype, aq)
+            k_proj = _maybe_quant_from_float(wk, dtype, aq)
+            v_proj = _maybe_quant_from_float(wv, dtype, aq)
         else:
-            q_proj = make_linear(loader, p + nm.attn_q, h * hd, d, dtype, quant)
-            k_proj = make_linear(loader, p + nm.attn_k, hkv * hd, d, dtype, quant)
-            v_proj = make_linear(loader, p + nm.attn_v, hkv * hd, d, dtype, quant)
-        o_proj = make_linear(loader, p + nm.attn_o, d, h * hd, dtype, quant)
+            q_proj = make_linear(loader, p + nm.attn_q, h * hd, d, dtype, aq)
+            k_proj = make_linear(loader, p + nm.attn_k, hkv * hd, d, dtype, aq)
+            v_proj = make_linear(loader, p + nm.attn_v, hkv * hd, d, dtype, aq)
+        o_proj = make_linear(loader, p + nm.attn_o, d, h * hd, dtype, aq)
 
         qn = kn = None
         if cfg.qk_norm and _has(loader, p + nm.q_norm):
@@ -211,10 +219,13 @@ def load_causal_lm(loader, cfg: TextConfig, dtype=jnp.bfloat16,
 
 
 def _maybe_quant_from_float(w: np.ndarray, dtype, quant: QuantMode):
+    if quant == "int4-mixed":
+        quant = "int4"
     if quant == "int8":
         qv, sc = qm.repack_float_to_int8(w)
         return QuantLinear(jnp.asarray(qv), jnp.asarray(sc), None)
     if quant == "int4":
         packed, scales, zeros = qm.prepare_int4(*qm.repack_float_to_int4(w, 32))
-        return make_int4_linear(packed, scales, zeros, None, k=w.shape[-1])
+        return make_int4_linear(packed, scales, zeros, None, k=w.shape[-1],
+                                symmetric=True)
     return Linear(jnp.asarray(w, dtype), None)

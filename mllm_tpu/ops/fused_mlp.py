@@ -93,14 +93,31 @@ def prepare_int4_ff(packed_t, scales_t, zeros_t, block_f: int):
 
 
 def _group_dot(x_slab, nib, s_ref, z_ref, row0, ngb, group, acc):
-    """acc += sum_g s[g] * (x_g . nib_g) + z[g] * (x_g . 1)."""
+    """acc += sum_g s[g] * (x_g . nib_g) + z[g] * (x_g . 1).
+
+    z_ref=None is the symmetric form (zeros == -8*scales identically for
+    weights quantized from float): the zero term folds into the scale term,
+    acc += s[g] * ((x_g . q_g) - 8*(x_g . 1)), and the f32 zeros stream is
+    never read from HBM — ~5 MB/layer saved on the flagship MLP."""
     for g in range(ngb):
         sl = slice(g * group, (g + 1) * group)
         p = jax.lax.dot_general(x_slab[:, sl], nib[sl, :], (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         xs = jnp.sum(x_slab[:, sl], axis=1, keepdims=True).astype(jnp.float32)
-        acc = acc + p * s_ref[row0 + g:row0 + g + 1, :] + xs * z_ref[row0 + g:row0 + g + 1, :]
+        if z_ref is None:
+            acc = acc + (p - 8.0 * xs) * s_ref[row0 + g:row0 + g + 1, :]
+        else:
+            acc = acc + p * s_ref[row0 + g:row0 + g + 1, :] + xs * z_ref[row0 + g:row0 + g + 1, :]
     return acc
+
+
+def _fused_mlp_kernel_sym(x_ref, gp_ref, gs_ref, up_ref, us_ref,
+                          dp_ref, ds_ref, o_ref, acc_ref, *, group, act,
+                          kh_d, nhb_d):
+    """Symmetric fused MLP kernel: no zeros operands (see _group_dot)."""
+    _fused_mlp_kernel(x_ref, gp_ref, gs_ref, None, up_ref, us_ref, None,
+                      dp_ref, ds_ref, None, o_ref, acc_ref, group=group,
+                      act=act, kh_d=kh_d, nhb_d=nhb_d)
 
 
 def _fused_mlp_kernel(x_ref, gp_ref, gs_ref, gz_ref, up_ref, us_ref, uz_ref,
@@ -186,29 +203,33 @@ def fused_int4_mlp(x, gate_ops, up_ops, down_ops, *, act: str = "silu",
     fh = block_f // 2
     ngb_f2 = 2 * (fh // group)
     grid = (ff // block_f,)
-    kernel = functools.partial(_fused_mlp_kernel, group=group, act=_ACT[act],
-                               kh_d=khp_d, nhb_d=1)
     ngb_d2 = 2 * (khp_d // group)
+    sym = gz is None and uz is None and dz is None
+    x_spec = pl.BlockSpec((m, 2 * khp_d), lambda j: (0, 0), memory_space=pltpu.VMEM)
+    wd_spec = pl.BlockSpec((khp_d, block_f), lambda j: (0, j), memory_space=pltpu.VMEM)
+    sd_spec = pl.BlockSpec((ngb_d2, block_f), lambda j: (0, j), memory_space=pltpu.VMEM)
+    wf_spec = pl.BlockSpec((fh, n_out), lambda j: (j, 0), memory_space=pltpu.VMEM)
+    sf_spec = pl.BlockSpec((ngb_f2, n_out), lambda j: (j, 0), memory_space=pltpu.VMEM)
+    if sym:
+        kernel = functools.partial(_fused_mlp_kernel_sym, group=group,
+                                   act=_ACT[act], kh_d=khp_d, nhb_d=1)
+        specs = [x_spec, wd_spec, sd_spec, wd_spec, sd_spec, wf_spec, sf_spec]
+        operands = (xb, gp, gs, up, us, dp, ds)
+    else:
+        kernel = functools.partial(_fused_mlp_kernel, group=group,
+                                   act=_ACT[act], kh_d=khp_d, nhb_d=1)
+        specs = [x_spec, wd_spec, sd_spec, sd_spec, wd_spec, sd_spec, sd_spec,
+                 wf_spec, sf_spec, sf_spec]
+        operands = (xb, gp, gs, gz, up, us, uz, dp, ds, dz)
     y = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((m, 2 * khp_d), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((khp_d, block_f), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ngb_d2, block_f), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ngb_d2, block_f), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((khp_d, block_f), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ngb_d2, block_f), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ngb_d2, block_f), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((fh, n_out), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ngb_f2, n_out), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ngb_f2, n_out), lambda j: (j, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=specs,
         out_specs=pl.BlockSpec((m, n_out), lambda j: (0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n_out), jnp.float32),
         scratch_shapes=[pltpu.VMEM((m, n_out), jnp.float32)],
         interpret=interpret,
-    )(xb, gp, gs, gz, up, us, uz, dp, ds, dz)
+    )(*operands)
     return y.reshape(*orig_shape[:-1], n_out)
 
 
@@ -220,7 +241,6 @@ def _dequant_down_blockplanar(dp, ds, dz, group, block_f):
     lo = (dp & 0x0F).astype(jnp.float32)
     hi = (dp >> 4).astype(jnp.float32)
     s_full = jnp.repeat(ds, group, axis=0)  # [ff, n], natural f order
-    z_full = jnp.repeat(dz, group, axis=0)
     nblk = ff // block_f
     # per block j: lo rows then hi rows — which IS the natural f order
     w_rows = []
@@ -228,5 +248,6 @@ def _dequant_down_blockplanar(dp, ds, dz, group, block_f):
         w_rows.append(lo[j * fh:(j + 1) * fh])
         w_rows.append(hi[j * fh:(j + 1) * fh])
     q = jnp.concatenate(w_rows, axis=0)  # [ff, n] natural f order
-    w = q * s_full + z_full  # scales already stored in the same order
-    return w
+    if dz is None:  # symmetric: zeros == -8*scales
+        return (q - 8.0) * s_full
+    return q * s_full + jnp.repeat(dz, group, axis=0)  # scales already stored in the same order

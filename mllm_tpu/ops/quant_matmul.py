@@ -194,6 +194,49 @@ def _int4_gb_kernel(x_lo_ref, x_hi_ref, p_ref, s_lo_ref, s_hi_ref,
         o_ref[:] = acc_ref[:]
 
 
+def _int4_gb_kernel_sym(x_lo_ref, x_hi_ref, p_ref, s_lo_ref, s_hi_ref,
+                        o_ref, acc_ref, *, group):
+    """Symmetric variant of `_int4_gb_kernel`: zeros == -8*scales (always
+    true for weights quantized from float — prepare_int4's excess-8 law),
+    so the per-group zero term folds into the scale term,
+
+        y += sum_g  s[g,n] * ((x_g . q_g) - 8 * (x_g . 1)),
+
+    and the [2*khp/G, N] f32 zeros array is never stored or streamed —
+    half the kernel's f32 side traffic (≈ scales-sized: 29 MB/step on the
+    flagship lm_head alone)."""
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    p32 = p_ref[:].astype(jnp.int32)
+    lo = (p32 & 0x0F).astype(jnp.bfloat16)  # [bj, bn] raw nibbles 0..15
+    hi = (p32 >> 4).astype(jnp.bfloat16)
+    bj, bn = lo.shape
+    ngb = bj // group
+    xl = x_lo_ref[:]
+    xh = x_hi_ref[:]
+    acc = jnp.zeros_like(acc_ref)
+    for g in range(ngb):
+        sl = slice(g * group, (g + 1) * group)
+        p_lo = jax.lax.dot_general(xl[:, sl], lo[sl, :], (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        p_hi = jax.lax.dot_general(xh[:, sl], hi[sl, :], (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        xs_l = jnp.sum(xl[:, sl], axis=1, keepdims=True).astype(jnp.float32)
+        xs_h = jnp.sum(xh[:, sl], axis=1, keepdims=True).astype(jnp.float32)
+        acc = (acc + (p_lo - 8.0 * xs_l) * s_lo_ref[g:g + 1, :]
+               + (p_hi - 8.0 * xs_h) * s_hi_ref[g:g + 1, :])
+    acc_ref[:] += acc
+
+    @pl.when(ik == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
 _INT4_BJ_CANDIDATES = (768, 512, 256)  # multiples of 8*G=256 (Mosaic sublane rule)
 
 
@@ -265,8 +308,6 @@ def int4_matmul(x: jax.Array, packed_e8: jax.Array, scales_p: jax.Array,
     khp, n = packed_e8.shape
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
-    if zeros_p is None:
-        raise ValueError("canonical int4 operands require zeros (prepare_int4)")
 
     if (not _use_pallas() and not interpret) or m > 32:
         w = dequant_int4_canonical(packed_e8, scales_p, zeros_p, group, k)
@@ -288,29 +329,37 @@ def int4_matmul(x: jax.Array, packed_e8: jax.Array, scales_p: jax.Array,
         zeros_x = jnp.zeros((m, pad), xb.dtype)
         xb = jnp.concatenate([xb[:, :khalf], zeros_x, xb[:, khalf:], zeros_x], axis=1)
 
-    kernel = functools.partial(_int4_gb_kernel, group=group)
+    specs = [
+        # x lo slab: k = [jk*bj, jk*bj+bj)  in the padded-x layout
+        pl.BlockSpec((bm, bj), lambda im, jn, jk: (im, jk), memory_space=pltpu.VMEM),
+        # x hi slab: k = khp + [jk*bj, jk*bj+bj)
+        pl.BlockSpec((bm, bj), lambda im, jn, jk: (im, jk + nhb),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bj, bn), lambda im, jn, jk: (jk, jn), memory_space=pltpu.VMEM),
+        pl.BlockSpec((ngb, bn), lambda im, jn, jk: (jk, jn), memory_space=pltpu.VMEM),
+        pl.BlockSpec((ngb, bn), lambda im, jn, jk: (jk + nhb, jn),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [xb, xb, packed_e8, scales_p, scales_p]
+    if zeros_p is None:  # symmetric: zeros stream elided entirely
+        kernel = functools.partial(_int4_gb_kernel_sym, group=group)
+    else:
+        kernel = functools.partial(_int4_gb_kernel, group=group)
+        specs += [
+            pl.BlockSpec((ngb, bn), lambda im, jn, jk: (jk, jn), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ngb, bn), lambda im, jn, jk: (jk + nhb, jn),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [zeros_p, zeros_p]
     y = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            # x lo slab: k = [jk*bj, jk*bj+bj)  in the padded-x layout
-            pl.BlockSpec((bm, bj), lambda im, jn, jk: (im, jk), memory_space=pltpu.VMEM),
-            # x hi slab: k = khp + [jk*bj, jk*bj+bj)
-            pl.BlockSpec((bm, bj), lambda im, jn, jk: (im, jk + nhb),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bj, bn), lambda im, jn, jk: (jk, jn), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ngb, bn), lambda im, jn, jk: (jk, jn), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ngb, bn), lambda im, jn, jk: (jk + nhb, jn),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ngb, bn), lambda im, jn, jk: (jk, jn), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ngb, bn), lambda im, jn, jk: (jk + nhb, jn),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=specs,
         out_specs=pl.BlockSpec((bm, bn), lambda im, jn, jk: (im, jn), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         interpret=interpret,
-    )(xb, xb, packed_e8, scales_p, scales_p, zeros_p, zeros_p)
+    )(*operands)
     return y.reshape(*orig_shape[:-1], n)
 
 
@@ -369,10 +418,25 @@ def canonical_to_n_layout(packed_e8, scales_p, zeros_p, group: int, k: int):
     return pack_int4_n(qs_t), s.astype(xp.float32), zshift
 
 
+def unpack_int4_planes(packed_n: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """uint8 [..., K, N/2] -> (even, odd) signed-nibble int8 planes.
+
+    Arithmetic unpack (mask / shift / xor sign-fix) instead of
+    `bitcast_convert_type(u8, int4)`: on this chip the s4 bitcast does NOT
+    fuse into consumers — XLA materializes the [..., K, N/2, 2] s4 array
+    with its minor dim padded to the 128-lane tile, a ~64x HBM blowup that
+    measured 5-7x slower than int8 at the model level.  The arithmetic form
+    stays elementwise-fusible all the way into the dot."""
+    lo = ((packed_n & 0x0F).astype(jnp.int8) ^ 8) - 8
+    hi = ((packed_n >> 4).astype(jnp.int8) ^ 8) - 8
+    return lo, hi
+
+
 def unpack_int4_n(packed_n: jax.Array) -> jax.Array:
-    """uint8 [..., K, N/2] -> s4 [..., K, N] via in-program bitcast."""
-    s4 = jax.lax.bitcast_convert_type(packed_n, jnp.int4)  # [..., K, N/2, 2]
-    return s4.reshape(*packed_n.shape[:-1], packed_n.shape[-1] * 2)
+    """uint8 [..., K, N/2] -> s4-valued int8 [..., K, N] (even/odd interleave)."""
+    lo, hi = unpack_int4_planes(packed_n)
+    q = jnp.stack([lo, hi], axis=-1)  # [..., K, N/2, 2]
+    return q.reshape(*packed_n.shape[:-1], packed_n.shape[-1] * 2)
 
 
 def dequant_int4_n(packed_n, scales_g, zshift_g=None, group: int = 32):
@@ -388,11 +452,15 @@ def int4_xla_matmul(x: jax.Array, packed_n: jax.Array, scales_g: jax.Array,
                     zshift_g=None, group: int = 32) -> jax.Array:
     """y[..., N] = x[..., K] @ dequant(n-axis int4 operands) — f32 out.
 
-    Decode shapes (m <= 32) run the group-partial formulation as ONE native
-    XLA graph: a [K/G]-batched dot over raw s4 nibbles (exact in bf16:
-    |qs| <= 8) with scales/zshifts applied to the f32 partial sums — the
-    same math as the Pallas `_int4_gb_kernel`, but schedulable/prefetchable
-    by XLA across the whole decode step.  Larger m dequants + single dot
+    Decode shapes (m <= 32) run a "planar two-dot": the even/odd nibble
+    planes are unpacked arithmetically (never materialized interleaved —
+    the [K, N/2, 2]->[K, N] reshape relayouts through a 128-lane-padded
+    minor dim), group scales are broadcast-multiplied into each [g, G, N/2]
+    plane in bf16 (fuses into the dot operand), and the two [m, N/2] f32
+    results interleave at the end (free at activation size).  Measured on
+    chip: the previous [K/G]-batched s4-bitcast dot ran 5-7x SLOWER than
+    int8; this form is the fastest pure-XLA int4 formulation of the six
+    benchmarked in scratch/int4_stream.py.  Larger m dequants + single dot
     (MXU-bound there).  zshift_g=None means symmetric weights (zshift is
     identically zero): the correction term and its HBM stream are skipped."""
     orig_shape = x.shape
@@ -409,28 +477,43 @@ def int4_xla_matmul(x: jax.Array, packed_n: jax.Array, scales_g: jax.Array,
         return y.reshape(*orig_shape[:-1], n)
 
     g = k // group
-    q = unpack_int4_n(packed_n).astype(jnp.bfloat16)  # [K, N], exact
-    xg = x2.reshape(m, g, group).transpose(1, 0, 2).astype(jnp.bfloat16)  # [g, m, G]
-    qg = q.reshape(g, group, n)
-    part = jax.lax.dot_general(xg, qg, (((2,), (1,)), ((0,), (0,))),
-                               preferred_element_type=jnp.float32)  # [g, m, N]
-    y = jnp.einsum("gmn,gn->mn", part, scales_g.astype(jnp.float32))
+    nh = n // 2
+    lo, hi = unpack_int4_planes(packed_n)  # int8 [K, N/2] each
+    sgb = scales_g.astype(jnp.bfloat16)
+    se = sgb[:, 0::2].reshape(g, 1, nh)
+    so = sgb[:, 1::2].reshape(g, 1, nh)
+    we = (lo.astype(jnp.bfloat16).reshape(g, group, nh) * se).reshape(k, nh)
+    wo = (hi.astype(jnp.bfloat16).reshape(g, group, nh) * so).reshape(k, nh)
+    xb = x2.astype(jnp.bfloat16)
+    ye = jax.lax.dot_general(xb, we, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # [m, N/2]
+    yo = jax.lax.dot_general(xb, wo, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
     if zshift_g is not None:
         xsum = jnp.sum(x2.astype(jnp.float32).reshape(m, g, group), axis=-1)  # [m, g]
-        y = y + xsum @ zshift_g.astype(jnp.float32)
+        zs = zshift_g.astype(jnp.float32)
+        ye = ye + xsum @ zs[:, 0::2]
+        yo = yo + xsum @ zs[:, 1::2]
+    y = jnp.stack([ye, yo], axis=-1).reshape(m, n)
     return y.reshape(*orig_shape[:-1], n)
 
 
 def dequant_int4_canonical(packed_e8, scales_p, zeros_p, group: int, k: int):
-    """Dequant canonical operands -> f32 [K, N] (fallback + prefill path)."""
+    """Dequant canonical operands -> f32 [K, N] (fallback + prefill path).
+
+    zeros_p=None means symmetric weights: zeros == -8*scales identically
+    (prepare_int4's excess-8 law), so value = (q - 8) * scale and the zeros
+    array need not exist at all — half the f32 side stream."""
     khp, n = packed_e8.shape
     khalf = k // 2
     s_full = jnp.repeat(scales_p, group, axis=0)  # [2*khp, N]
-    z_full = jnp.repeat(zeros_p, group, axis=0)
     lo = (packed_e8 & 0x0F).astype(jnp.float32)
     hi = (packed_e8 >> 4).astype(jnp.float32)
     q = jnp.concatenate([lo, hi], axis=0)  # [2*khp, N]
-    w = q * s_full + z_full
+    if zeros_p is None:
+        w = (q - 8.0) * s_full
+    else:
+        w = q * s_full + jnp.repeat(zeros_p, group, axis=0)
     return jnp.concatenate([w[:khalf], w[khp:khp + khalf]], axis=0)  # [K, N]
 
 

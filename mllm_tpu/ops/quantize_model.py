@@ -92,6 +92,34 @@ def _q4n_device(w):
     return qm.pack_int4_n(jnp.swapaxes(v, -1, -2)), jnp.swapaxes(sc, -1, -2)
 
 
+class Int4EmbedHeadPallas(Module):
+    """Tied-embedding lm_head on the Pallas int4 group kernel.
+
+    Pallas-impl counterpart of `Int4EmbedHead`: the lm_head GEMV is the
+    biggest per-step weight read (233 MB int8 at vocab 151936), and on the
+    Pallas path the XLA n-axis formulation is VPU-dequant-bound (~3x the
+    kernel's streaming rate over 233M weights), so the head goes through
+    the same group-partial kernel as the trunk projections.  The vocab axis
+    is zero-padded to a 512 multiple so the kernel gets large n-blocks
+    (zero weights dequant to exactly 0 in the excess-8 layout); padded
+    logits are sliced off.  Embedding lookup stays on the float table."""
+
+    def __init__(self, embedding: Embedding, proj: Int4Linear, vocab: int):
+        self.embedding = embedding
+        self.proj = proj
+        self.vocab = vocab
+
+    def __call__(self, ids):
+        return self.embedding(ids)
+
+    @property
+    def weight(self):
+        return self.embedding.weight
+
+    def as_lm_head(self, x):
+        return self.proj(x)[..., : self.vocab]
+
+
 @jax.jit
 def _q4_device(w):
     """Group-32 symmetric int4 planar pack on-device:
@@ -132,25 +160,33 @@ def _quant_linear(lin: Linear, mode: str, min_size: int, on_device: bool):
             packed_n, scales = _q4n_device(lin.weight)
             return Int4LinearXLA(packed_n, scales, None, 32, lin.bias)
         packed, scales = _q4_device(lin.weight)
-        packed, scales, zeros = qm.prepare_int4(packed, scales, 32)
-        return Int4Linear(packed, scales, 32, zeros, lin.bias)
+        packed, scales, _ = qm.prepare_int4(packed, scales, 32)
+        return Int4Linear(packed, scales, 32, None, lin.bias)  # symmetric
     w = np.asarray(lin.weight, np.float32)
     if mode == "int8":
         qv, sc = qm.repack_float_to_int8(w)
         return QuantLinear(jnp.asarray(qv), jnp.asarray(sc), lin.bias)
     packed, scales, zeros = qm.prepare_int4(*qm.repack_float_to_int4(w, 32), group=32)
-    return make_int4_linear(packed, scales, zeros, lin.bias, k=w.shape[-1])
+    return make_int4_linear(packed, scales, zeros, lin.bias, k=w.shape[-1],
+                            symmetric=True)
 
 
-def make_int4_linear(packed, scales, zeros, bias, k: int):
+def make_int4_linear(packed, scales, zeros, bias, k: int,
+                     symmetric: bool = False):
     """Canonical planar int4 operands (numpy or jnp) -> the Int4Linear
-    flavor selected by MLLM_INT4_IMPL (lossless layout conversion)."""
+    flavor selected by MLLM_INT4_IMPL (lossless layout conversion).
+
+    symmetric=True (weights quantized from float, or Q4_0 whose law is
+    value = (q-8)*d): the Pallas flavor drops the zeros operand and runs
+    the zeros-elided kernel; the XLA flavor already elides its zshift."""
     if qm.int4_impl() == "xla":
         pn, sg, zg = qm.canonical_to_n_layout(packed, scales, zeros, 32, k)
+        if symmetric:
+            zg = None  # zshift identically zero
         return Int4LinearXLA(jnp.asarray(pn), jnp.asarray(sg),
                              None if zg is None else jnp.asarray(zg), 32, bias)
     return Int4Linear(jnp.asarray(packed), jnp.asarray(scales), 32,
-                      jnp.asarray(zeros), bias)
+                      None if symmetric else jnp.asarray(zeros), bias)
 
 
 class FusedInt4MLP(Module):
@@ -183,38 +219,55 @@ def _fuse_int4_mlp(mlp, min_size: int, on_device: bool):
 
     if qm.int4_impl() == "xla":
         return None  # XLA schedules/fuses the n-axis path itself
-    if (mlp.up_proj is None or getattr(mlp, "gateup_proj", None) is not None
-            or mlp.act not in _ACT):
+    if mlp.act not in _ACT:
         return None
-    for lin in (mlp.gate_proj, mlp.up_proj, mlp.down_proj):
+    if getattr(mlp, "gateup_proj", None) is not None:
+        # fuse_projections merged gate||up into one Linear; split it back —
+        # per-out-channel group quantization commutes with output-channel
+        # concatenation, so quantizing the halves is exact vs the fused form
+        gu = mlp.gateup_proj
+        if type(gu) is not Linear or gu.bias is not None:
+            return None
+        ff_half = gu.weight.shape[-2] // 2
+        gate_l = Linear(gu.weight[..., :ff_half, :], None)
+        up_l = Linear(gu.weight[..., ff_half:, :], None)
+    elif mlp.up_proj is not None:
+        gate_l, up_l = mlp.gate_proj, mlp.up_proj
+    else:
+        return None
+    for lin in (gate_l, up_l, mlp.down_proj):
         if type(lin) is not Linear or lin.bias is not None and lin is not mlp.down_proj:
             return None
         if np.prod(lin.weight.shape) < min_size or lin.weight.shape[-1] % 64:
             return None
-    ff = mlp.gate_proj.weight.shape[-2]
-    d = mlp.gate_proj.weight.shape[-1]
+    ff = gate_l.weight.shape[-2]
+    d = gate_l.weight.shape[-1]
     block_f = pick_block_f(ff)
     if block_f is None or d % 64 or ff % 64:
         return None
 
+    # float-sourced quantization is always symmetric -> zeros == -8*scales
+    # identically: store None and run the zeros-elided kernel variant
     def ops_over_d(lin):
         if on_device or lin.weight.ndim > 2:
             packed, scales = _q4_device(lin.weight)
-            return qm.prepare_int4(packed, scales, 32)
+            p, sc, _ = qm.prepare_int4(packed, scales, 32)
+            return p, sc, None
         p, sc = qm.repack_float_to_int4(np.asarray(lin.weight, np.float32), 32)
-        p, sc, z = qm.prepare_int4(p, sc, 32)
-        return jnp.asarray(p), jnp.asarray(sc), jnp.asarray(z)
+        p, sc, _ = qm.prepare_int4(p, sc, 32)
+        return jnp.asarray(p), jnp.asarray(sc), None
 
     from .fused_mlp import prepare_int4_ff
 
     if on_device or mlp.down_proj.weight.ndim > 2:
         dp, dsc = _q4_device(mlp.down_proj.weight)
-        down_ops = prepare_int4_ff(dp, dsc, None, block_f)
+        dpp, dss, _ = prepare_int4_ff(dp, dsc, None, block_f)
+        down_ops = (dpp, dss, None)
     else:
         dp, dsc = qm.repack_float_to_int4(np.asarray(mlp.down_proj.weight, np.float32), 32)
-        dpp, dss, dzz = prepare_int4_ff(dp, dsc, None, block_f)
-        down_ops = (jnp.asarray(dpp), jnp.asarray(dss), jnp.asarray(dzz))
-    return FusedInt4MLP(ops_over_d(mlp.gate_proj), ops_over_d(mlp.up_proj),
+        dpp, dss, _ = prepare_int4_ff(dp, dsc, None, block_f)
+        down_ops = (jnp.asarray(dpp), jnp.asarray(dss), None)
+    return FusedInt4MLP(ops_over_d(gate_l), ops_over_d(up_l),
                         down_ops, mlp.act, block_f, bias=mlp.down_proj.bias)
 
 
@@ -276,18 +329,34 @@ def fuse_projections(model):
 
 def quantize_model(model, mode: Literal["int8", "int4"] = "int8",
                    min_size: int = 1 << 16, quant_embed_head: bool = True,
-                   on_device: bool = False):
+                   on_device: bool = False, attn_quant: str | None = None):
     """Return a copy of `model` with big Linears quantized.
 
     on_device=True quantizes with jitted jnp programs where the weights live
     (no host round trips) — the fast path when weights were generated or
-    loaded straight onto the chip."""
+    loaded straight onto the chip.
 
-    from ..models.transformer import MLP as _MLP
+    attn_quant overrides `mode` for Linears inside Attention modules
+    ("mixed placement").  Rationale on TPU: attention projections are the
+    SMALL per-step GEMVs (qkv+o ≈ 8 MB int8/layer vs ~21 MB for the MLP),
+    so under the Pallas int4 impl their custom-call boundaries cost more
+    than their bandwidth saves — int8 keeps them inside the one fused XLA
+    graph (native int8 dot, cross-op prefetch) while the MLP mega-kernel
+    and lm_head still stream int4.  `mode="int4", attn_quant="int8"` is the
+    `-q int4-mixed` surface in the demos/bench."""
 
-    def walk(obj):
+    from ..models.transformer import MLP as _MLP, Attention as _Attn
+
+    def walk(obj, lin_mode=mode):
         if isinstance(obj, Linear):
-            return _quant_linear(obj, mode, min_size, on_device)
+            return _quant_linear(obj, lin_mode, min_size, on_device)
+        if attn_quant is not None and isinstance(obj, _Attn):
+            updates = {}
+            for k, v in list(obj.__dict__.items()):
+                nv = walk(v, attn_quant)
+                if nv is not v:
+                    updates[k] = nv
+            return obj.replace(**updates) if updates else obj
         if type(obj).__name__ == "MoEMLP":
             # routed expert stacks quantize to int8 per-(expert, out-channel)
             # (the reference quantizes its MoE models' expert FFNs like any
@@ -333,6 +402,24 @@ def quantize_model(model, mode: Literal["int8", "int4"] = "int8",
                     pn, sg, _ = qm.canonical_to_n_layout(pc, sc_, zc, 32, w.shape[-1])
                     pn, sg = jnp.asarray(pn), jnp.asarray(sg)
                 model = model.replace(embed_tokens=Int4EmbedHead(emb, pn, sg))
+            elif mode == "int4":
+                # Pallas impl: route the head through the group kernel (the
+                # XLA n-axis head is VPU-dequant-bound at vocab scale)
+                v, d = emb.weight.shape
+                vp = -(-v // 512) * 512
+                if on_device:
+                    wp = jnp.pad(emb.weight, ((0, vp - v), (0, 0)))
+                    packed, scales = _q4_device(wp)
+                    packed, scales, _ = qm.prepare_int4(packed, scales, 32)
+                else:
+                    w = np.pad(np.asarray(emb.weight, np.float32),
+                               ((0, vp - v), (0, 0)))
+                    packed, scales, _ = qm.prepare_int4(
+                        *qm.repack_float_to_int4(w, 32), group=32)
+                    packed, scales = jnp.asarray(packed), jnp.asarray(scales)
+                proj = Int4Linear(packed, scales, 32, None, None)  # symmetric
+                model = model.replace(
+                    embed_tokens=Int4EmbedHeadPallas(emb, proj, v))
             else:
                 if on_device:
                     qv, sc = _q8_device(emb.weight)

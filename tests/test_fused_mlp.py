@@ -102,3 +102,28 @@ def test_quantize_model_creates_fused_mlp_and_matches_per_linear(monkeypatch):
     cache = q.init_cache(1, 32, jnp.float32)
     res, _ = generate(q, ids[:, :5], cache, SamplingConfig(max_new_tokens=4), bucket=8)
     assert len(res.tokens) == 4
+
+
+def test_fused_mlp_symmetric_zeros_elided():
+    """ops with zeros=None (the symmetric form quantize_model now emits) must
+    match the zeros-carrying affine form bit-for-bit in both the fallback
+    and the interpret-mode kernel: zeros == -8*scales identically, so the
+    elided zero term is algebraically the same sum."""
+    rng = np.random.default_rng(5)
+    d, ff, m = 64, 512, 8
+    _, (g_ops, u_ops, d_ops), bf = _mk_ops(rng, d, ff)
+    sym = lambda ops: (ops[0], ops[1], None)
+    x = jnp.asarray(rng.standard_normal((m, d), dtype=np.float32))
+
+    ref = np.asarray(fused_int4_mlp(x, g_ops, u_ops, d_ops, act="silu", block_f=bf))
+    got_fb = np.asarray(fused_int4_mlp(x, sym(g_ops), sym(u_ops), sym(d_ops),
+                                       act="silu", block_f=bf))
+    np.testing.assert_allclose(got_fb, ref, rtol=1e-5, atol=1e-5)
+
+    ker_ref = np.asarray(fused_int4_mlp(x.astype(jnp.bfloat16), g_ops, u_ops,
+                                        d_ops, act="silu", block_f=bf,
+                                        interpret=True))
+    ker_sym = np.asarray(fused_int4_mlp(x.astype(jnp.bfloat16), sym(g_ops),
+                                        sym(u_ops), sym(d_ops), act="silu",
+                                        block_f=bf, interpret=True))
+    np.testing.assert_allclose(ker_sym, ker_ref, rtol=1e-5, atol=1e-5)

@@ -183,3 +183,29 @@ def test_decode_attention_paged_interpret():
                                  jnp.asarray(table),
                                  kv_valid_len=jnp.asarray(valid), interpret=True)
     assert float(jnp.max(jnp.abs(ref - out))) < 2e-2
+
+
+def test_int4_matmul_interpret_zeros_elided():
+    """zeros_p=None (symmetric weights) must match the zeros-carrying call
+    exactly — the kernel folds the -8*scale zero term into the scale term
+    instead of streaming a separate f32 zeros array."""
+    from mllm_tpu.ops.quant_matmul import (int4_matmul, prepare_int4,
+                                           repack_float_to_int4)
+
+    rng = np.random.default_rng(7)
+    N, K = 256, 1088  # khalf=544 -> kernel pads to 768 (pad region s=0)
+    w = rng.standard_normal((N, K), dtype=np.float32) * 0.05
+    x = jnp.asarray(rng.standard_normal((8, K), dtype=np.float32)).astype(jnp.bfloat16)
+    pc, sc, zc = prepare_int4(*repack_float_to_int4(w, 32), group=32)
+    ref = int4_matmul(x, jnp.asarray(pc), jnp.asarray(sc), 32, jnp.asarray(zc),
+                      block_m=8, block_n=256, interpret=True)
+    out = int4_matmul(x, jnp.asarray(pc), jnp.asarray(sc), 32, None,
+                      block_m=8, block_n=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # fallback (m > 32) with elided zeros
+    xl = jnp.asarray(rng.standard_normal((40, K), dtype=np.float32)).astype(jnp.bfloat16)
+    ref_l = int4_matmul(xl, jnp.asarray(pc), jnp.asarray(sc), 32, jnp.asarray(zc))
+    out_l = int4_matmul(xl, jnp.asarray(pc), jnp.asarray(sc), 32, None)
+    np.testing.assert_allclose(np.asarray(out_l), np.asarray(ref_l),
+                               rtol=1e-5, atol=1e-5)

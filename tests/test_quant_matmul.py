@@ -153,12 +153,15 @@ def test_int4_xla_matmul_decode_and_prefill():
         xb = np.asarray(jnp.asarray(x).astype(jnp.bfloat16).astype(jnp.float32))
         out = np.asarray(int4_xla_matmul(jnp.asarray(x), jnp.asarray(pn),
                                          jnp.asarray(sg), zj, 32))
+        wb = np.asarray(jnp.asarray(wd).astype(jnp.bfloat16).astype(jnp.float32))
         if M <= 32:
-            # group-partial branch: nibbles are exact in bf16 and scales hit
-            # f32 partial sums, so only the x bf16 conversion is lossy
-            np.testing.assert_allclose(out, xb @ wd, rtol=1e-3, atol=1e-3)
+            # planar two-dot branch: weights enter the dot as
+            # bf16(nibble) * bf16(scale) — one more rounding than the
+            # bf16(dequant) oracle.  Accumulated over K terms the absolute
+            # error scales with the output magnitude (~30 here), so the
+            # atol covers near-zero outputs where rtol is meaningless.
+            np.testing.assert_allclose(out, xb @ wb, rtol=1e-2, atol=0.1)
         else:
-            wb = np.asarray(jnp.asarray(wd).astype(jnp.bfloat16).astype(jnp.float32))
             np.testing.assert_allclose(out, xb @ wb, rtol=1e-3, atol=1e-3)
 
 
