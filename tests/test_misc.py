@@ -241,3 +241,26 @@ def test_int4_mixed_placement(monkeypatch):
     got = logits(q)
     err = np.abs(got - ref).max()
     assert err < 0.15 * max(np.abs(ref).max(), 1e-6), err
+
+
+def test_ci_smoke_tool():
+    """tools/ci.py (device-farm smoke runner counterpart) runs all stages
+    green on the test backend and emits one JSON report on stdout."""
+    import contextlib
+    import importlib.util
+    import io
+    import json
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "mllm_ci", pathlib.Path(__file__).parent.parent / "tools" / "ci.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = mod.main([])
+    report = json.loads(buf.getvalue())
+    assert rc == 0 and report["ok"], report
+    assert set(report["stages"]) >= {"device", "build", "generate",
+                                     "int8_decode", "tokenizer",
+                                     "image_preprocess", "kv_cache"}
