@@ -1,0 +1,287 @@
+"""MegaDecodeLM: CausalLM whose single-stream decode step runs the
+whole-trunk int4 megakernel (ops/decode_step.py) — ONE Pallas launch for all
+L decoder layers instead of ~57 per-op launches.
+
+Prefill, batched decode, and everything else route through `base`, an
+int4-quantized CausalLM built from the SAME quantized values the kernel
+streams, so prefill and decode see one consistent set of weights and the
+base model doubles as the numerics oracle for the kernel tests.
+
+Performance intent (VERDICT round-2 item #5): int4 decode must beat int8 at
+the model level.  The per-GEMV group kernel already wins; what loses is the
+~57 custom-call boundaries per step.  This wrapper reduces a decode step to
+embed-gather -> megakernel -> final-norm+lm_head (the int4 Pallas head) ->
+sample: 2 Pallas launches total, weights streamed once at int4 bytes.
+Reference surface being beaten: the per-op decode dispatch of
+/root/reference/mllm/Module.cpp:146-205 + backends/cpu/compute/Matmul.cpp.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import TextConfig
+from ..kv.cache import KVCache
+from ..nn.layers import Embedding, Int4Linear, Linear
+from ..nn.module import Module
+from ..ops import quant_matmul as qm
+from ..ops.decode_step import fused_decode_step, rope_rotation_matrix
+from ..ops.fused_mlp import _ACT, pick_block_f, prepare_int4_ff
+from ..ops.quantize_model import (
+    Int4EmbedHeadPallas,
+    _q4_device,
+)
+from .transformer import MLP, Attention, CausalLM, DecoderBlock
+
+
+def _supported(cfg: TextConfig, blk) -> str | None:
+    """Return None if the megakernel covers this model, else the reason."""
+    if cfg.head_dim_ != 128:
+        return f"head_dim {cfg.head_dim_} != 128"
+    if cfg.hidden_size % 256 or (cfg.num_attention_heads * 128) % 256:
+        return "hidden/q width not a 256 multiple"
+    if cfg.hidden_size % 64 or cfg.intermediate_size % 64:
+        return "dims not group-aligned"
+    if cfg.norm_type != "rmsnorm" or cfg.model_type.startswith("gemma"):
+        return "non-RMSNorm / unit-offset norm"
+    if cfg.rope_style != "hf" or cfg.rope_partial != 1.0 or cfg.rope_int8:
+        return "unsupported rope flavor"
+    if cfg.qk_norm or cfg.sliding_window is not None:
+        return "qk-norm / sliding window"
+    if cfg.attn_logit_softcap or cfg.query_pre_attn_scalar:
+        return "softcap / custom attn scale"
+    if cfg.hidden_act not in _ACT:
+        return f"activation {cfg.hidden_act}"
+    if cfg.post_norm:
+        return "post-norm blocks"
+    mlp = blk.mlp
+    if not isinstance(mlp, MLP) or mlp.up_proj is None and mlp.gateup_proj is None:
+        return "non-gated MLP"
+    return None
+
+
+def _stack_lin_weights(blk):
+    """Stacked-block attention/MLP float weights, fused-or-split agnostic."""
+    attn = blk.attn
+    if attn.qkv_proj is not None:
+        w_qkv = attn.qkv_proj.weight
+        b_qkv = attn.qkv_proj.bias
+    else:
+        w_qkv = jnp.concatenate(
+            [attn.q_proj.weight, attn.k_proj.weight, attn.v_proj.weight], axis=-2)
+        bs = [attn.q_proj.bias, attn.k_proj.bias, attn.v_proj.bias]
+        if all(b is None for b in bs):
+            b_qkv = None
+        else:
+            b_qkv = jnp.concatenate(
+                [b if b is not None else jnp.zeros(w.shape[:-1], w.dtype)
+                 for b, w in zip(bs, [attn.q_proj.weight, attn.k_proj.weight,
+                                      attn.v_proj.weight])], axis=-1)
+    mlp = blk.mlp
+    if mlp.gateup_proj is not None:
+        ffh = mlp.gateup_proj.weight.shape[-2] // 2
+        w_gate = mlp.gateup_proj.weight[..., :ffh, :]
+        w_up = mlp.gateup_proj.weight[..., ffh:, :]
+    else:
+        w_gate = mlp.gate_proj.weight
+        w_up = mlp.up_proj.weight
+    return w_qkv, b_qkv, attn.o_proj.weight, w_gate, w_up, mlp.down_proj.weight
+
+
+def _quant_head_pallas(model: CausalLM) -> CausalLM:
+    """int4 lm_head via the Pallas group kernel (quantize_model's
+    Int4EmbedHeadPallas path, applied deterministically regardless of
+    MLLM_INT4_IMPL — the n-axis XLA head is VPU-dequant-bound at vocab
+    scale)."""
+    if model.lm_head is not None:
+        if type(model.lm_head) is not Linear:
+            return model  # already quantized
+        w = model.lm_head.weight
+        v, d = w.shape
+        vp = -(-v // 512) * 512
+        wp = jnp.pad(w, ((0, vp - v), (0, 0)))
+        packed, scales = _q4_device(wp)
+        packed, scales, _ = qm.prepare_int4(packed, scales, 32)
+        head = Int4Linear(packed, scales, 32, None, model.lm_head.bias)
+        return model.replace(lm_head=_PaddedHead(head, v))
+    emb = model.embed_tokens
+    if not isinstance(emb, Embedding):
+        return model
+    v, d = emb.weight.shape
+    vp = -(-v // 512) * 512
+    wp = jnp.pad(emb.weight, ((0, vp - v), (0, 0)))
+    packed, scales = _q4_device(wp)
+    packed, scales, _ = qm.prepare_int4(packed, scales, 32)
+    proj = Int4Linear(packed, scales, 32, None, None)
+    return model.replace(embed_tokens=Int4EmbedHeadPallas(emb, proj, v))
+
+
+class _PaddedHead(Module):
+    """Untied lm_head padded to a 512-multiple vocab for the int4 kernel."""
+
+    def __init__(self, proj: Int4Linear, vocab: int):
+        self.proj = proj
+        self.vocab = vocab
+
+    def __call__(self, x):
+        return self.proj(x)[..., : self.vocab]
+
+
+class MegaDecodeLM(Module):
+    """See module docstring.  Build with `MegaDecodeLM.from_float`."""
+
+    def __init__(self, base: CausalLM, qkv_ops, o_ops, gate_ops, up_ops,
+                 down_ops, norm1_w, norm2_w, block_f: int,
+                 interpret: bool = False):
+        self.base = base
+        self.qkv_ops = tuple(qkv_ops)
+        self.o_ops = tuple(o_ops)
+        self.gate_ops = tuple(gate_ops)
+        self.up_ops = tuple(up_ops)
+        self.down_ops = tuple(down_ops)
+        self.norm1_w = norm1_w
+        self.norm2_w = norm2_w
+        self.block_f = block_f
+        self.interpret = interpret
+
+    # -- construction --------------------------------------------------------
+
+    @staticmethod
+    def from_float(model: CausalLM, block_f: int | None = None,
+                   block_f_cap: int = 1280, interpret: bool = False,
+                   quant_head: bool = True) -> "MegaDecodeLM":
+        """Quantize a float CausalLM once into (a) megakernel operand stacks
+        and (b) an int4 `base` model sharing the same values (prefill +
+        oracle).  Raises ValueError when the config is outside the kernel's
+        contract — callers fall back to the regular int4 paths."""
+        if getattr(model, "stacked_blocks", None) is None:
+            model = model.stack()
+        blk = getattr(model, "stacked_blocks", None)
+        if blk is None:
+            raise ValueError("model has non-uniform blocks (cannot stack)")
+        cfg = model.cfg
+        why = _supported(cfg, blk)
+        if why is not None:
+            raise ValueError(f"megakernel unsupported: {why}")
+
+        w_qkv, b_qkv, w_o, w_gate, w_up, w_down = _stack_lin_weights(blk)
+        if block_f is None:
+            block_f = pick_block_f(cfg.intermediate_size, cap=block_f_cap)
+        if block_f is None:
+            raise ValueError("no ff block size divides intermediate_size")
+
+        def q4_e8(w):  # float [L, N, K] -> (packed_e8 [L, K/2, N], scales)
+            p, s = _q4_device(w)
+            return (p ^ 0x88).astype(jnp.uint8), s
+
+        qkv_p, qkv_s = q4_e8(w_qkv)
+        o_p, o_s = q4_e8(w_o)
+        g_p, g_s = q4_e8(w_gate)
+        u_p, u_s = q4_e8(w_up)
+        d_ps, d_ss = _q4_device(w_down)  # signed planar over K=ff
+        d_p, d_s, _ = prepare_int4_ff(d_ps, d_ss, None, block_f)
+
+        qkv_b3 = None if b_qkv is None else b_qkv[:, None, :].astype(jnp.float32)
+        n1 = blk.input_norm.weight[:, None, :].astype(jnp.float32)
+        n2 = blk.post_attn_norm.weight[:, None, :].astype(jnp.float32)
+
+        # base model sharing the same quantized values (prefill + oracle)
+        from ..ops.quantize_model import FusedInt4MLP
+
+        attn2 = blk.attn.replace(
+            qkv_proj=Int4Linear(qkv_p, qkv_s, 32, None, b_qkv),
+            q_proj=None, k_proj=None, v_proj=None,
+            o_proj=Int4Linear(o_p, o_s, 32, None, blk.attn.o_proj.bias),
+        )
+        mlp2 = FusedInt4MLP((g_p, g_s, None), (u_p, u_s, None),
+                            (d_p, d_s, None), blk.mlp.act, block_f,
+                            bias=blk.mlp.down_proj.bias)
+        blk2 = blk.replace(attn=attn2, mlp=mlp2)
+        base = model.replace()
+        base.__dict__["stacked_blocks"] = blk2
+        if quant_head:
+            base = _quant_head_pallas(base)
+
+        return MegaDecodeLM(
+            base, (qkv_p, qkv_s, qkv_b3), (o_p, o_s), (g_p, g_s), (u_p, u_s),
+            (d_p, d_s), n1, n2, int(block_f), interpret)
+
+    # -- CausalLM surface (delegate everything but the 1-token decode) -------
+
+    @property
+    def cfg(self):
+        return self.base.cfg
+
+    @property
+    def rope(self):
+        return self.base.rope
+
+    @property
+    def embed_tokens(self):
+        return self.base.embed_tokens
+
+    @property
+    def lm_head(self):
+        return self.base.lm_head
+
+    @property
+    def norm(self):
+        return self.base.norm
+
+    def init_cache(self, batch: int, max_len: int, dtype=jnp.bfloat16,
+                   kv_dtype: str = "bf16"):
+        return self.base.init_cache(batch, max_len, dtype, kv_dtype)
+
+    def hidden_states(self, *a, **k):
+        return self.base.hidden_states(*a, **k)
+
+    def logits(self, hidden):
+        return self.base.logits(hidden)
+
+    def loss(self, *a, **k):
+        return self.base.loss(*a, **k)
+
+    def _mega_eligible(self, input_ids, cache, inputs_embeds, pad_lens) -> bool:
+        if type(cache) is not KVCache:
+            return False
+        shp = inputs_embeds.shape if inputs_embeds is not None else input_ids.shape
+        if tuple(shp[:2]) != (1, 1):
+            return False
+        if pad_lens is not None:
+            return False
+        from ..utils.runtime import on_tpu
+
+        return on_tpu() or self.interpret
+
+    def __call__(self, input_ids, cache, last_only: bool = True,
+                 inputs_embeds=None, pad_lens=None):
+        if not self._mega_eligible(input_ids, cache, inputs_embeds, pad_lens):
+            return self.base(input_ids, cache, last_only=last_only,
+                             inputs_embeds=inputs_embeds, pad_lens=pad_lens)
+        cfg = self.cfg
+        x = inputs_embeds if inputs_embeds is not None else self.base.embed_tokens(input_ids)
+        if cfg.embedding_multiplier != 1.0:
+            x = x * jnp.asarray(cfg.embedding_multiplier, x.dtype)
+        pos = jnp.asarray(cache.pos, jnp.int32)
+        rope = self.base.rope
+        sin = jnp.take(rope.sin, pos, axis=0)
+        cos = jnp.take(rope.cos, pos, axis=0)
+        rot = rope_rotation_matrix(sin, cos, cfg.head_dim_)
+        y, k_new, v_new = fused_decode_step(
+            x[0], pos, rot, self.qkv_ops, self.o_ops, self.gate_ops,
+            self.up_ops, self.down_ops, self.norm1_w, self.norm2_w,
+            cache.k, cache.v,
+            n_heads=cfg.num_attention_heads, n_kv_heads=cfg.num_key_value_heads,
+            head_dim=cfg.head_dim_, act=cfg.hidden_act, eps=cfg.rms_norm_eps,
+            rm=cfg.residual_multiplier, block_f=self.block_f,
+            interpret=self.interpret)
+        kn = k_new[:, None, :, None, :].astype(cache.k.dtype)
+        vn = v_new[:, None, :, None, :].astype(cache.v.dtype)
+        zero = jnp.zeros((), jnp.int32)
+        k = jax.lax.dynamic_update_slice(cache.k, kn, (zero, zero, zero, pos, zero))
+        v = jax.lax.dynamic_update_slice(cache.v, vn, (zero, zero, zero, pos, zero))
+        cache = KVCache(k, v, cache.pos).advance(1)
+        hidden = self.base.norm(y[None].astype(x.dtype))
+        return self.base.logits(hidden), cache

@@ -1,0 +1,432 @@
+"""Whole-trunk int4 decode megakernel: all L decoder layers in ONE Pallas
+launch.
+
+Why: the round-2/3 int4 decode path wins per-GEMV (group-partial kernel) but
+loses at model level to int8 — ~57 Pallas launches per step (28 fused-MLP +
+28 decode-attention + head) each break XLA's cross-op prefetch, and on a
+relay-attached chip the launch gap rivals a small GEMV.  This kernel removes
+the boundaries altogether: the grid is (L, 1 + ff/block_f) — step (l, 0)
+runs layer l's attention (int4 qkv projection, RoPE as a [hd, hd] rotation
+matrix, online-softmax over the HBM-resident KV cache via double-buffered
+DMA, int4 o-projection, residual + norms), steps (l, 1..NF) run the gated
+MLP one ff-slab at a time exactly like ops/fused_mlp.py.  Pallas revisiting
+semantics fetch each weight block exactly once per step while the NEXT
+grid step's blocks stream in the background, so the whole trunk is one
+continuous weight stream at int4 bytes — the speed-of-light formulation for
+single-stream decode (HBM-bound: ~0.7 GB/step at flagship size).
+
+Replaces (performance-wise) the reference's per-op decode dispatch
+(/root/reference/mllm/backends/cpu/compute/Matmul.cpp + FlashAttention2.hpp
+driven op-by-op from Module::Forward) with a single fused device program.
+
+Contract / gates (checked by models/megadecode.py):
+  - single stream (B=1, S=1), dense bf16 KV cache [L, 1, Hkv, S, hd]
+  - hd == 128 (lane width), d/2 and (h*hd)/2 multiples of `group`
+  - RMSNorm, hf-style full-dim RoPE, symmetric int4 weights (float-sourced)
+  - gated MLP with act in _ACT, no sliding window, no QK-norm, no softcap
+
+Weight layouts:
+  qkv/o/gate/up: planar excess-8 over their K axis — packed uint8
+    [L, K/2, N] (row r: k=r lo nibble, k=r+K/2 hi), scales f32 [L, K/G, N]
+    in natural k-group order (lo rows [0, K/2G), hi rows [K/2G, K/G)).
+  down: block-planar over K=ff (ops/fused_mlp.prepare_int4_ff layout).
+The new token's K/V never round-trip through HBM: the online softmax is
+INITIALIZED with the current token (m0 = s_new, l0 = 1, acc0 = v_new), and
+the roped k/v are returned as [L, Hkv, hd] outputs for a trivial XLA
+dynamic_update_slice outside (14 KB/step) — no read-after-write hazard and
+no unaligned single-row DMA into the cache.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_mlp import _ACT
+
+NEG_INF = -1e30
+
+
+def _rms(x, w, eps):
+    """RMSNorm in f32: x (1, d) f32, w (1, d) f32 -> (1, d) f32."""
+    var = jnp.mean(x * x, axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(var + eps) * w
+
+
+def _gdot_sym(xb, p_ref, s_ref, group):
+    """y (m, n) f32 = xb (m, K) bf16 @ dequant(planar excess-8 int4).
+
+    p_ref: (1, K/2, n) VMEM ref (sliced per group — temporaries stay
+    (G, n)-sized); s_ref: (1, K/G, n) VMEM ref.  The lo/hi nibbles of
+    packed row slice [gG, (g+1)G) cover k-groups g and K/2G + g; scales
+    apply to f32 partial sums, symmetric zeros folded into the scale term
+    (ops/quant_matmul._int4_gb_kernel_sym math)."""
+    _, khalf, n = p_ref.shape
+    ngh = khalf // group
+    m = xb.shape[0]
+    s_all = s_ref[0]  # (K/G, n) f32 — small
+    acc = jnp.zeros((m, n), jnp.float32)
+    for g in range(ngh):
+        sl = slice(g * group, (g + 1) * group)
+        pg = p_ref[0, sl, :].astype(jnp.int32)
+        lo = (pg & 0x0F).astype(jnp.bfloat16)
+        hi = (pg >> 4).astype(jnp.bfloat16)
+        xl = xb[:, sl]
+        xh = xb[:, khalf + g * group : khalf + (g + 1) * group]
+        p_lo = jax.lax.dot_general(xl, lo, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        p_hi = jax.lax.dot_general(xh, hi, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        xs_l = jnp.sum(xl, axis=1, keepdims=True).astype(jnp.float32)
+        xs_h = jnp.sum(xh, axis=1, keepdims=True).astype(jnp.float32)
+        acc = (acc + (p_lo - 8.0 * xs_l) * s_all[g : g + 1, :]
+               + (p_hi - 8.0 * xs_h) * s_all[ngh + g : ngh + g + 1, :])
+    return acc
+
+
+def _down_dot_sym(hb, p_ref, s_ref, group):
+    """Block-planar down slab: hb (m, F) bf16, p_ref (1, F/2, d) packed ref,
+    s_ref (1, F/G, d) scales ref (lo rows then hi rows within the block)."""
+    _, fh, n = p_ref.shape
+    ngb = fh // group
+    m = hb.shape[0]
+    s_all = s_ref[0]
+    acc = jnp.zeros((m, n), jnp.float32)
+    for g in range(ngb):
+        sl = slice(g * group, (g + 1) * group)
+        pg = p_ref[0, sl, :].astype(jnp.int32)
+        lo = (pg & 0x0F).astype(jnp.bfloat16)
+        hi = (pg >> 4).astype(jnp.bfloat16)
+        xl = hb[:, sl]
+        xh = hb[:, fh + g * group : fh + (g + 1) * group]
+        p_lo = jax.lax.dot_general(xl, lo, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        p_hi = jax.lax.dot_general(xh, hi, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        xs_l = jnp.sum(xl, axis=1, keepdims=True).astype(jnp.float32)
+        xs_h = jnp.sum(xh, axis=1, keepdims=True).astype(jnp.float32)
+        acc = (acc + (p_lo - 8.0 * xs_l) * s_all[g : g + 1, :]
+               + (p_hi - 8.0 * xs_h) * s_all[ngb + g : ngb + g + 1, :])
+    return acc
+
+
+def _mega_kernel(
+    scal_ref,   # SMEM (2,) int32: [pos, kv_start]
+    x_ref,      # VMEM (1, d) f32 — input hidden (post-embed)
+    rope_ref,   # VMEM (hd, hd) f32 — rotation matrix for this position
+    qkvp_ref,   # VMEM (1, d/2, n_qkv) u8      idx (l, 0, 0)
+    qkvs_ref,   # VMEM (1, d/G, n_qkv) f32
+    qkvb_ref,   # VMEM (1, 1, n_qkv) f32 (zeros when the model has no bias)
+    op_ref,     # VMEM (1, n_q/2, d) u8
+    os_ref,     # VMEM (1, n_q/G, d) f32
+    gp_ref,     # VMEM (1, d/2, BF) u8         idx (l, 0, max(j-1, 0))
+    gs_ref,     # VMEM (1, d/G, BF) f32
+    up_ref,     # VMEM (1, d/2, BF) u8
+    us_ref,     # VMEM (1, d/G, BF) f32
+    dp_ref,     # VMEM (1, BF/2, d) u8         idx (l, max(j-1, 0), 0)
+    ds_ref,     # VMEM (1, BF/G, d) f32
+    n1_ref,     # VMEM (1, 1, d) f32           idx (l, 0, 0)
+    n2_ref,     # VMEM (1, 1, d) f32
+    k_hbm,      # ANY (L, 1, Hkv, S, hd) — cache, read-only here
+    v_hbm,      # ANY
+    y_ref,      # out VMEM (1, d) f32 — final hidden (pre final-norm)
+    knew_ref,   # out VMEM (1, Hkv, hd) f32  idx (l, 0, 0) — roped new K
+    vnew_ref,   # out VMEM (1, Hkv, hd) f32
+    x_res,      # scratch VMEM (1, d) f32 — residual stream
+    xm,         # scratch VMEM (1, d) bf16 — normed MLP input
+    acc,        # scratch VMEM (1, d) f32 — MLP down accumulator
+    k_buf,      # scratch VMEM (2, Hkv, BK, hd) cache dtype
+    v_buf,
+    sems,       # DMA semaphores (2, 2)
+    *,
+    group: int,
+    act,
+    scale: float,
+    eps: float,
+    rm: float,
+    h: int,
+    hkv: int,
+    hd: int,
+    bk: int,
+    s_max: int,
+    nf: int,
+):
+    l = pl.program_id(0)
+    j = pl.program_id(1)
+    pos = scal_ref[0]
+    kv_start = scal_ref[1]
+    gq = h // hkv  # q heads per kv head
+    n_q = h * hd
+
+    @pl.when(jnp.logical_and(l == 0, j == 0))
+    def _seed():
+        x_res[:] = x_ref[:]
+
+    @pl.when(j == 0)
+    def _attention():
+        x = x_res[:]  # (1, d) f32
+        hin = _rms(x, n1_ref[0], eps).astype(jnp.bfloat16)
+        qkv = _gdot_sym(hin, qkvp_ref, qkvs_ref, group) + qkvb_ref[0]
+        rot = rope_ref[:]  # (hd, hd) f32
+
+        # roped q per head (scale folded), roped k / raw v per kv head
+        def rope_apply(row):  # (1, hd) f32 @ (hd, hd) f32
+            return jax.lax.dot_general(row, rot, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+        q_rows = []
+        for qi in range(h):
+            q_rows.append(rope_apply(qkv[:, qi * hd : (qi + 1) * hd]) * scale)
+        k_rows = []
+        v_rows = []
+        for hh in range(hkv):
+            kh = rope_apply(qkv[:, n_q + hh * hd : n_q + (hh + 1) * hd])
+            vh = qkv[:, n_q + hkv * hd + hh * hd : n_q + hkv * hd + (hh + 1) * hd]
+            k_rows.append(kh)
+            v_rows.append(vh)
+        knew_ref[0] = jnp.concatenate(k_rows, axis=0)  # (hkv, hd)
+        vnew_ref[0] = jnp.concatenate(v_rows, axis=0)
+
+        # online softmax per q head, initialized with the CURRENT token
+        # (always valid, never round-trips through the cache)
+        m_st, l_st, a_st = [], [], []
+        for qi in range(h):
+            kh = k_rows[qi // gq]
+            vh = v_rows[qi // gq]
+            s0 = jnp.sum(q_rows[qi] * kh, axis=1, keepdims=True)  # (1, 1)
+            m_st.append(s0)
+            l_st.append(jnp.ones((1, 1), jnp.float32))
+            a_st.append(vh)
+
+        n_blocks = pl.cdiv(pos, bk)  # traced; 0 on an empty cache
+
+        def _dma_start(blk):
+            # clamped final block (decode_attention.py trick): min in
+            # 128-row units so Mosaic proves tile-divisibility
+            return jnp.minimum(blk * (bk // 128), (s_max - bk) // 128) * 128
+
+        def k_dma(slot, blk):
+            return pltpu.make_async_copy(
+                k_hbm.at[l, 0, :, pl.ds(_dma_start(blk), bk), :],
+                k_buf.at[slot], sems.at[0, slot])
+
+        def v_dma(slot, blk):
+            return pltpu.make_async_copy(
+                v_hbm.at[l, 0, :, pl.ds(_dma_start(blk), bk), :],
+                v_buf.at[slot], sems.at[1, slot])
+
+        @pl.when(n_blocks > 0)
+        def _first():
+            k_dma(0, 0).start()
+            v_dma(0, 0).start()
+
+        def body(i, carry):
+            ms, ls, accs = carry
+            slot = jax.lax.rem(i, 2)
+            nxt = jax.lax.rem(i + 1, 2)
+
+            @pl.when(i + 1 < n_blocks)
+            def _prefetch():
+                k_dma(nxt, i + 1).start()
+                v_dma(nxt, i + 1).start()
+
+            k_dma(slot, i).wait()
+            v_dma(slot, i).wait()
+
+            k_pos = _dma_start(i) + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
+            ok = jnp.logical_and(k_pos < pos, k_pos >= kv_start)
+            ok = jnp.logical_and(ok, k_pos >= i * bk)  # clamped-tail re-mask
+
+            ms2, ls2, accs2 = [], [], []
+            for qi in range(h):
+                hh = qi // gq
+                kb = k_buf[slot, hh]  # (BK, hd)
+                vb = v_buf[slot, hh]
+                s = jax.lax.dot_general(
+                    q_rows[qi].astype(kb.dtype), kb, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (1, BK)
+                s = jnp.where(ok, s, NEG_INF)
+                m_cur = jnp.max(s, axis=1, keepdims=True)
+                m_new = jnp.maximum(ms[qi], m_cur)
+                p = jnp.exp(s - m_new)
+                alpha = jnp.exp(ms[qi] - m_new)
+                ls2.append(ls[qi] * alpha + jnp.sum(p, axis=1, keepdims=True))
+                accs2.append(accs[qi] * alpha + jax.lax.dot_general(
+                    p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+                ms2.append(m_new)
+            return ms2, ls2, accs2
+
+        m_st, l_st, a_st = jax.lax.fori_loop(
+            0, n_blocks, body, (m_st, l_st, a_st))
+
+        outs = [a_st[qi] / l_st[qi] for qi in range(h)]  # (1, hd) each
+        attn_flat = jnp.concatenate(outs, axis=1).astype(jnp.bfloat16)  # (1, n_q)
+        o = _gdot_sym(attn_flat, op_ref, os_ref, group)  # (1, d) f32
+        xr = x + (o if rm == 1.0 else o * rm)
+        x_res[:] = xr
+        xm[:] = _rms(xr, n2_ref[0], eps).astype(jnp.bfloat16)
+
+    @pl.when(j > 0)
+    def _mlp_slab():
+        jj = j - 1
+
+        @pl.when(jj == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+
+        hin = xm[:]  # (1, d) bf16
+        gate = _gdot_sym(hin, gp_ref, gs_ref, group)
+        up = _gdot_sym(hin, up_ref, us_ref, group)
+        hmid = (act(gate) * up).astype(jnp.bfloat16)  # (1, BF)
+        acc[:] += _down_dot_sym(hmid, dp_ref, ds_ref, group)
+
+        @pl.when(jj == nf - 1)
+        def _finish_layer():
+            a = acc[:]
+            xo = x_res[:] + (a if rm == 1.0 else a * rm)
+            x_res[:] = xo
+
+            @pl.when(l == pl.num_programs(0) - 1)
+            def _():
+                y_ref[:] = xo
+
+
+def fused_decode_step(
+    x: jax.Array,        # [1, d] f32/bf16 — post-embedding hidden
+    pos,                 # scalar int32 — tokens already in the cache
+    rope_r: jax.Array,   # [hd, hd] f32 rotation matrix at this position
+    qkv_ops,             # (packed [L, d/2, n_qkv] u8, scales [L, d/G, n_qkv] f32,
+                         #  bias [L, 1, n_qkv] f32)
+    o_ops,               # (packed [L, n_q/2, d], scales [L, n_q/G, d])
+    gate_ops,            # (packed [L, d/2, ff], scales [L, d/G, ff])
+    up_ops,
+    down_ops,            # block-planar: (packed [L, ff/2, d], scales [L, ff/G, d])
+    norm1_w,             # [L, 1, d] f32
+    norm2_w,             # [L, 1, d] f32
+    k_cache,             # [L, 1, Hkv, S, hd] bf16
+    v_cache,
+    *,
+    n_heads: int,
+    n_kv_heads: int,
+    head_dim: int,
+    act: str = "silu",
+    eps: float = 1e-6,
+    rm: float = 1.0,
+    scale: float | None = None,
+    group: int = 32,
+    block_f: int = 640,
+    block_k: int = 512,
+    kv_start=None,
+    interpret: bool = False,
+):
+    """One full trunk decode step.  Returns (y [1, d] f32 pre-final-norm,
+    k_new [L, Hkv, hd] f32 roped, v_new [L, Hkv, hd] f32); the caller
+    dynamic_update_slice's k_new/v_new into the cache at `pos`."""
+    L, khalf_d, n_qkv = qkv_ops[0].shape
+    d = 2 * khalf_d
+    ff = gate_ops[0].shape[2]
+    h, hkv, hd = n_heads, n_kv_heads, head_dim
+    n_q = h * hd
+    s_max = k_cache.shape[3]
+    assert x.shape == (1, d), x.shape
+    assert hd == 128 and n_qkv == (h + 2 * hkv) * hd
+    assert ff % block_f == 0 and s_max % 128 == 0
+    # Mosaic block rule: the scale blocks' sublane dim (block_f/G) must be a
+    # multiple of 8 -> block_f must be a multiple of 8*G = 256
+    assert block_f % (8 * group) == 0, block_f
+    assert khalf_d % group == 0 and (n_q // 2) % group == 0
+    if scale is None:
+        scale = hd**-0.5
+    bk = min(block_k, s_max)
+    nf = ff // block_f
+    ng_d = d // group
+    ng_q = n_q // group
+    scal = jnp.stack([jnp.asarray(pos, jnp.int32),
+                      jnp.asarray(0 if kv_start is None else kv_start, jnp.int32)])
+
+    kernel = functools.partial(
+        _mega_kernel, group=group, act=_ACT[act], scale=float(scale),
+        eps=float(eps), rm=float(rm), h=h, hkv=hkv, hd=hd, bk=bk,
+        s_max=s_max, nf=nf)
+
+    lconst = lambda l, j: (l, 0, 0)
+    gmap = lambda l, j: (l, 0, jnp.maximum(j - 1, 0))
+    dmap = lambda l, j: (l, jnp.maximum(j - 1, 0), 0)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, d), lambda l, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((hd, hd), lambda l, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, khalf_d, n_qkv), lconst, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ng_d, n_qkv), lconst, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, n_qkv), lconst, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_q // 2, d), lconst, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ng_q, d), lconst, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, khalf_d, block_f), gmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ng_d, block_f), gmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, khalf_d, block_f), gmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ng_d, block_f), gmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_f // 2, d), dmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_f // group, d), dmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, d), lconst, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, d), lconst, memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, d), lambda l, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hkv, hd), lambda l, j: (l, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hkv, hd), lambda l, j: (l, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((1, d), jnp.float32),
+        jax.ShapeDtypeStruct((L, hkv, hd), jnp.float32),
+        jax.ShapeDtypeStruct((L, hkv, hd), jnp.float32),
+    ]
+    qkvb = qkv_ops[2]
+    if qkvb is None:
+        qkvb = jnp.zeros((L, 1, n_qkv), jnp.float32)
+
+    y, k_new, v_new = pl.pallas_call(
+        kernel,
+        grid=(L, nf + 1),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((1, d), jnp.float32),
+            pltpu.VMEM((1, d), jnp.bfloat16),
+            pltpu.VMEM((1, d), jnp.float32),
+            pltpu.VMEM((2, hkv, bk, hd), k_cache.dtype),
+            pltpu.VMEM((2, hkv, bk, hd), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )(scal, x.astype(jnp.float32), rope_r.astype(jnp.float32),
+      qkv_ops[0], qkv_ops[1], qkvb, o_ops[0], o_ops[1],
+      gate_ops[0], gate_ops[1], up_ops[0], up_ops[1],
+      down_ops[0], down_ops[1], norm1_w, norm2_w, k_cache, v_cache)
+    return y, k_new, v_new
+
+
+def rope_rotation_matrix(sin_row: jax.Array, cos_row: jax.Array, hd: int = 128):
+    """hf-style (rotate_half) RoPE at one position as a [hd, hd] matrix R so
+    that rope(x) == x @ R exactly (nn/layers.py apply_rotary 'hf' math):
+      out[j]      = x[j] cos[j] - x[j+hd/2] sin[j]
+      out[j+hd/2] = x[j+hd/2] cos[j] + x[j] sin[j]
+    sin_row/cos_row: [hd/2] f32 at the current position."""
+    half = hd // 2
+    i = jnp.arange(half)
+    c = cos_row.astype(jnp.float32)
+    s = sin_row.astype(jnp.float32)
+    R = jnp.zeros((hd, hd), jnp.float32)
+    R = R.at[i, i].set(c)
+    R = R.at[i + half, i].set(-s)
+    R = R.at[i + half, i + half].set(c)
+    R = R.at[i, i + half].set(s)
+    return R

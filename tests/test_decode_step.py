@@ -1,0 +1,103 @@
+"""Whole-trunk decode megakernel (ops/decode_step.py) vs the int4 base model.
+
+The kernel and the oracle share one set of quantized values
+(MegaDecodeLM.from_float), so differences are purely kernel-math
+(bf16 dot operands, f32 group partial sums) — tolerances are tight.
+Runs the real kernel body in pallas interpret mode on CPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mllm_tpu.core.config import TextConfig
+from mllm_tpu.models.megadecode import MegaDecodeLM
+from mllm_tpu.models.transformer import CausalLM
+
+CFG = TextConfig(
+    vocab_size=512,
+    hidden_size=512,
+    intermediate_size=512,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    head_dim=128,
+    max_position_embeddings=256,
+    attention_bias=True,
+    tie_word_embeddings=True,
+    model_type="qwen2",
+)
+
+
+@pytest.fixture(scope="module")
+def mega():
+    model = CausalLM.init(jax.random.PRNGKey(0), CFG).stack()
+    return MegaDecodeLM.from_float(model, interpret=True)
+
+
+def _prefill(model, ids, cache):
+    logits, cache = model(ids, cache, last_only=True)
+    return logits, cache
+
+
+def test_single_decode_step_matches_base(mega):
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 512, (1, 9)))
+    cache0 = mega.init_cache(1, 256)
+    _, cache = _prefill(mega.base, ids, cache0)
+
+    tok = jnp.asarray([[7]])
+    logits_base, cache_b = mega.base(tok, cache, last_only=True)
+    logits_mega, cache_m = mega(tok, cache, last_only=True)
+
+    lb = np.asarray(logits_base[0, 0], np.float32)
+    lm = np.asarray(logits_mega[0, 0], np.float32)
+    # same quantized values; kernel uses bf16 dot operands -> small drift
+    np.testing.assert_allclose(lm, lb, rtol=0.05, atol=0.05)
+    assert int(np.argmax(lm)) == int(np.argmax(lb))
+
+    # cache updated identically (roped K written at pos)
+    kb = np.asarray(cache_b.k[:, 0, :, 9, :], np.float32)
+    km = np.asarray(cache_m.k[:, 0, :, 9, :], np.float32)
+    np.testing.assert_allclose(km, kb, rtol=0.05, atol=0.05)
+    assert int(cache_m.pos) == int(cache_b.pos) == 10
+
+
+def test_multi_step_greedy_parity(mega):
+    ids = jnp.asarray(np.random.RandomState(1).randint(0, 512, (1, 5)))
+    cache0 = mega.init_cache(1, 256)
+
+    logits, cache_b = _prefill(mega.base, ids, cache0)
+    _, cache_m = _prefill(mega.base, ids, mega.init_cache(1, 256))
+    tok_b = tok_m = jnp.argmax(logits, axis=-1)
+
+    toks_b, toks_m = [], []
+    for _ in range(4):
+        lb, cache_b = mega.base(tok_b, cache_b, last_only=True)
+        lm, cache_m = mega(tok_m, cache_m, last_only=True)
+        tok_b = jnp.argmax(lb[:, -1], axis=-1)[None]
+        tok_m = jnp.argmax(lm[:, -1], axis=-1)[None]
+        toks_b.append(int(tok_b[0, 0]) if tok_b.ndim == 2 else int(tok_b[0]))
+        toks_m.append(int(tok_m[0, 0]) if tok_m.ndim == 2 else int(tok_m[0]))
+    assert toks_b == toks_m
+
+
+def test_empty_cache_first_token(mega):
+    """pos=0: the online softmax sees only the current token."""
+    cache = mega.init_cache(1, 256)
+    tok = jnp.asarray([[3]])
+    lb, _ = mega.base(tok, cache, last_only=True)
+    lm, cm = mega(tok, cache, last_only=True)
+    np.testing.assert_allclose(
+        np.asarray(lm[0, 0]), np.asarray(lb[0, 0]), rtol=0.05, atol=0.05)
+    assert int(cm.pos) == 1
+
+
+def test_unsupported_configs_raise():
+    bad = TextConfig(vocab_size=64, hidden_size=256, intermediate_size=256,
+                     num_hidden_layers=1, num_attention_heads=4,
+                     num_key_value_heads=2, head_dim=64,
+                     max_position_embeddings=64)
+    model = CausalLM.init(jax.random.PRNGKey(0), bad).stack()
+    with pytest.raises(ValueError, match="head_dim"):
+        MegaDecodeLM.from_float(model)
