@@ -102,6 +102,12 @@ def model_builder(cfg: TextConfig, quant, stacked: bool = False):
         ang = jnp.arange(ROPE_TABLE_LEN, dtype=jnp.float32)[:, None] * inv[None, :]
         m = m.replace(rope=RotaryEmbedding(jnp.sin(ang), jnp.cos(ang),
                                            cfg.rope_style, rot_dim))
+        if quant == "int4-mega":
+            # whole-trunk decode megakernel (ops/decode_step.py): prefill
+            # and batch paths ride the int4 base inside the wrapper
+            from mllm_tpu.models.megadecode import MegaDecodeLM
+
+            return MegaDecodeLM.from_float(m)
         if quant:
             from mllm_tpu.ops.quantize_model import fuse_projections, quantize_model
 
@@ -448,12 +454,16 @@ def bench_config(name: str) -> dict:
 
         results = []
         for impl, q in (("xla", "int4"), ("pallas", "int4"),
-                        ("pallas", "int4-mixed")):
+                        ("pallas", "int4-mixed"), ("pallas", "int4-mega")):
             os.environ["MLLM_INT4_IMPL"] = impl
             try:
                 r = _bench_config_body(name, cfg, q, batch, *rest)
-                r["int4_impl"] = impl if q == "int4" else f"{impl}-mixed"
+                r["int4_impl"] = impl if q == "int4" else impl + q[4:]
                 results.append(r)
+            except ValueError as e:  # megakernel contract (e.g. head_dim)
+                print(json.dumps({"config": name, "impl": f"{impl}{q[4:]}",
+                                  "skipped": str(e)[:120]}), file=sys.stderr)
+                continue
             finally:
                 os.environ.pop("MLLM_INT4_IMPL", None)
             print(json.dumps({"config": name, "impl": r["int4_impl"],

@@ -90,11 +90,12 @@ def _stack_lin_weights(blk):
     return w_qkv, b_qkv, attn.o_proj.weight, w_gate, w_up, mlp.down_proj.weight
 
 
-def _quant_head_pallas(model: CausalLM) -> CausalLM:
+def _quant_head_pallas(model: CausalLM, scale_dtype=jnp.float32) -> CausalLM:
     """int4 lm_head via the Pallas group kernel (quantize_model's
     Int4EmbedHeadPallas path, applied deterministically regardless of
     MLLM_INT4_IMPL — the n-axis XLA head is VPU-dequant-bound at vocab
-    scale)."""
+    scale).  scale_dtype=bf16 halves the head's [K/G, V] scale stream
+    (29 MB -> 14.5 at vocab 151936)."""
     if model.lm_head is not None:
         if type(model.lm_head) is not Linear:
             return model  # already quantized
@@ -104,7 +105,8 @@ def _quant_head_pallas(model: CausalLM) -> CausalLM:
         wp = jnp.pad(w, ((0, vp - v), (0, 0)))
         packed, scales = _q4_device(wp)
         packed, scales, _ = qm.prepare_int4(packed, scales, 32)
-        head = Int4Linear(packed, scales, 32, None, model.lm_head.bias)
+        head = Int4Linear(packed, scales.astype(scale_dtype), 32, None,
+                          model.lm_head.bias)
         return model.replace(lm_head=_PaddedHead(head, v))
     emb = model.embed_tokens
     if not isinstance(emb, Embedding):
@@ -114,7 +116,7 @@ def _quant_head_pallas(model: CausalLM) -> CausalLM:
     wp = jnp.pad(emb.weight, ((0, vp - v), (0, 0)))
     packed, scales = _q4_device(wp)
     packed, scales, _ = qm.prepare_int4(packed, scales, 32)
-    proj = Int4Linear(packed, scales, 32, None, None)
+    proj = Int4Linear(packed, scales.astype(scale_dtype), 32, None, None)
     return model.replace(embed_tokens=Int4EmbedHeadPallas(emb, proj, v))
 
 
@@ -134,7 +136,7 @@ class MegaDecodeLM(Module):
 
     def __init__(self, base: CausalLM, qkv_ops, o_ops, gate_ops, up_ops,
                  down_ops, norm1_w, norm2_w, block_f: int,
-                 interpret: bool = False):
+                 interpret: bool = False, group_a: int = 64):
         self.base = base
         self.qkv_ops = tuple(qkv_ops)
         self.o_ops = tuple(o_ops)
@@ -145,17 +147,35 @@ class MegaDecodeLM(Module):
         self.norm2_w = norm2_w
         self.block_f = block_f
         self.interpret = interpret
+        self.group_a = group_a
 
     # -- construction --------------------------------------------------------
 
     @staticmethod
     def from_float(model: CausalLM, block_f: int | None = None,
                    block_f_cap: int = 1280, interpret: bool = False,
-                   quant_head: bool = True) -> "MegaDecodeLM":
+                   quant_head: bool = True,
+                   scale_dtype=jnp.bfloat16,
+                   group_a: int = 64) -> "MegaDecodeLM":
         """Quantize a float CausalLM once into (a) megakernel operand stacks
         and (b) an int4 `base` model sharing the same values (prefill +
         oracle).  Raises ValueError when the config is outside the kernel's
-        contract — callers fall back to the regular int4 paths."""
+        contract — callers fall back to the regular int4 paths.
+
+        scale_dtype: group scales stream at bf16 by default — halves the f32
+        side stream (~0.16 GB/step at flagship size); ggml itself stores
+        Q4_0 scales in fp16 (/root/reference/mllm/backends/cpu/third_party/
+        ggml/Types.hpp block_q4_0), so the precision class is identical.
+        The oracle `base` uses the SAME cast scales, so kernel-vs-base
+        parity is unaffected.
+
+        group_a: quantization group for qkv/o/gate/up (the kernel is
+        dot-issue bound at m=1; G=64 halves the column-projection dot count
+        — see ops/decode_step.fused_decode_step).  The `base` oracle
+        consumes the SAME group-64-quantized values with each scale row
+        repeated into group-32 layout, so its group-32 kernels stay exact.
+        Falls back to 32 when the geometry can't satisfy Mosaic's 8-row
+        scale-block rule at 64."""
         if getattr(model, "stacked_blocks", None) is None:
             model = model.stack()
         blk = getattr(model, "stacked_blocks", None)
@@ -172,9 +192,16 @@ class MegaDecodeLM(Module):
         if block_f is None:
             raise ValueError("no ff block size divides intermediate_size")
 
+        d = cfg.hidden_size
+        n_q = cfg.num_attention_heads * cfg.head_dim_
+        while group_a > 32 and (
+                (d // 2) % group_a or (n_q // 2) % group_a
+                or (d // group_a) % 8 or (n_q // group_a) % 8):
+            group_a //= 2  # kernel scale-block geometry unsatisfiable at 64
+
         def q4_e8(w):  # float [L, N, K] -> (packed_e8 [L, K/2, N], scales)
-            p, s = _q4_device(w)
-            return (p ^ 0x88).astype(jnp.uint8), s
+            p, s = _q4_device(w, group_a)
+            return (p ^ 0x88).astype(jnp.uint8), s.astype(scale_dtype)
 
         qkv_p, qkv_s = q4_e8(w_qkv)
         o_p, o_s = q4_e8(w_o)
@@ -182,31 +209,38 @@ class MegaDecodeLM(Module):
         u_p, u_s = q4_e8(w_up)
         d_ps, d_ss = _q4_device(w_down)  # signed planar over K=ff
         d_p, d_s, _ = prepare_int4_ff(d_ps, d_ss, None, block_f)
+        d_s = d_s.astype(scale_dtype)
 
         qkv_b3 = None if b_qkv is None else b_qkv[:, None, :].astype(jnp.float32)
         n1 = blk.input_norm.weight[:, None, :].astype(jnp.float32)
         n2 = blk.post_attn_norm.weight[:, None, :].astype(jnp.float32)
 
-        # base model sharing the same quantized values (prefill + oracle)
+        # base model sharing the same quantized values (prefill + oracle):
+        # the group-64 scale rows repeat into group-32 layout — identical
+        # dequant law, so the base's group-32 kernels see the same weights
         from ..ops.quantize_model import FusedInt4MLP
 
+        rep = group_a // 32
+        s32 = (lambda s: s) if rep == 1 else (
+            lambda s: jnp.repeat(s, rep, axis=-2))
+
         attn2 = blk.attn.replace(
-            qkv_proj=Int4Linear(qkv_p, qkv_s, 32, None, b_qkv),
+            qkv_proj=Int4Linear(qkv_p, s32(qkv_s), 32, None, b_qkv),
             q_proj=None, k_proj=None, v_proj=None,
-            o_proj=Int4Linear(o_p, o_s, 32, None, blk.attn.o_proj.bias),
+            o_proj=Int4Linear(o_p, s32(o_s), 32, None, blk.attn.o_proj.bias),
         )
-        mlp2 = FusedInt4MLP((g_p, g_s, None), (u_p, u_s, None),
+        mlp2 = FusedInt4MLP((g_p, s32(g_s), None), (u_p, s32(u_s), None),
                             (d_p, d_s, None), blk.mlp.act, block_f,
                             bias=blk.mlp.down_proj.bias)
         blk2 = blk.replace(attn=attn2, mlp=mlp2)
         base = model.replace()
         base.__dict__["stacked_blocks"] = blk2
         if quant_head:
-            base = _quant_head_pallas(base)
+            base = _quant_head_pallas(base, scale_dtype)
 
         return MegaDecodeLM(
             base, (qkv_p, qkv_s, qkv_b3), (o_p, o_s), (g_p, g_s), (u_p, u_s),
-            (d_p, d_s), n1, n2, int(block_f), interpret)
+            (d_p, d_s), n1, n2, int(block_f), interpret, group_a)
 
     # -- CausalLM surface (delegate everything but the 1-token decode) -------
 
@@ -276,7 +310,7 @@ class MegaDecodeLM(Module):
             n_heads=cfg.num_attention_heads, n_kv_heads=cfg.num_key_value_heads,
             head_dim=cfg.head_dim_, act=cfg.hidden_act, eps=cfg.rms_norm_eps,
             rm=cfg.residual_multiplier, block_f=self.block_f,
-            interpret=self.interpret)
+            group_a=self.group_a, interpret=self.interpret)
         kn = k_new[:, None, :, None, :].astype(cache.k.dtype)
         vn = v_new[:, None, :, None, :].astype(cache.v.dtype)
         zero = jnp.zeros((), jnp.int32)

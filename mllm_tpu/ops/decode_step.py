@@ -143,7 +143,8 @@ def _mega_kernel(
     v_buf,
     sems,       # DMA semaphores (2, 2)
     *,
-    group: int,
+    group_a: int,
+    group_d: int,
     act,
     scale: float,
     eps: float,
@@ -170,7 +171,7 @@ def _mega_kernel(
     def _attention():
         x = x_res[:]  # (1, d) f32
         hin = _rms(x, n1_ref[0], eps).astype(jnp.bfloat16)
-        qkv = _gdot_sym(hin, qkvp_ref, qkvs_ref, group) + qkvb_ref[0]
+        qkv = _gdot_sym(hin, qkvp_ref, qkvs_ref, group_a) + qkvb_ref[0]
         rot = rope_ref[:]  # (hd, hd) f32
 
         # roped q per head (scale folded), roped k / raw v per kv head
@@ -266,7 +267,7 @@ def _mega_kernel(
 
         outs = [a_st[qi] / l_st[qi] for qi in range(h)]  # (1, hd) each
         attn_flat = jnp.concatenate(outs, axis=1).astype(jnp.bfloat16)  # (1, n_q)
-        o = _gdot_sym(attn_flat, op_ref, os_ref, group)  # (1, d) f32
+        o = _gdot_sym(attn_flat, op_ref, os_ref, group_a)  # (1, d) f32
         xr = x + (o if rm == 1.0 else o * rm)
         x_res[:] = xr
         xm[:] = _rms(xr, n2_ref[0], eps).astype(jnp.bfloat16)
@@ -280,10 +281,10 @@ def _mega_kernel(
             acc[:] = jnp.zeros_like(acc)
 
         hin = xm[:]  # (1, d) bf16
-        gate = _gdot_sym(hin, gp_ref, gs_ref, group)
-        up = _gdot_sym(hin, up_ref, us_ref, group)
+        gate = _gdot_sym(hin, gp_ref, gs_ref, group_a)
+        up = _gdot_sym(hin, up_ref, us_ref, group_a)
         hmid = (act(gate) * up).astype(jnp.bfloat16)  # (1, BF)
-        acc[:] += _down_dot_sym(hmid, dp_ref, ds_ref, group)
+        acc[:] += _down_dot_sym(hmid, dp_ref, ds_ref, group_d)
 
         @pl.when(jj == nf - 1)
         def _finish_layer():
@@ -318,7 +319,8 @@ def fused_decode_step(
     eps: float = 1e-6,
     rm: float = 1.0,
     scale: float | None = None,
-    group: int = 32,
+    group_a: int = 64,
+    group_d: int = 32,
     block_f: int = 640,
     block_k: int = 512,
     kv_start=None,
@@ -326,7 +328,14 @@ def fused_decode_step(
 ):
     """One full trunk decode step.  Returns (y [1, d] f32 pre-final-norm,
     k_new [L, Hkv, hd] f32 roped, v_new [L, Hkv, hd] f32); the caller
-    dynamic_update_slice's k_new/v_new into the cache at `pos`."""
+    dynamic_update_slice's k_new/v_new into the cache at `pos`.
+
+    group_a (qkv/o/gate/up) defaults to 64: at m=1 the kernel is dot-ISSUE
+    latency bound (~31k small group dots/step at G=32 on the flagship,
+    ~43 ns each), and G=64 halves the column-projection dot count.  The
+    down proj stays at group_d=32 because its per-slab scale block
+    (block_f/G sublanes) must be a multiple of 8 (Mosaic) for every valid
+    block_f.  AWQ/GPTQ commonly group at 128; 64 is finer."""
     L, khalf_d, n_qkv = qkv_ops[0].shape
     d = 2 * khalf_d
     ff = gate_ops[0].shape[2]
@@ -336,23 +345,24 @@ def fused_decode_step(
     assert x.shape == (1, d), x.shape
     assert hd == 128 and n_qkv == (h + 2 * hkv) * hd
     assert ff % block_f == 0 and s_max % 128 == 0
-    # Mosaic block rule: the scale blocks' sublane dim (block_f/G) must be a
-    # multiple of 8 -> block_f must be a multiple of 8*G = 256
-    assert block_f % (8 * group) == 0, block_f
-    assert khalf_d % group == 0 and (n_q // 2) % group == 0
+    # Mosaic block rule: every scale block's sublane dim must be a multiple
+    # of 8 (or the full array dim)
+    assert block_f % (8 * group_d) == 0, (block_f, group_d)
+    assert khalf_d % group_a == 0 and (n_q // 2) % group_a == 0
+    assert (d // group_a) % 8 == 0 and (n_q // group_a) % 8 == 0
     if scale is None:
         scale = hd**-0.5
     bk = min(block_k, s_max)
     nf = ff // block_f
-    ng_d = d // group
-    ng_q = n_q // group
+    ng_d = d // group_a
+    ng_q = n_q // group_a
     scal = jnp.stack([jnp.asarray(pos, jnp.int32),
                       jnp.asarray(0 if kv_start is None else kv_start, jnp.int32)])
 
     kernel = functools.partial(
-        _mega_kernel, group=group, act=_ACT[act], scale=float(scale),
-        eps=float(eps), rm=float(rm), h=h, hkv=hkv, hd=hd, bk=bk,
-        s_max=s_max, nf=nf)
+        _mega_kernel, group_a=group_a, group_d=group_d, act=_ACT[act],
+        scale=float(scale), eps=float(eps), rm=float(rm), h=h, hkv=hkv,
+        hd=hd, bk=bk, s_max=s_max, nf=nf)
 
     lconst = lambda l, j: (l, 0, 0)
     gmap = lambda l, j: (l, 0, jnp.maximum(j - 1, 0))
@@ -372,7 +382,7 @@ def fused_decode_step(
         pl.BlockSpec((1, khalf_d, block_f), gmap, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, ng_d, block_f), gmap, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, block_f // 2, d), dmap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, block_f // group, d), dmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_f // group_d, d), dmap, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, d), lconst, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, d), lconst, memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.ANY),

@@ -11,6 +11,7 @@ Skip rules mirror the reference quantizer's per-tensor skips
 
 from __future__ import annotations
 
+import functools
 from typing import Literal
 
 import jax
@@ -120,13 +121,14 @@ class Int4EmbedHeadPallas(Module):
         return self.proj(x)[..., : self.vocab]
 
 
-@jax.jit
-def _q4_device(w):
-    """Group-32 symmetric int4 planar pack on-device:
-    float [..., N, K] -> (packed uint8 [..., K/2, N], scales f32 [..., K/32, N])."""
+@functools.partial(jax.jit, static_argnums=1)
+def _q4_device(w, group: int = 32):
+    """Symmetric int4 planar pack on-device:
+    float [..., N, K] -> (packed uint8 [..., K/2, N], scales f32 [..., K/G, N]
+    in natural k-group order)."""
     n, k = w.shape[-2], w.shape[-1]
     lead = w.shape[:-2]
-    wg = w.astype(jnp.float32).reshape(*lead, n, k // 32, 32)
+    wg = w.astype(jnp.float32).reshape(*lead, n, k // group, group)
     amax = jnp.max(jnp.abs(wg), axis=-1)
     sc = jnp.where(amax > 0, amax / 7.0, 1.0)
     v = jnp.clip(jnp.round(wg / sc[..., None]), -8, 7).astype(jnp.int8).reshape(*lead, n, k)
