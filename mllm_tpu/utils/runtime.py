@@ -28,7 +28,22 @@ def cpu_devices(n: int | None = None):
     return devs if n is None else devs[:n]
 
 
-def enable_compilation_cache(path: str = "/tmp/mllm_tpu_xla_cache", force: bool = False):
+def default_cache_dir() -> str:
+    """Repo-local cache dir: /tmp is wiped between sessions on the bench
+    hosts, so a /tmp cache silently degrades every fresh run back to cold
+    compiles (a flagship b32 build is a 300-800 s XLA compile).  The repo
+    checkout is the one path that persists; override with
+    MLLM_COMPILE_CACHE_DIR."""
+    import os
+
+    env = os.environ.get("MLLM_COMPILE_CACHE_DIR")
+    if env:
+        return env
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(root, ".cache", "xla_compile")
+
+
+def enable_compilation_cache(path: str | None = None, force: bool = False):
     """Persistent XLA compilation cache — the TPU-native twin of the
     reference's qnn_context.bin compiled-graph cache (demo_qwen_npu.cpp:113).
 
@@ -42,7 +57,10 @@ def enable_compilation_cache(path: str = "/tmp/mllm_tpu_xla_cache", force: bool 
 
     if not force and os.environ.get("MLLM_COMPILE_CACHE") != "1":
         return False
+    if path is None:
+        path = default_cache_dir()
     try:
+        os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         return True
