@@ -59,11 +59,14 @@ def build_model(cfg: TextConfig, loader, dtype=jnp.bfloat16, quant=None):
                     expert_prefix="experts.{e}.", router_name="gate", quant=quant,
                 )
         return load_causal_lm(loader, cfg, dtype, quant, mlp_builder=mlp_builder)
-    if mt in ("qwen2_vl", "qwen2_5_vl"):
-        from .qwen2_vl import load_qwen2_vl, qwen2_vl_config_from_hf
-
-        raise NotImplementedError("use models.qwen2_vl.load_qwen2_vl for VL checkpoints")
     raise NotImplementedError(f"model_type {mt}")
+
+
+# model_types that are not bare CausalLMs: auto_model delegates these to
+# auto_model_any (vision/encoder configs live next to the checkpoint, so
+# dispatch is by path, not by TextConfig)
+_ANY_TYPES = ("opt", "bert", "clip", "llava", "vit", "fuyu", "phi3_v",
+              "phi3v", "qwen2_vl", "qwen2_5_vl")
 
 
 def auto_model_any(path: str, dtype=jnp.bfloat16, quant=None):
@@ -169,6 +172,19 @@ def auto_config(path_or_preset: str, **overrides) -> TextConfig:
 def auto_model(path: str, dtype=jnp.bfloat16, quant=None, config: Optional[TextConfig] = None,
                with_tokenizer: bool = True, **overrides):
     """Load (model, tokenizer, cfg) from a HF-style model directory."""
+    if config is None and os.path.isdir(path):
+        cfg_json = os.path.join(path, "config.json")
+        if os.path.exists(cfg_json):
+            with open(cfg_json) as f:
+                mt = json.load(f).get("model_type", "")
+            if mt in _ANY_TYPES:  # VL / encoder archs: full dispatch
+                model, _kind = auto_model_any(path, dtype, quant)
+                tok = None
+                if with_tokenizer and os.path.exists(os.path.join(path, "tokenizer.json")):
+                    from ..tokenizers.hf_json import auto_tokenizer
+
+                    tok = auto_tokenizer(path)
+                return model, tok, getattr(model, "cfg", None)
     cfg = config or auto_config(path, **overrides)
     loader = open_loader(path)
     model = build_model(cfg, loader, dtype, quant)

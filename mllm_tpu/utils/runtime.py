@@ -40,6 +40,11 @@ def default_cache_dir() -> str:
     if env:
         return env
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    # pip-installed (site-packages, possibly read-only): use the user cache
+    # dir instead of writing inside the package
+    if os.path.basename(root) == "site-packages" or not os.access(root, os.W_OK):
+        xdg = os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache"))
+        return os.path.join(xdg, "mllm_tpu", "xla_compile")
     return os.path.join(root, ".cache", "xla_compile")
 
 

@@ -126,6 +126,27 @@ def main(argv=None):
 
     _stage(report, "kv_cache", kv_cache)
 
+    def multichip_dryrun():
+        # Run the driver's 8-device gate under the driver's OWN wall-clock
+        # budget (580 s): round 3 regressed this gate (MULTICHIP_r03 rc=124)
+        # because local CI only checked correctness, not elapsed time.
+        import subprocess
+
+        env = dict(os.environ,
+                   JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=8")
+        entry = os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py")
+        t0 = time.perf_counter()
+        proc = subprocess.run([sys.executable, entry, "multichip", "8"],
+                              env=env, capture_output=True, text=True, timeout=580)
+        elapsed = time.perf_counter() - t0
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "dryrun_multichip OK" in proc.stdout, proc.stdout[-500:]
+        return {"elapsed_s": round(elapsed, 1), "budget_s": 580}
+
+    if "--dryrun" in (argv or sys.argv[1:]):
+        _stage(report, "multichip_dryrun", multichip_dryrun)
+
     report["ok"] = all(s["ok"] for s in report["stages"].values())
     print(json.dumps(report))
     return 0 if report["ok"] else 1
