@@ -27,7 +27,9 @@ from ..kv.cache import KVCache
 from ..nn.layers import Embedding, Int4Linear, Linear
 from ..nn.module import Module
 from ..ops import quant_matmul as qm
-from ..ops.decode_step import fused_decode_step, rope_rotation_matrix
+from ..ops.decode_step import (
+    fused_decode_step, fused_decode_step_batched, rope_rotation_matrix,
+)
 from ..ops.fused_mlp import _ACT, pick_block_f, prepare_int4_ff
 from ..ops.quantize_model import (
     Int4EmbedHeadPallas,
@@ -281,7 +283,9 @@ class MegaDecodeLM(Module):
         if type(cache) is not KVCache:
             return False
         shp = inputs_embeds.shape if inputs_embeds is not None else input_ids.shape
-        if tuple(shp[:2]) != (1, 1):
+        # b=1 rides the m=1 kernel; 2..16 the batched one (VMEM scratch and
+        # the per-slot attention grid both grow with b — 16 is comfortable)
+        if shp[1] != 1 or not (1 <= shp[0] <= 16) or shp[0] != cache.k.shape[1]:
             return False
         if pad_lens is not None:
             return False
@@ -300,22 +304,39 @@ class MegaDecodeLM(Module):
             x = x * jnp.asarray(cfg.embedding_multiplier, x.dtype)
         pos = jnp.asarray(cache.pos, jnp.int32)
         rope = self.base.rope
-        sin = jnp.take(rope.sin, pos, axis=0)
-        cos = jnp.take(rope.cos, pos, axis=0)
-        rot = rope_rotation_matrix(sin, cos, cfg.head_dim_)
-        y, k_new, v_new = fused_decode_step(
-            x[0], pos, rot, self.qkv_ops, self.o_ops, self.gate_ops,
-            self.up_ops, self.down_ops, self.norm1_w, self.norm2_w,
-            cache.k, cache.v,
-            n_heads=cfg.num_attention_heads, n_kv_heads=cfg.num_key_value_heads,
-            head_dim=cfg.head_dim_, act=cfg.hidden_act, eps=cfg.rms_norm_eps,
-            rm=cfg.residual_multiplier, block_f=self.block_f,
-            group_a=self.group_a, interpret=self.interpret)
-        kn = k_new[:, None, :, None, :].astype(cache.k.dtype)
-        vn = v_new[:, None, :, None, :].astype(cache.v.dtype)
+        b = x.shape[0]
         zero = jnp.zeros((), jnp.int32)
+        if b == 1:
+            sin = jnp.take(rope.sin, pos, axis=0)
+            cos = jnp.take(rope.cos, pos, axis=0)
+            rot = rope_rotation_matrix(sin, cos, cfg.head_dim_)
+            y, k_new, v_new = fused_decode_step(
+                x[0], pos, rot, self.qkv_ops, self.o_ops, self.gate_ops,
+                self.up_ops, self.down_ops, self.norm1_w, self.norm2_w,
+                cache.k, cache.v,
+                n_heads=cfg.num_attention_heads, n_kv_heads=cfg.num_key_value_heads,
+                head_dim=cfg.head_dim_, act=cfg.hidden_act, eps=cfg.rms_norm_eps,
+                rm=cfg.residual_multiplier, block_f=self.block_f,
+                group_a=self.group_a, interpret=self.interpret)
+            kn = k_new[:, None, :, None, :].astype(cache.k.dtype)
+            vn = v_new[:, None, :, None, :].astype(cache.v.dtype)
+        else:
+            # lockstep batched decode: all slots share the scalar cache.pos
+            pos_vec = jnp.full((b,), pos, jnp.int32)
+            sin = jnp.take(rope.sin, pos_vec, axis=0)  # (b, hd/2)
+            cos = jnp.take(rope.cos, pos_vec, axis=0)
+            y, k_new, v_new = fused_decode_step_batched(
+                x[:, 0, :], pos_vec, sin, cos, self.qkv_ops, self.o_ops,
+                self.gate_ops, self.up_ops, self.down_ops, self.norm1_w,
+                self.norm2_w, cache.k, cache.v,
+                n_heads=cfg.num_attention_heads, n_kv_heads=cfg.num_key_value_heads,
+                head_dim=cfg.head_dim_, act=cfg.hidden_act, eps=cfg.rms_norm_eps,
+                rm=cfg.residual_multiplier, block_f=self.block_f,
+                group_a=self.group_a, interpret=self.interpret)
+            kn = k_new[:, :, :, None, :].astype(cache.k.dtype)
+            vn = v_new[:, :, :, None, :].astype(cache.v.dtype)
         k = jax.lax.dynamic_update_slice(cache.k, kn, (zero, zero, zero, pos, zero))
         v = jax.lax.dynamic_update_slice(cache.v, vn, (zero, zero, zero, pos, zero))
         cache = KVCache(k, v, cache.pos).advance(1)
-        hidden = self.base.norm(y[None].astype(x.dtype))
+        hidden = self.base.norm(y[:, None].astype(x.dtype) if b > 1 else y[None].astype(x.dtype))
         return self.base.logits(hidden), cache

@@ -424,6 +424,376 @@ def fused_decode_step(
     return y, k_new, v_new
 
 
+def _mega_kernel_b(
+    scal_ref,   # SMEM (2, b) int32: [pos_i, kv_start_i] per slot
+    x_ref,      # VMEM (b, d) f32 — input hiddens (post-embed)
+    hswap_ref,  # VMEM (hd, hd) f32 — half-swap permutation P (x@P = [x2, x1])
+    cos_ref,    # VMEM (b, hd) f32 — [cos, cos] at each slot's position
+    sin_ref,    # VMEM (b, hd) f32 — [-sin, sin] at each slot's position
+    qkvp_ref,   # VMEM (1, d/2, n_qkv) u8      idx (l, 0, 0)
+    qkvs_ref,   # VMEM (1, d/G, n_qkv) f32
+    qkvb_ref,   # VMEM (1, 1, n_qkv) f32
+    op_ref,     # VMEM (1, n_q/2, d) u8
+    os_ref,     # VMEM (1, n_q/G, d) f32
+    gp_ref,     # VMEM (1, d/2, BF) u8         idx (l, 0, max(j-1-b, 0))
+    gs_ref,     # VMEM (1, d/G, BF) f32
+    up_ref,     # VMEM (1, d/2, BF) u8
+    us_ref,     # VMEM (1, d/G, BF) f32
+    dp_ref,     # VMEM (1, BF/2, d) u8         idx (l, max(j-1-b, 0), 0)
+    ds_ref,     # VMEM (1, BF/G, d) f32
+    n1_ref,     # VMEM (1, 1, d) f32           idx (l, 0, 0)
+    n2_ref,     # VMEM (1, 1, d) f32
+    k_hbm,      # ANY (L, B, Hkv, S, hd) — cache, read-only here
+    v_hbm,      # ANY
+    y_ref,      # out VMEM (b, d) f32 — final hiddens (pre final-norm)
+    knew_ref,   # out VMEM (1, b, hkv, hd) f32  idx (l, 0, 0, 0) — roped new K
+    vnew_ref,   # out VMEM (1, b, hkv, hd) f32
+    x_res,      # scratch VMEM (b, d) f32 — residual stream
+    xm,         # scratch VMEM (b, d) bf16 — normed MLP input
+    acc,        # scratch VMEM (b, d) f32 — MLP down accumulator
+    qrope,      # scratch VMEM (b, n_q) f32 — roped+scaled q rows
+    attn_o,     # scratch VMEM (b, n_q) f32 — attention outputs per slot
+    knew_s,     # scratch VMEM (b, hkv*hd) f32 — 2D copy for per-slot reads
+    vnew_s,     # scratch VMEM (b, hkv*hd) f32
+    k_buf,      # scratch VMEM (2, Hkv, BK, hd) cache dtype
+    v_buf,
+    sems,       # DMA semaphores (2, 2)
+    *,
+    group_a: int,
+    group_d: int,
+    act,
+    scale: float,
+    eps: float,
+    rm: float,
+    b: int,
+    h: int,
+    hkv: int,
+    hd: int,
+    bk: int,
+    s_max: int,
+    nf: int,
+):
+    """Batched (m = b <= ~8) variant of _mega_kernel: grid (L, 1 + b + nf).
+
+    j = 0        : norm1 + int4 qkv projection + RoPE for ALL b rows
+                   (weights stream once, all rows ride the same fetch);
+    j in [1, b]  : online-softmax attention for slot j-1 over ITS cache
+                   entry (per-slot double-buffered HBM DMA, per-slot pos);
+                   the LAST slot step also runs the int4 o-projection +
+                   residual + norm2 for all rows;
+    j > b        : gated-MLP ff-slabs at m = b (same math as _mega_kernel).
+
+    RoPE here is elementwise (x * [c,c] + (x @ P) * [-s,s] with P the
+    half-swap permutation) rather than the m=1 kernel's per-position
+    rotation matrix: every slot sits at its OWN position, so a single
+    [hd, hd] rotation no longer exists, but the swap matrix P is
+    position-independent and shared by all slots."""
+    l = pl.program_id(0)
+    j = pl.program_id(1)
+    gq = h // hkv
+    n_q = h * hd
+
+    @pl.when(jnp.logical_and(l == 0, j == 0))
+    def _seed():
+        x_res[:] = x_ref[:]
+
+    @pl.when(j == 0)
+    def _qkv_rope():
+        x = x_res[:]  # (b, d) f32
+        hin = _rms(x, n1_ref[0], eps).astype(jnp.bfloat16)
+        qkv = _gdot_sym(hin, qkvp_ref, qkvs_ref, group_a) + qkvb_ref[0]
+        P = hswap_ref[:]
+        cosb = cos_ref[:]  # (b, hd)
+        sinb = sin_ref[:]
+
+        def rope_rows(rows):  # (b, hd) f32, per-slot position
+            swapped = jax.lax.dot_general(rows, P, (((1,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
+            return rows * cosb + swapped * sinb
+
+        for qi in range(h):
+            qh = rope_rows(qkv[:, qi * hd : (qi + 1) * hd]) * scale
+            qrope[:, qi * hd : (qi + 1) * hd] = qh
+        k_rows, v_rows = [], []
+        for hh in range(hkv):
+            kh = rope_rows(qkv[:, n_q + hh * hd : n_q + (hh + 1) * hd])
+            vh = qkv[:, n_q + hkv * hd + hh * hd : n_q + hkv * hd + (hh + 1) * hd]
+            knew_s[:, hh * hd : (hh + 1) * hd] = kh
+            vnew_s[:, hh * hd : (hh + 1) * hd] = vh
+            k_rows.append(kh)
+            v_rows.append(vh)
+        knew_ref[0] = jnp.stack(k_rows, axis=1)  # (b, hkv, hd)
+        vnew_ref[0] = jnp.stack(v_rows, axis=1)
+
+    @pl.when(jnp.logical_and(j > 0, j <= b))
+    def _attention_slot():
+        slot = j - 1
+        pos = scal_ref[0, slot]
+        kv_start = scal_ref[1, slot]
+
+        # Mosaic can't vector-load a dynamic unaligned sublane row; select
+        # the slot's row with a one-hot mask-reduce over the b sublanes
+        # (b x n_q VPU multiply-add — trivial next to the KV stream)
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0) == slot)
+        selq = jnp.sum(jnp.where(sel, qrope[:], 0.0), axis=0, keepdims=True)
+        selk = jnp.sum(jnp.where(sel, knew_s[:], 0.0), axis=0, keepdims=True)
+        selv = jnp.sum(jnp.where(sel, vnew_s[:], 0.0), axis=0, keepdims=True)
+        q_rows = [selq[:, qi * hd : (qi + 1) * hd] for qi in range(h)]
+        k_rows = [selk[:, hh * hd : (hh + 1) * hd] for hh in range(hkv)]
+        v_rows = [selv[:, hh * hd : (hh + 1) * hd] for hh in range(hkv)]
+
+        # online softmax per q head, initialized with the CURRENT token
+        m_st, l_st, a_st = [], [], []
+        for qi in range(h):
+            s0 = jnp.sum(q_rows[qi] * k_rows[qi // gq], axis=1, keepdims=True)
+            m_st.append(s0)
+            l_st.append(jnp.ones((1, 1), jnp.float32))
+            a_st.append(v_rows[qi // gq])
+
+        n_blocks = pl.cdiv(pos, bk)
+
+        def _dma_start(blk):
+            return jnp.minimum(blk * (bk // 128), (s_max - bk) // 128) * 128
+
+        def k_dma(dslot, blk):
+            return pltpu.make_async_copy(
+                k_hbm.at[l, slot, :, pl.ds(_dma_start(blk), bk), :],
+                k_buf.at[dslot], sems.at[0, dslot])
+
+        def v_dma(dslot, blk):
+            return pltpu.make_async_copy(
+                v_hbm.at[l, slot, :, pl.ds(_dma_start(blk), bk), :],
+                v_buf.at[dslot], sems.at[1, dslot])
+
+        @pl.when(n_blocks > 0)
+        def _first():
+            k_dma(0, 0).start()
+            v_dma(0, 0).start()
+
+        def body(i, carry):
+            ms, ls, accs = carry
+            dslot = jax.lax.rem(i, 2)
+            nxt = jax.lax.rem(i + 1, 2)
+
+            @pl.when(i + 1 < n_blocks)
+            def _prefetch():
+                k_dma(nxt, i + 1).start()
+                v_dma(nxt, i + 1).start()
+
+            k_dma(dslot, i).wait()
+            v_dma(dslot, i).wait()
+
+            k_pos = _dma_start(i) + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
+            ok = jnp.logical_and(k_pos < pos, k_pos >= kv_start)
+            ok = jnp.logical_and(ok, k_pos >= i * bk)  # clamped-tail re-mask
+
+            ms2, ls2, accs2 = [], [], []
+            for qi in range(h):
+                hh = qi // gq
+                kb = k_buf[dslot, hh]  # (BK, hd)
+                vb = v_buf[dslot, hh]
+                s = jax.lax.dot_general(
+                    q_rows[qi].astype(kb.dtype), kb, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (1, BK)
+                s = jnp.where(ok, s, NEG_INF)
+                m_cur = jnp.max(s, axis=1, keepdims=True)
+                m_new = jnp.maximum(ms[qi], m_cur)
+                p = jnp.exp(s - m_new)
+                alpha = jnp.exp(ms[qi] - m_new)
+                ls2.append(ls[qi] * alpha + jnp.sum(p, axis=1, keepdims=True))
+                accs2.append(accs[qi] * alpha + jax.lax.dot_general(
+                    p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+                ms2.append(m_new)
+            return ms2, ls2, accs2
+
+        m_st, l_st, a_st = jax.lax.fori_loop(0, n_blocks, body, (m_st, l_st, a_st))
+
+        outs = [a_st[qi] / l_st[qi] for qi in range(h)]
+        row = jnp.concatenate(outs, axis=1)  # (1, n_q)
+        # masked merge instead of a dynamic-row store (same Mosaic rule)
+        attn_o[:] = jnp.where(sel, jnp.broadcast_to(row, (b, row.shape[1])),
+                              attn_o[:])
+
+        @pl.when(j == b)
+        def _oproj():
+            o = _gdot_sym(attn_o[:].astype(jnp.bfloat16), op_ref, os_ref, group_a)
+            xr = x_res[:] + (o if rm == 1.0 else o * rm)
+            x_res[:] = xr
+            xm[:] = _rms(xr, n2_ref[0], eps).astype(jnp.bfloat16)
+
+    @pl.when(j > b)
+    def _mlp_slab():
+        jj = j - 1 - b
+
+        @pl.when(jj == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+
+        hin = xm[:]  # (b, d) bf16
+        gate = _gdot_sym(hin, gp_ref, gs_ref, group_a)
+        up = _gdot_sym(hin, up_ref, us_ref, group_a)
+        hmid = (act(gate) * up).astype(jnp.bfloat16)  # (b, BF)
+        acc[:] += _down_dot_sym(hmid, dp_ref, ds_ref, group_d)
+
+        @pl.when(jj == nf - 1)
+        def _finish_layer():
+            a = acc[:]
+            xo = x_res[:] + (a if rm == 1.0 else a * rm)
+            x_res[:] = xo
+
+            @pl.when(l == pl.num_programs(0) - 1)
+            def _():
+                y_ref[:] = xo
+
+
+def fused_decode_step_batched(
+    x: jax.Array,        # [b, d] f32/bf16 — post-embedding hiddens
+    pos,                 # [b] int32 — tokens already in each slot's cache
+    sin_rows: jax.Array,  # [b, hd/2] f32 at each slot's position
+    cos_rows: jax.Array,  # [b, hd/2] f32
+    qkv_ops, o_ops, gate_ops, up_ops, down_ops,
+    norm1_w, norm2_w,
+    k_cache,             # [L, B, Hkv, S, hd]
+    v_cache,
+    *,
+    n_heads: int,
+    n_kv_heads: int,
+    head_dim: int,
+    act: str = "silu",
+    eps: float = 1e-6,
+    rm: float = 1.0,
+    scale: float | None = None,
+    group_a: int = 64,
+    group_d: int = 32,
+    block_f: int = 640,
+    block_k: int = 512,
+    kv_start=None,       # [b] int32 or None
+    interpret: bool = False,
+):
+    """Batched whole-trunk decode step (b slots, one Pallas launch).
+
+    Same weight operands/layouts as fused_decode_step; each slot attends
+    to its OWN cache entry at its OWN position.  Returns (y [b, d] f32,
+    k_new [L, b, Hkv, hd] f32 roped, v_new [L, b, Hkv, hd] f32); the caller
+    scatters k_new/v_new into the cache at each slot's position.
+
+    Why this exists (round-3 verdict #2): at b=8 the m=1 megakernel doesn't
+    apply and int4 rode ~57 per-layer launches, losing to int8 (2,282 vs
+    2,722 tok/s).  Here the whole int4 weight stream (~1.05 GB at flagship
+    size) is fetched ONCE per step and serves all b rows, so the step cost
+    approaches (weights + b * KV) / HBM-BW — the same speed-of-light
+    formulation that made m=1 int4 win."""
+    L, khalf_d, n_qkv = qkv_ops[0].shape
+    d = 2 * khalf_d
+    ff = gate_ops[0].shape[2]
+    h, hkv, hd = n_heads, n_kv_heads, head_dim
+    n_q = h * hd
+    s_max = k_cache.shape[3]
+    b = x.shape[0]
+    assert x.shape == (b, d), x.shape
+    assert k_cache.shape[1] == b, (k_cache.shape, b)
+    assert hd == 128 and n_qkv == (h + 2 * hkv) * hd
+    assert ff % block_f == 0 and s_max % 128 == 0
+    assert block_f % (8 * group_d) == 0, (block_f, group_d)
+    assert khalf_d % group_a == 0 and (n_q // 2) % group_a == 0
+    assert (d // group_a) % 8 == 0 and (n_q // group_a) % 8 == 0
+    if scale is None:
+        scale = hd**-0.5
+    bk = min(block_k, s_max)
+    nf = ff // block_f
+    ng_d = d // group_a
+    ng_q = n_q // group_a
+    pos = jnp.asarray(pos, jnp.int32).reshape(b)
+    kvs = (jnp.zeros((b,), jnp.int32) if kv_start is None
+           else jnp.asarray(kv_start, jnp.int32).reshape(b))
+    scal = jnp.stack([pos, kvs])  # (2, b)
+
+    # half-swap permutation P (x @ P = [x2, x1]) + per-slot cos/sin rows
+    half = hd // 2
+    i = jnp.arange(half)
+    P = jnp.zeros((hd, hd), jnp.float32)
+    P = P.at[i + half, i].set(1.0)
+    P = P.at[i, i + half].set(1.0)
+    c = cos_rows.astype(jnp.float32).reshape(b, half)
+    s = sin_rows.astype(jnp.float32).reshape(b, half)
+    cos_ext = jnp.concatenate([c, c], axis=1)       # (b, hd)
+    sin_ext = jnp.concatenate([-s, s], axis=1)
+
+    kernel = functools.partial(
+        _mega_kernel_b, group_a=group_a, group_d=group_d, act=_ACT[act],
+        scale=float(scale), eps=float(eps), rm=float(rm), b=b, h=h, hkv=hkv,
+        hd=hd, bk=bk, s_max=s_max, nf=nf)
+
+    lconst = lambda l, j: (l, 0, 0)
+    full2 = lambda l, j: (0, 0)
+    gmap = lambda l, j: (l, 0, jnp.maximum(j - 1 - b, 0))
+    dmap = lambda l, j: (l, jnp.maximum(j - 1 - b, 0), 0)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((b, d), full2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((hd, hd), full2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, hd), full2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, hd), full2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, khalf_d, n_qkv), lconst, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ng_d, n_qkv), lconst, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, n_qkv), lconst, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_q // 2, d), lconst, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ng_q, d), lconst, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, khalf_d, block_f), gmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ng_d, block_f), gmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, khalf_d, block_f), gmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ng_d, block_f), gmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_f // 2, d), dmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_f // group_d, d), dmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, d), lconst, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, d), lconst, memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    out_specs = [
+        pl.BlockSpec((b, d), full2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, b, hkv, hd), lambda l, j: (l, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, b, hkv, hd), lambda l, j: (l, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, d), jnp.float32),
+        jax.ShapeDtypeStruct((L, b, hkv, hd), jnp.float32),
+        jax.ShapeDtypeStruct((L, b, hkv, hd), jnp.float32),
+    ]
+    qkvb = qkv_ops[2]
+    if qkvb is None:
+        qkvb = jnp.zeros((L, 1, n_qkv), jnp.float32)
+
+    y, k_new, v_new = pl.pallas_call(
+        kernel,
+        grid=(L, 1 + b + nf),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((b, d), jnp.float32),
+            pltpu.VMEM((b, d), jnp.bfloat16),
+            pltpu.VMEM((b, d), jnp.float32),
+            pltpu.VMEM((b, n_q), jnp.float32),
+            pltpu.VMEM((b, n_q), jnp.float32),
+            pltpu.VMEM((b, hkv * hd), jnp.float32),
+            pltpu.VMEM((b, hkv * hd), jnp.float32),
+            pltpu.VMEM((2, hkv, bk, hd), k_cache.dtype),
+            pltpu.VMEM((2, hkv, bk, hd), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )(scal, x.astype(jnp.float32), P, cos_ext, sin_ext,
+      qkv_ops[0], qkv_ops[1], qkvb, o_ops[0], o_ops[1],
+      gate_ops[0], gate_ops[1], up_ops[0], up_ops[1],
+      down_ops[0], down_ops[1], norm1_w, norm2_w, k_cache, v_cache)
+    return y, k_new, v_new
+
+
 def rope_rotation_matrix(sin_row: jax.Array, cos_row: jax.Array, hd: int = 128):
     """hf-style (rotate_half) RoPE at one position as a [hd, hd] matrix R so
     that rope(x) == x @ R exactly (nn/layers.py apply_rotary 'hf' math):

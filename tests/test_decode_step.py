@@ -93,6 +93,61 @@ def test_empty_cache_first_token(mega):
     assert int(cm.pos) == 1
 
 
+def test_batched_decode_step_matches_base(mega):
+    """b=3 slots, lockstep positions: batched kernel == base model."""
+    b = 3
+    rs = np.random.RandomState(2)
+    ids = jnp.asarray(rs.randint(0, 512, (b, 7)))
+    cache0 = mega.init_cache(b, 256)
+    _, cache = _prefill(mega.base, ids, cache0)
+
+    tok = jnp.asarray(rs.randint(0, 512, (b, 1)))
+    logits_base, cache_b = mega.base(tok, cache, last_only=True)
+    logits_mega, cache_m = mega(tok, cache, last_only=True)
+
+    lb = np.asarray(logits_base[:, 0], np.float32)
+    lm = np.asarray(logits_mega[:, 0], np.float32)
+    np.testing.assert_allclose(lm, lb, rtol=0.05, atol=0.05)
+    assert list(np.argmax(lm, -1)) == list(np.argmax(lb, -1))
+
+    kb = np.asarray(cache_b.k[:, :, :, 7, :], np.float32)
+    km = np.asarray(cache_m.k[:, :, :, 7, :], np.float32)
+    np.testing.assert_allclose(km, kb, rtol=0.05, atol=0.05)
+    vb = np.asarray(cache_b.v[:, :, :, 7, :], np.float32)
+    vm = np.asarray(cache_m.v[:, :, :, 7, :], np.float32)
+    np.testing.assert_allclose(vm, vb, rtol=0.05, atol=0.05)
+    assert int(cache_m.pos) == int(cache_b.pos) == 8
+
+
+def test_batched_multi_step_greedy_parity(mega):
+    """b=2, several steps: greedy tokens identical kernel vs base."""
+    b = 2
+    rs = np.random.RandomState(3)
+    ids = jnp.asarray(rs.randint(0, 512, (b, 5)))
+    logits, cache_b = _prefill(mega.base, ids, mega.init_cache(b, 256))
+    _, cache_m = _prefill(mega.base, ids, mega.init_cache(b, 256))
+    tok_b = tok_m = jnp.argmax(logits, axis=-1)
+
+    for _ in range(3):
+        lb, cache_b = mega.base(tok_b, cache_b, last_only=True)
+        lm, cache_m = mega(tok_m, cache_m, last_only=True)
+        tok_b = jnp.argmax(lb[:, -1:], axis=-1)
+        tok_m = jnp.argmax(lm[:, -1:], axis=-1)
+        assert np.asarray(tok_b).tolist() == np.asarray(tok_m).tolist()
+
+
+def test_batched_empty_cache_first_token(mega):
+    b = 4
+    cache = mega.init_cache(b, 256)
+    tok = jnp.asarray(np.arange(b)[:, None] + 3)
+    lb, _ = mega.base(tok, cache, last_only=True)
+    lm, cm = mega(tok, cache, last_only=True)
+    np.testing.assert_allclose(
+        np.asarray(lm[:, 0], np.float32), np.asarray(lb[:, 0], np.float32),
+        rtol=0.05, atol=0.05)
+    assert int(cm.pos) == 1
+
+
 def test_unsupported_configs_raise():
     bad = TextConfig(vocab_size=64, hidden_size=256, intermediate_size=256,
                      num_hidden_layers=1, num_attention_heads=4,
