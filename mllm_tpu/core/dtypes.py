@@ -139,6 +139,54 @@ def dequant_q8_0(raw: np.ndarray, n_elems: int) -> np.ndarray:
     return (qs * d[:, None]).reshape(-1)[:n_elems]
 
 
+def _unpack_q4_0_nr_bl(raw: np.ndarray, n_per_row: int, nri: int, bsi: int) -> np.ndarray:
+    """Un-interleave GemmPack's row-interleaved Q4_0 into plain Q4_0 blocks.
+
+    Inverse of the reference's `quantize_q4_0_nr_bl` / `make_block_q4_0x{4,8}`
+    (GemmPack.cpp:45-74,311-344): rows are grouped in `nri`, each group stores
+    per 32-col block one struct of `nri` fp16 deltas followed by the groups'
+    nibble bytes interleaved in runs of `bsi` and XOR'd with 0x88 (sign form).
+    Returns plain ggml Q4_0 block bytes in row-major row order.
+    """
+    qk_half = QK4_0 // 2  # 16 nibble-bytes per row per block
+    struct_bytes = nri * 2 + nri * qk_half
+    structs = raw.reshape(-1, struct_bytes)  # [(nrow/nri)*nb, struct]
+    d = structs[:, : nri * 2]  # fp16 deltas, one per interleaved row
+    qs = structs[:, nri * 2 :] ^ 0x88  # undo sign-form xor -> biased nibbles
+    # out.qs[i] = in[src_id].qs[(i // (nri*bsi)) * bsi + i % bsi],
+    # src_id = (i % (nri*bsi)) // bsi  -> reshape [runs, src_id, bsi]
+    qs = qs.reshape(-1, qk_half // bsi, nri, bsi)
+    qs = qs.transpose(0, 2, 1, 3).reshape(-1, nri, qk_half)  # [structs, row, 16]
+    out = np.empty((structs.shape[0], nri, 2 + qk_half), np.uint8)
+    out[:, :, :2] = d.reshape(-1, nri, 2)
+    out[:, :, 2:] = qs
+    # struct order is (row_group, block); row-major rows need (row_group, row, block)
+    nb = n_per_row // QK4_0
+    return out.reshape(-1, nb, nri, 2 + qk_half).transpose(0, 2, 1, 3).reshape(-1)
+
+
+def dequant_q4_0_4x4(raw: np.ndarray, n_elems: int, n_per_row: int) -> np.ndarray:
+    """Dequantize the reference's Q4_0_4_4 (4-row × 4-byte interleaved Q4_0).
+
+    This is the format `tools/quantizer` writes for MLLM_TYPE_Q4_0_4_4
+    (main_quantize.cpp:49-50 -> GemmPack.cpp quantize_row_q4_0_4x4) for ARM
+    KleidiAI/i8mm microkernels; on TPU we un-interleave at load time and ride
+    the canonical int4 path.
+    """
+    if n_per_row % QK4_0 or n_elems % (4 * n_per_row):
+        raise ValueError(f"Q4_0_4_4 needs rows%4==0 and row width %32==0, got "
+                         f"{n_elems} elems / {n_per_row} per row")
+    return dequant_q4_0(_unpack_q4_0_nr_bl(raw, n_per_row, 4, 4), n_elems)
+
+
+def dequant_q4_0_4x8(raw: np.ndarray, n_elems: int, n_per_row: int) -> np.ndarray:
+    return dequant_q4_0(_unpack_q4_0_nr_bl(raw, n_per_row, 4, 8), n_elems)
+
+
+def dequant_q4_0_8x8(raw: np.ndarray, n_elems: int, n_per_row: int) -> np.ndarray:
+    return dequant_q4_0(_unpack_q4_0_nr_bl(raw, n_per_row, 8, 8), n_elems)
+
+
 def dequant_q8_0f(raw: np.ndarray, n_elems: int) -> np.ndarray:
     blocks = raw.reshape(-1, 36)
     d = blocks[:, :4].copy().view(np.float32)[:, 0]
@@ -364,9 +412,26 @@ _NATIVE_DEQ = {
 }
 
 
-def decode(raw: bytes | np.ndarray, dt: DataType, n_elems: int) -> np.ndarray:
-    """Decode raw container bytes into a float32/int numpy array of n_elems."""
+_PACKED_DEQUANT = {  # row-interleaved formats: need the row width (shape[-1])
+    DataType.Q4_0_4_4: dequant_q4_0_4x4,
+    DataType.Q4_0_4_8: dequant_q4_0_4x8,
+    DataType.Q4_0_8_8: dequant_q4_0_8x8,
+}
+
+
+def decode(raw: bytes | np.ndarray, dt: DataType, n_elems: int,
+           n_per_row: int | None = None) -> np.ndarray:
+    """Decode raw container bytes into a float32/int numpy array of n_elems.
+
+    `n_per_row` (the tensor's last-dim width) is required for the
+    row-interleaved GemmPack formats (Q4_0_4_4 etc.), whose block stream
+    groups rows in fours — flat element count alone can't place them.
+    """
     buf = np.frombuffer(raw, dtype=np.uint8) if isinstance(raw, (bytes, bytearray, memoryview)) else raw
+    if dt in _PACKED_DEQUANT:
+        if n_per_row is None:
+            raise ValueError(f"{dt!r} needs n_per_row (tensor row width) to decode")
+        return _PACKED_DEQUANT[dt](buf, n_elems, n_per_row)
     if dt == DataType.F32:
         return buf.view(np.float32)[:n_elems].copy()
     if dt == DataType.F16:
@@ -408,6 +473,43 @@ def quant_q4_0(x: np.ndarray) -> np.ndarray:
     out[:, :2] = d.astype(np.float16)[:, None].view(np.uint8)
     out[:, 2:] = packed
     return out.reshape(-1)
+
+
+def _pack_q4_0_nr_bl(x: np.ndarray, n_per_row: int, nri: int, bsi: int) -> np.ndarray:
+    """Pack floats into GemmPack's row-interleaved Q4_0 layout.
+
+    Bit-exact mirror of GemmPack.cpp `quantize_q4_0_nr_bl` +
+    `make_block_q4_0x{4,8}`: quantize each row group of `nri` to plain Q4_0,
+    then emit per 32-col block one struct {d[nri] f16, interleaved qs runs of
+    `bsi` bytes, XOR 0x88 into sign form}.  Inverse of `_unpack_q4_0_nr_bl`.
+    """
+    qk_half = QK4_0 // 2
+    n_elems = x.size
+    if n_per_row % QK4_0 or n_elems % (nri * n_per_row):
+        raise ValueError(f"row-interleaved Q4_0 needs rows%{nri}==0 and row "
+                         f"width %32==0, got {n_elems} elems / {n_per_row} per row")
+    nb = n_per_row // QK4_0
+    plain = quant_q4_0(x).reshape(-1, nri, nb, 2 + qk_half)  # [g, row, block, q4_0]
+    plain = plain.transpose(0, 2, 1, 3)  # struct order: (group, block, row)
+    d = plain[..., :2].reshape(-1, nri * 2)
+    qs = plain[..., 2:].reshape(-1, nri, qk_half // bsi, bsi).transpose(0, 2, 1, 3)
+    out = np.empty((d.shape[0], nri * 2 + nri * qk_half), np.uint8)
+    out[:, : nri * 2] = d
+    out[:, nri * 2 :] = (qs ^ 0x88).reshape(d.shape[0], -1)
+    return out.reshape(-1)
+
+
+def quant_q4_0_4x4(x: np.ndarray, n_per_row: int) -> np.ndarray:
+    """Q4_0_4_4 packer (GemmPack quantize_q4_0_4x4: 4 rows, 4-byte interleave)."""
+    return _pack_q4_0_nr_bl(x, n_per_row, 4, 4)
+
+
+def quant_q4_0_4x8(x: np.ndarray, n_per_row: int) -> np.ndarray:
+    return _pack_q4_0_nr_bl(x, n_per_row, 4, 8)
+
+
+def quant_q4_0_8x8(x: np.ndarray, n_per_row: int) -> np.ndarray:
+    return _pack_q4_0_nr_bl(x, n_per_row, 8, 8)
 
 
 def quant_q8_0(x: np.ndarray) -> np.ndarray:

@@ -90,7 +90,9 @@ class ParamLoader(Mapping):
         """Materialize a tensor: dequantize if needed, reshape to `shape`."""
         e = self.entries[name]
         n = int(np.prod(shape))
-        arr = dtypes.decode(self.raw(name), e.dtype, n)
+        # GemmPack row-interleaved formats need the row width to un-interleave
+        npr = int(shape[-1]) if len(shape) >= 2 else None
+        arr = dtypes.decode(self.raw(name), e.dtype, n, n_per_row=npr)
         if arr.dtype != dtype and dtype is not None:
             arr = arr.astype(dtype)
         return arr.reshape(shape)

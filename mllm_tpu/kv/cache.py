@@ -112,6 +112,28 @@ class KVCache(Module):
         return KVCache(k, v, jnp.asarray(draft_start + n_accept, jnp.int32))
 
 
+def _slot_append(buf: jax.Array, layer: int, upd: jax.Array, pos: jax.Array) -> jax.Array:
+    """Per-slot decode append: write upd[b] at buf[layer, b, :, pos[b], ...].
+
+    Unrolled dynamic_update_slices instead of one batched scatter: XLA aliases
+    DUS in place, while a scatter with per-row start indices materializes a
+    copy of the whole cache buffer (measured +1.7 ms/step on the flagship
+    28-layer cache, and a 70x slower compile).  B is small and static in the
+    serving engine so the unroll is cheap.  Out-of-range pos clamps to the
+    last row (scatter dropped instead) — only reachable for finished slots
+    decoding out the window tail, whose rows are never read back because
+    attention masks at kv_valid_len=pos and the engine rejects prompts at
+    capacity (engine.py submit guard).
+    """
+    b = upd.shape[0]
+    li, z = jnp.int32(layer), jnp.int32(0)
+    for s in range(b):
+        u = upd[s].reshape((1, 1, upd.shape[1], 1) + upd.shape[2:])
+        starts = (li, jnp.int32(s), z, pos[s]) + (z,) * (buf.ndim - 4)
+        buf = jax.lax.dynamic_update_slice(buf, u.astype(buf.dtype), starts)
+    return buf
+
+
 class SlotKVCache(Module):
     """Continuous-batching cache: per-SLOT write heads (pos is [B]).
 
@@ -119,7 +141,8 @@ class SlotKVCache(Module):
     slots keep decoding — the TPU-native analogue of slot/iteration-level
     scheduling in production LLM servers (no reference counterpart; the
     reference's batch path is lockstep, Module.cpp:146-205).  Decode appends
-    one token per slot at its own head via a batched scatter; admission
+    one token per slot at its own head via per-slot in-place slice updates
+    (`_slot_append`); admission
     copies a freshly prefilled single-sequence cache into the slot.
     """
 
@@ -147,12 +170,8 @@ class SlotKVCache(Module):
 
     def update_layer(self, layer: int, k_new: jax.Array, v_new: jax.Array) -> "SlotKVCache":
         """Decode append: k_new/v_new [B, 1, H_kv, D] written at pos[b] per slot."""
-        b = k_new.shape[0]
-        bi = jnp.arange(b)
-        kn = k_new[:, 0].astype(self.k.dtype)  # [B, H, D]
-        vn = v_new[:, 0].astype(self.v.dtype)
-        k = self.k.at[layer, bi, :, self.pos, :].set(kn, mode="drop")
-        v = self.v.at[layer, bi, :, self.pos, :].set(vn, mode="drop")
+        k = _slot_append(self.k, layer, k_new[:, 0], self.pos)
+        v = _slot_append(self.v, layer, v_new[:, 0], self.pos)
         return SlotKVCache(k, v, self.pos)
 
     def layer(self, layer: int):
@@ -598,18 +617,16 @@ class SlotQuantKVCache(Module):
 
     def update_layer(self, layer: int, k_new: jax.Array, v_new: jax.Array) -> "SlotQuantKVCache":
         """Decode append: k_new/v_new [B, 1, H_kv, D] at pos[b] per slot."""
-        b = k_new.shape[0]
-        bi = jnp.arange(b)
         kq, ks = self._q(k_new[:, None, 0])  # [B, 1(H-pos), H, D] -> quantize over D
         vq, vs = self._q(v_new[:, None, 0])
         # _quantize expects [B, H, S, D]; we fed [B, 1, H, D] so the output is
         # [B, 1, H, D'] / [B, 1, H]: drop the singleton and scatter
         kq, ks = kq[:, 0], ks[:, 0]  # [B, H, D'], [B, H]
         vq, vs = vq[:, 0], vs[:, 0]
-        k = self.k.at[layer, bi, :, self.pos, :].set(kq, mode="drop")
-        v = self.v.at[layer, bi, :, self.pos, :].set(vq, mode="drop")
-        ksc = self.k_scale.at[layer, bi, :, self.pos].set(ks, mode="drop")
-        vsc = self.v_scale.at[layer, bi, :, self.pos].set(vs, mode="drop")
+        k = _slot_append(self.k, layer, kq, self.pos)
+        v = _slot_append(self.v, layer, vq, self.pos)
+        ksc = _slot_append(self.k_scale, layer, ks, self.pos)
+        vsc = _slot_append(self.v_scale, layer, vs, self.pos)
         return SlotQuantKVCache(k, v, ksc, vsc, self.pos, self.bits)
 
     def layer(self, layer: int):

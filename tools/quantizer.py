@@ -32,6 +32,47 @@ def should_quantize(name: str, n_elems: int) -> bool:
     return n_elems % 256 == 0 and n_elems >= 1 << 14
 
 
+def quantize_q4_0_4x4_file(inp: str, outp: str) -> None:
+    """GemmPack row-interleaved Q4_0 writer (reference: QuantWriter.cpp:217-297).
+
+    The flat container stores no shapes, so the row width is recovered the
+    way the reference does: pre-scan for a `model*norm` f32 tensor -> hidden
+    dim H; n_per_row = H except down-proj-family names (K = n_elems / H).
+    Tensors whose row count isn't a multiple of 4 stay f32.
+    """
+    from mllm_tpu.core import dtypes as dt
+    from mllm_tpu.core.param_loader import MllmWriter, ParamLoader
+
+    src = ParamLoader(inp)
+    hidden = None
+    for name in src:  # QuantWriter.cpp:176-179 hidden-dim pre-scan
+        if ("model" in name and "norm" in name and "k" not in name
+                and "q" not in name and src[name].dtype == dt.DataType.F32):
+            hidden = src[name].size // 4
+            break
+    if hidden is None:
+        raise SystemExit("Q4_0_4_4: no `model*norm` tensor to infer hidden dim from")
+    down_names = ("w2", "down_proj", "down")  # q23_to_q4_0_4x4_layers analogue
+    writer = MllmWriter(outp)
+    nq = nf = 0
+    for name in src:
+        e = src[name]
+        arr = src.raw(name).view(np.float32) if e.dtype == dt.DataType.F32 else None
+        if arr is None or not should_quantize(name, arr.size):
+            writer.add(name, bytes(src.raw(name)), e.dtype)
+            nf += 1
+            continue
+        k = arr.size // hidden if any(s in name for s in down_names) else hidden
+        if k % 32 or arr.size % (4 * k):
+            writer.add(name, bytes(src.raw(name)), dt.DataType.F32)
+            nf += 1
+            continue
+        writer.add(name, dt.quant_q4_0_4x4(arr, k).tobytes(), dt.DataType.Q4_0_4_4)
+        nq += 1
+    writer.write()
+    print(f"quantized {nq} tensors to Q4_0_4_4 (hidden={hidden}), kept {nf} -> {outp}")
+
+
 def main():
     from mllm_tpu.core import dtypes as dt
     from mllm_tpu.core.param_loader import MllmWriter, ParamLoader
@@ -40,8 +81,11 @@ def main():
     ap.add_argument("input")
     ap.add_argument("output")
     ap.add_argument("dtype", choices=["Q4_0", "Q8_0", "Q4_K", "Q6_K", "Q2_0",
-                                      "Q2_K", "Q3_K", "Q8_K"])
+                                      "Q2_K", "Q3_K", "Q8_K", "Q4_0_4_4"])
     args = ap.parse_args()
+
+    if args.dtype == "Q4_0_4_4":
+        return quantize_q4_0_4x4_file(args.input, args.output)
 
     quant_fn = {
         "Q4_0": (dt.quant_q4_0, dt.DataType.Q4_0),
