@@ -296,3 +296,121 @@ def speculative_generate_tree(
                 break
     stats.tokens = len(out)
     return out, cache, stats
+
+
+# ---------------------------------------------------------------------------
+# Fully-compiled speculative decoding (prompt-lookup drafting ON DEVICE)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("true_len", "max_new_tokens", "max_draft", "ngram"),
+    donate_argnames=("cache",),
+)
+def speculative_generate_compiled(
+    model,
+    input_ids,  # [1, S_padded] int32
+    cache: KVCache,
+    true_len: int,
+    max_new_tokens: int,
+    eos_token_id: int = -1,
+    max_draft: int = 8,
+    ngram: int = 3,
+):
+    """Whole speculative generation as ONE device program.
+
+    TPU-native redesign of the reference's SuffixAutomaton SD loop
+    (modeling_qwen_sd.hpp:270-385 + Draft.hpp:65-128): the host loop pays a
+    dispatch round trip PER VERIFY STEP for drafting, acceptance, and cache
+    rewind.  Here the draft source is prompt-lookup — the most recent prior
+    occurrence of the last `ngram` tokens in the full token history, held in
+    a device buffer — so drafting (vectorized window match on the VPU), the
+    [1, 1+max_draft] verify forward, longest-prefix acceptance, write-head
+    rewind, and eos handling all run inside one `lax.while_loop`.  Zero host
+    syncs per step; greedy (reference SD is greedy, Generate.cpp:23-43),
+    token-for-token equal to plain greedy decoding by construction.
+
+    The verify forward costs nearly the same HBM traffic as a 1-token decode
+    step (weight streaming dominates; the extra max_draft rows ride the same
+    tiles), so tok/s ≈ greedy_tok/s × (accepted_per_step + 1) × (t1/tw).
+
+    Requires cache.max_len ≥ true_len + max_new_tokens + max_draft + 1 and
+    true_len ≥ ngram.  Returns (tokens [max_new_tokens] int32 (junk beyond
+    n_gen), n_gen, steps, drafted, accepted).
+    """
+    if true_len < ngram:
+        raise ValueError(f"prompt ({true_len}) shorter than ngram ({ngram})")
+    w = max_draft + 1
+    s_padded = input_ids.shape[1]
+    buf_len = s_padded + max_new_tokens + w
+
+    # prefill + first greedy token
+    hidden, cache = model.hidden_states(input_ids, cache)
+    last = hidden[:, true_len - 1 : true_len, :]
+    t0 = jnp.argmax(model.logits(last)[:, 0, :], axis=-1).astype(jnp.int32)[0]
+    cache = cache.with_pos(true_len)
+
+    buf = jnp.zeros((buf_len,), jnp.int32)
+    buf = jax.lax.dynamic_update_slice(buf, input_ids[0].astype(jnp.int32), (0,))
+    buf = buf.at[true_len].set(t0)
+
+    lw = buf_len - ngram
+    ii = jnp.arange(lw, dtype=jnp.int32)
+    kk = jnp.arange(max_draft, dtype=jnp.int32)
+    jj = jnp.arange(w, dtype=jnp.int32)
+
+    def cond(st):
+        return ~st[4]
+
+    def body(st):
+        buf, n, m, cache, done, steps, drafted, accepted = st
+        # ---- draft: most recent prior occurrence of the last `ngram` tokens.
+        # Window i is valid only when fully inside history and not the query
+        # itself (i + ngram <= n-1); junk beyond n can never match.
+        key = jax.lax.dynamic_slice(buf, (n - ngram,), (ngram,))
+        wins = jnp.stack([jax.lax.slice(buf, (k,), (k + lw,))
+                          for k in range(ngram)], axis=1)  # [lw, ngram] static
+        hit = jnp.all(wins == key[None, :], axis=1) & (ii + ngram <= n - 1)
+        # two-tier pick: prefer the LATEST occurrence whose continuation is a
+        # full max_draft window of real history; short-period loops (the
+        # common degenerate regime) otherwise match right next to the head
+        # and cap the draft at n-src ~ 1 token per verify step
+        full = hit & (ii + ngram + max_draft <= n)
+        idx_full = jnp.max(jnp.where(full, ii, -1))
+        idx = jnp.where(idx_full >= 0, idx_full,
+                        jnp.max(jnp.where(hit, ii, -1)))
+        src = jnp.maximum(idx, 0) + ngram
+        draft = jax.lax.dynamic_slice(buf, (src,), (max_draft,))
+        draft_len = jnp.where(idx >= 0, jnp.minimum(max_draft, n - src), 0)
+
+        # ---- verify: [last_token, draft...] in one forward; invariant
+        # cache.pos == n-1 (KV for every token except the newest)
+        ids = jnp.concatenate([jax.lax.dynamic_slice(buf, (n - 1,), (1,)),
+                               draft])[None]
+        base = cache.pos
+        logits, cache = model(ids, cache, last_only=False)
+        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)[0]  # [w]
+
+        # ---- accept the longest matched draft prefix (preds[:acc] == the
+        # accepted tokens); preds[acc] is the free bonus token
+        match = (preds[:max_draft] == draft) & (kk < draft_len)
+        acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32)))
+        blk = acc + 1
+        is_eos = (preds == eos_token_id) & (jj < blk)
+        first_eos = jnp.min(jnp.where(is_eos, jj, w))
+        n_take = jnp.minimum(blk, jnp.minimum(first_eos + 1, max_new_tokens - m))
+        done = (first_eos < n_take) | (m + n_take >= max_new_tokens)
+
+        buf = jax.lax.dynamic_update_slice(buf, preds, (n,))  # junk past n_take
+        cache = cache.with_pos(base + n_take)                 # is masked by n
+        return (buf, n + n_take, m + n_take, cache, done, steps + 1,
+                drafted + draft_len, accepted + jnp.minimum(acc, n_take))
+
+    z = jnp.zeros((), jnp.int32)
+    st = (buf, jnp.asarray(true_len + 1, jnp.int32), jnp.asarray(1, jnp.int32),
+          cache, (t0 == eos_token_id) | (max_new_tokens <= 1), z, z, z)
+    buf, n, m, cache, done, steps, drafted, accepted = jax.lax.while_loop(
+        cond, body, st)
+    tokens = jax.lax.dynamic_slice(buf, (true_len,), (max_new_tokens,))
+    return tokens, m, steps, drafted, accepted

@@ -130,3 +130,67 @@ def test_tree_speculative_equals_greedy_gemma2_flavor():
     cache_b = model.init_cache(1, 256, jnp.float32)
     out, _, stats = speculative_generate_tree(model, ids, cache_b, max_new_tokens=24)
     assert out == ref.tokens, (out, ref.tokens, stats)
+
+
+# ---------------------------------------------------------------------------
+# Fully-compiled speculative decoding (on-device prompt-lookup drafting)
+# ---------------------------------------------------------------------------
+
+
+def _greedy_ref(model, ids, max_new, eos):
+    cache = model.init_cache(1, 256, jnp.float32)
+    res, _ = generate(model, ids, cache,
+                      SamplingConfig(max_new_tokens=max_new, temperature=0.0),
+                      eos_token_id={eos}, bucket=128)
+    return res.tokens
+
+
+def _compiled_sd(model, ids, max_new, eos, **kw):
+    from mllm_tpu.generation.generate import pad_to_bucket
+    from mllm_tpu.generation.speculative import speculative_generate_compiled
+
+    cache = model.init_cache(1, 256, jnp.float32)
+    padded = jnp.asarray(pad_to_bucket(ids, 128))
+    toks, n, steps, drafted, accepted = speculative_generate_compiled(
+        model, padded, cache, ids.shape[1], max_new, eos_token_id=eos, **kw)
+    return (list(np.asarray(toks)[: int(n)]), int(n), int(steps),
+            int(drafted), int(accepted))
+
+
+def test_compiled_sd_equals_greedy_and_accepts(model):
+    ids = np.array([[5, 9, 2, 7, 5, 9, 2]], np.int32)
+    ref = _greedy_ref(model, ids, 40, -9)
+    out, n, steps, drafted, accepted = _compiled_sd(model, ids, 40, -9,
+                                                    max_draft=6)
+    assert out == ref, f"compiled sd {out} != greedy {ref}"
+    assert n == len(ref)
+    # tiny models loop; prompt-lookup must accept drafts and save steps
+    assert accepted > 0 and drafted > 0
+    assert steps < n, f"{steps} verify steps for {n} tokens: no speedup"
+
+
+def test_compiled_sd_no_match_prompt(model):
+    # non-repetitive prompt: acceptance may be ~0 but output must still be
+    # exactly greedy (every step degrades to a plain decode)
+    ids = np.array([[11, 3, 29, 8, 17, 2]], np.int32)
+    ref = _greedy_ref(model, ids, 24, -9)
+    out, n, steps, drafted, accepted = _compiled_sd(model, ids, 24, -9,
+                                                    max_draft=4, ngram=2)
+    assert out == ref
+    assert 0 <= accepted <= drafted
+
+
+def test_compiled_sd_eos_mid_block(model):
+    ids = np.array([[1, 2, 3, 1, 2, 3, 1, 2]], np.int32)
+    free = _greedy_ref(model, ids, 30, -9)
+    eos = free[min(10, len(free) - 1)]  # fires mid-generation
+    ref = _greedy_ref(model, ids, 30, eos)
+    assert ref[-1] == eos and len(ref) < 30
+    out, n, steps, drafted, accepted = _compiled_sd(model, ids, 30, eos)
+    assert out == ref, f"eos-truncated sd {out} != greedy {ref}"
+
+
+def test_compiled_sd_respects_max_new(model):
+    ids = np.array([[1, 2, 3, 1, 2, 3, 1, 2]], np.int32)
+    out, n, *_ = _compiled_sd(model, ids, 7, -9, max_draft=8)
+    assert n == 7 and out == _greedy_ref(model, ids, 7, -9)
