@@ -280,7 +280,12 @@ class MegaDecodeLM(Module):
         return self.base.loss(*a, **k)
 
     def _mega_eligible(self, input_ids, cache, inputs_embeds, pad_lens) -> bool:
-        if type(cache) is not KVCache:
+        from ..kv.cache import SlotKVCache
+
+        # SlotKVCache: the serving engine's per-slot-write-head cache — the
+        # batched kernel natively takes per-slot positions, so continuous
+        # batching rides the megakernel too (round-3 verdict #3)
+        if type(cache) not in (KVCache, SlotKVCache):
             return False
         shp = inputs_embeds.shape if inputs_embeds is not None else input_ids.shape
         # b=1 rides the m=1 kernel; 2..16 the batched one (VMEM scratch and
@@ -303,10 +308,11 @@ class MegaDecodeLM(Module):
         if cfg.embedding_multiplier != 1.0:
             x = x * jnp.asarray(cfg.embedding_multiplier, x.dtype)
         pos = jnp.asarray(cache.pos, jnp.int32)
+        per_slot = pos.ndim == 1  # SlotKVCache: [B] write heads
         rope = self.base.rope
         b = x.shape[0]
         zero = jnp.zeros((), jnp.int32)
-        if b == 1:
+        if b == 1 and not per_slot:
             sin = jnp.take(rope.sin, pos, axis=0)
             cos = jnp.take(rope.cos, pos, axis=0)
             rot = rope_rotation_matrix(sin, cos, cfg.head_dim_)
@@ -321,8 +327,9 @@ class MegaDecodeLM(Module):
             kn = k_new[:, None, :, None, :].astype(cache.k.dtype)
             vn = v_new[:, None, :, None, :].astype(cache.v.dtype)
         else:
-            # lockstep batched decode: all slots share the scalar cache.pos
-            pos_vec = jnp.full((b,), pos, jnp.int32)
+            # batched decode: per-slot positions when the cache has per-slot
+            # write heads (continuous batching), one shared scalar otherwise
+            pos_vec = pos if per_slot else jnp.full((b,), pos, jnp.int32)
             sin = jnp.take(rope.sin, pos_vec, axis=0)  # (b, hd/2)
             cos = jnp.take(rope.cos, pos_vec, axis=0)
             y, k_new, v_new = fused_decode_step_batched(
@@ -335,8 +342,18 @@ class MegaDecodeLM(Module):
                 group_a=self.group_a, interpret=self.interpret)
             kn = k_new[:, :, :, None, :].astype(cache.k.dtype)
             vn = v_new[:, :, :, None, :].astype(cache.v.dtype)
-        k = jax.lax.dynamic_update_slice(cache.k, kn, (zero, zero, zero, pos, zero))
-        v = jax.lax.dynamic_update_slice(cache.v, vn, (zero, zero, zero, pos, zero))
-        cache = KVCache(k, v, cache.pos).advance(1)
+        if per_slot:
+            # per-slot append: whole-trunk [L, 1, Hkv, 1, hd] slab at each
+            # slot's own head (in-place DUS; see kv/cache._slot_append)
+            k, v = cache.k, cache.v
+            for s in range(b):
+                st = (zero, jnp.int32(s), zero, pos[s], zero)
+                k = jax.lax.dynamic_update_slice(k, kn[:, s : s + 1], st)
+                v = jax.lax.dynamic_update_slice(v, vn[:, s : s + 1], st)
+            new_cache = type(cache)(k, v, cache.pos + 1)
+        else:
+            k = jax.lax.dynamic_update_slice(cache.k, kn, (zero, zero, zero, pos, zero))
+            v = jax.lax.dynamic_update_slice(cache.v, vn, (zero, zero, zero, pos, zero))
+            new_cache = KVCache(k, v, cache.pos).advance(1)
         hidden = self.base.norm(y[:, None].astype(x.dtype) if b > 1 else y[None].astype(x.dtype))
-        return self.base.logits(hidden), cache
+        return self.base.logits(hidden), new_cache

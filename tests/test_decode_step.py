@@ -156,3 +156,40 @@ def test_unsupported_configs_raise():
     model = CausalLM.init(jax.random.PRNGKey(0), bad).stack()
     with pytest.raises(ValueError, match="head_dim"):
         MegaDecodeLM.from_float(model)
+
+
+def test_per_slot_megakernel_matches_base(mega):
+    """SlotKVCache (continuous batching) decode: per-slot positions ride the
+    batched megakernel and match the base model (the engine's decode window
+    now streams the int4 trunk once per step instead of ~57 launches)."""
+    from mllm_tpu.kv.cache import SlotKVCache
+
+    b, plens = 3, [5, 9, 7]
+    rs = np.random.RandomState(4)
+    sc = SlotKVCache.init(CFG.num_hidden_layers, b, 256,
+                          CFG.num_key_value_heads, 128, jnp.bfloat16)
+    k, v = sc.k, sc.v
+    for s, pl in enumerate(plens):
+        ids = jnp.asarray(rs.randint(0, 512, (1, pl)))
+        _, c1 = _prefill(mega.base, ids, mega.init_cache(1, 256))
+        k = k.at[:, s, :, :pl, :].set(c1.k[:, 0, :, :pl, :])
+        v = v.at[:, s, :, :pl, :].set(c1.v[:, 0, :, :pl, :])
+    sc = SlotKVCache(k, v, jnp.asarray(np.asarray(plens, np.int32)))
+
+    tok = jnp.asarray(rs.randint(0, 512, (b, 1)))
+    lb, cb = mega.base(tok, sc, last_only=True)
+    lm, cm = mega(tok, sc, last_only=True)
+    assert type(cm) is SlotKVCache
+    np.testing.assert_allclose(np.asarray(lm[:, 0], np.float32),
+                               np.asarray(lb[:, 0], np.float32),
+                               rtol=0.05, atol=0.05)
+    assert (np.argmax(np.asarray(lm[:, 0], np.float32), -1).tolist()
+            == np.argmax(np.asarray(lb[:, 0], np.float32), -1).tolist())
+    for s, pl in enumerate(plens):
+        np.testing.assert_allclose(
+            np.asarray(cm.k[:, s, :, pl, :], np.float32),
+            np.asarray(cb.k[:, s, :, pl, :], np.float32), rtol=0.05, atol=0.05)
+        np.testing.assert_allclose(
+            np.asarray(cm.v[:, s, :, pl, :], np.float32),
+            np.asarray(cb.v[:, s, :, pl, :], np.float32), rtol=0.05, atol=0.05)
+    assert np.asarray(cm.pos).tolist() == [p + 1 for p in plens]
