@@ -563,6 +563,24 @@ def vl_image_prefill(model, cache, input_ids, pixel, positions, true_len: int,
 
 
 @_functools.partial(jax.jit, static_argnames=("true_len", "grid_thw"), donate_argnames=("cache",))
+def vl_image_prefill_yuv(model, cache, input_ids, y, u, v, positions,
+                         true_len: int, grid_thw):
+    """vl_image_prefill from planar I420 frames — the camera wire format.
+
+    y: uint8 [T, H, W]; u, v: uint8 [T, H/2, W/2] (processor.image
+    rgb_to_yuv420 layout, BT.601 full range).  Shipping I420 instead of RGB
+    halves the host->device frame payload (1.5 vs 3 bytes/pixel) — on a
+    remote-attached chip that is the single largest e2e latency lever — and
+    matches what camera stacks emit natively; the YUV->RGB rotation is
+    elementwise VPU work fused into the normalize/patchify prologue."""
+    from ..processor.image import yuv420_to_rgb
+
+    rgb = jax.vmap(yuv420_to_rgb)(y, u, v)  # [T, H, W, 3] uint8
+    return vl_image_prefill(model, cache, input_ids, rgb, positions,
+                            true_len, grid_thw)
+
+
+@_functools.partial(jax.jit, static_argnames=("true_len", "grid_thw"), donate_argnames=("cache",))
 def vl_image_prefill_raw(model, cache, input_ids, raw_frame, v_coeff, h_coeff,
                          positions, true_len: int, grid_thw):
     """vl_image_prefill from the RAW camera frame: the PIL-semantics bicubic

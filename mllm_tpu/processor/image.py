@@ -260,3 +260,53 @@ def device_resize_bicubic(img, v_coeff, h_coeff):
     x = jnp.clip(jnp.floor(x + 0.5), 0.0, 255.0)  # PIL clip8 after pass 1
     x = jnp.einsum("oh,hwc->owc", v_coeff, x)  # vertical pass
     return jnp.clip(jnp.floor(x + 0.5), 0.0, 255.0).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# YUV 4:2:0 camera wire format (halves the host->device frame payload)
+# ---------------------------------------------------------------------------
+
+
+def rgb_to_yuv420(img: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """uint8 RGB [H, W, 3] -> planar I420 (y [H, W], u/v [H/2, W/2]) uint8.
+
+    BT.601 full-range (the JPEG/JFIF convention cameras and decoders emit);
+    chroma is the 2x2 box mean.  H and W must be even.  Real camera stacks
+    deliver frames in exactly this layout at 1.5 bytes/pixel, so shipping
+    I420 over the host->device link is both HALF the RGB payload and the
+    more faithful serving wire format; the inverse (`yuv420_to_rgb`) runs
+    on device inside the fused image-prefill program.
+    """
+    h, w, _ = img.shape
+    if h % 2 or w % 2:
+        raise ValueError(f"I420 needs even dims, got {h}x{w}")
+    # one BLAS GEMM for the color rotation (the bench host is 1-core; the
+    # elementwise form costs ~15 array passes, this costs one)
+    m = np.array([[0.299, -0.168736, 0.5],
+                  [0.587, -0.331264, -0.418688],
+                  [0.114, 0.5, -0.081312]], np.float32)
+    yuv = img.reshape(-1, 3).astype(np.float32) @ m  # [H*W, 3]
+    yuv = yuv.reshape(h, w, 3)
+    y = yuv[..., 0]
+    u = 128.0 + yuv[..., 1].reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    v = 128.0 + yuv[..., 2].reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    to8 = lambda a: np.clip(np.floor(a + 0.5), 0, 255).astype(np.uint8)
+    return to8(y), to8(u), to8(v)
+
+
+def yuv420_to_rgb(y, u, v):
+    """Planar I420 -> uint8 RGB [H, W, 3]; jnp-traceable (device side).
+
+    Inverse of `rgb_to_yuv420` (BT.601 full-range, nearest chroma upsample):
+    pure elementwise VPU work, fused by XLA into the normalize/patchify
+    prologue of the image-prefill program."""
+    import jax.numpy as jnp
+
+    yf = y.astype(jnp.float32)
+    uf = jnp.repeat(jnp.repeat(u.astype(jnp.float32), 2, -2), 2, -1) - 128.0
+    vf = jnp.repeat(jnp.repeat(v.astype(jnp.float32), 2, -2), 2, -1) - 128.0
+    r = yf + 1.402 * vf
+    g = yf - 0.344136 * uf - 0.714136 * vf
+    b = yf + 1.772 * uf
+    rgb = jnp.stack([r, g, b], axis=-1)
+    return jnp.clip(jnp.floor(rgb + 0.5), 0.0, 255.0).astype(jnp.uint8)

@@ -441,3 +441,36 @@ def test_processor_video_pad_expansion():
     assert out.grid_thw == (2, 4, 4)
     assert out.patches.shape[0] == 2 * 4 * 4
     assert int((out.input_ids == VID).sum()) == (2 * 4 * 4) // 4
+
+
+def test_vl_image_prefill_yuv_matches_rgb(tiny_vl):
+    """The I420 camera-wire ingest path (vl_image_prefill_yuv) produces the
+    same first token as the RGB path on a chroma-flat (grayscale) frame,
+    where the YUV roundtrip is lossless up to 1 LSB of luma rounding."""
+    from mllm_tpu.models.qwen2_vl import (
+        get_rope_index, vl_image_prefill, vl_image_prefill_yuv)
+    from mllm_tpu.processor.image import rgb_to_yuv420
+
+    hf, d = tiny_vl
+    ours, cfg = _ours(d)
+    g = np.linspace(0, 255, 56 * 56).reshape(56, 56).astype(np.uint8)
+    img = np.stack([g, g, g], -1)
+    grid = (1, 4, 4)
+
+    ids = np.array([[10, 20, VSTART] + [IMG] * 4 + [30, 40, 50]], np.int64)
+    pos, _ = get_rope_index(ids[0], [grid], IMG, VID, 2)
+    posj = jnp.asarray(pos[:, None, :].astype(np.int32))
+    tl = int(ids.shape[1])
+
+    cache1 = ours.init_cache(1, 32, jnp.float32)
+    rgb_last, _ = vl_image_prefill(ours, cache1, jnp.asarray(ids, jnp.int32),
+                                   jnp.asarray(np.stack([img, img])), posj,
+                                   tl, grid)
+    y, u, v = rgb_to_yuv420(img)
+    yuv = lambda a: jnp.asarray(np.stack([a, a]))
+    cache2 = ours.init_cache(1, 32, jnp.float32)
+    yuv_last, _ = vl_image_prefill_yuv(ours, cache2, jnp.asarray(ids, jnp.int32),
+                                       yuv(y), yuv(u), yuv(v), posj, tl, grid)
+    a, b = np.asarray(rgb_last), np.asarray(yuv_last)
+    assert np.argmax(a) == np.argmax(b)
+    np.testing.assert_allclose(a, b, rtol=0.02, atol=0.02)

@@ -144,3 +144,34 @@ def test_fixed_resolution_pins_grid():
     with pytest.raises(ValueError):
         Qwen2VLImageProcessor(fixed_resolution=(50, 56))(
             rng.integers(0, 255, (64, 64, 3)).astype(np.uint8))
+
+
+def test_yuv420_roundtrip_and_payload():
+    """I420 wire format: grayscale is near-lossless (U=V=128), smooth color
+    images survive chroma subsampling within a few LSB, and the payload is
+    exactly half of RGB."""
+    from mllm_tpu.processor.image import rgb_to_yuv420, yuv420_to_rgb
+
+    g = np.repeat(np.arange(256, dtype=np.uint8)[None, :], 8, 0)
+    gray = np.stack([g, g, g], -1)
+    y, u, v = rgb_to_yuv420(gray)
+    assert np.abs(u.astype(int) - 128).max() <= 1
+    assert np.abs(v.astype(int) - 128).max() <= 1
+    back = np.asarray(yuv420_to_rgb(y, u, v))
+    assert np.abs(back.astype(int) - gray.astype(int)).max() <= 2
+
+    hh, ww = 64, 64
+    xx, yy2 = np.meshgrid(np.linspace(0, 255, ww), np.linspace(0, 255, hh))
+    img = np.stack([xx, yy2, (xx + yy2) / 2], -1).astype(np.uint8)
+    y, u, v = rgb_to_yuv420(img)
+    assert y.shape == (hh, ww) and u.shape == (hh // 2, ww // 2)
+    assert (y.size + u.size + v.size) * 2 == img.size  # 1.5 vs 3 bytes/px
+    back = np.asarray(yuv420_to_rgb(y, u, v))
+    assert np.abs(back.astype(int) - img.astype(int)).max() <= 6
+
+
+def test_yuv420_odd_dims_rejected():
+    from mllm_tpu.processor.image import rgb_to_yuv420
+
+    with pytest.raises(ValueError):
+        rgb_to_yuv420(np.zeros((7, 8, 3), np.uint8))
