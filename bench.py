@@ -297,6 +297,7 @@ def bench_image_prefill() -> dict:
 
     @functools.partial(jax.jit, static_argnames=("true_len", "grid_thw"))
     def prefill_tok_yuv(model, ids, y, u, v, positions, true_len, grid_thw):
+        # y [H, W], u/v [H/2, W/2] single-frame planes
         from mllm_tpu.processor.image import yuv420_to_rgb
 
         cache = model.init_cache(1, 1024, jnp.bfloat16)
@@ -316,7 +317,7 @@ def bench_image_prefill() -> dict:
         t0 = time.perf_counter()
         frame = resize(src, h, w, "bicubic")
         y, u, v = rgb_to_yuv420(frame)
-        tok, cache = prefill_tok_yuv(model, ids_j, y[None], u[None], v[None],
+        tok, cache = prefill_tok_yuv(model, ids_j, y, u, v,
                                      positions, true_len, grid)
         np.asarray(tok)  # device sync (axon relay: block_until_ready unreliable)
         return time.perf_counter() - t0
