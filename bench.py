@@ -60,6 +60,8 @@ QWEN2_MOE_08B = TextConfig(
 CONFIGS = {
     # name: (text config, quant mode, batch[, kv cache dtype])
     "qwen2vl-2b-int8-b8": (QWEN2VL_2B_LM, "int8", 8),
+    # W8A8: s8 x s8 double-rate MXU prefill (decode identical to int8)
+    "qwen2vl-2b-int8a8-b8": (QWEN2VL_2B_LM, "int8-a8", 8),
     "qwen2vl-2b-int8-b32": (QWEN2VL_2B_LM, "int8", 32),
     "qwen2vl-2b-int8": (QWEN2VL_2B_LM, "int8", 1),
     "qwen2vl-2b-int8-kvq8-b8": (QWEN2VL_2B_LM, "int8", 8, "int8"),
@@ -84,7 +86,7 @@ ROPE_TABLE_LEN = 4096  # covers MAX_LEN + decode; keeps on-device table build ch
 V5E_HBM_GBPS = 819.0
 V5E_BF16_TFLOPS = 197.0
 
-_BYTES_PER_WEIGHT = {None: 2.0, "bf16": 2.0, "int8": 1.0,
+_BYTES_PER_WEIGHT = {None: 2.0, "bf16": 2.0, "int8": 1.0, "int8-a8": 1.0,
                      # int4 group-64 with bf16 scales: 0.5 + 2/64
                      "int4": 0.53125, "int4-mixed": 0.58, "int4-mega": 0.53125}
 

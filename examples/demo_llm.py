@@ -26,7 +26,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-m", "--model", required=True, help="model directory")
     ap.add_argument("-l", "--limits", type=int, default=2048, help="KV cache limit (cache_limit)")
-    ap.add_argument("-q", "--quant", choices=["int8", "int4", "int4-mixed"], default=None)
+    ap.add_argument("-q", "--quant", choices=["int8", "int8-a8", "int4", "int4-mixed"], default=None)
     ap.add_argument("--prompt", default="Give me a short introduction to large language models.")
     ap.add_argument("--max-new", type=int, default=128)
     ap.add_argument("--temperature", type=float, default=0.0)

@@ -379,7 +379,7 @@ def main():
     ap.add_argument("-m", "--model", required=True)
     ap.add_argument("-p", "--port", type=int, default=8000)
     ap.add_argument("-l", "--limits", type=int, default=2048)
-    ap.add_argument("-q", "--quant", choices=["int8", "int4", "int4-mixed"], default=None)
+    ap.add_argument("-q", "--quant", choices=["int8", "int8-a8", "int4", "int4-mixed"], default=None)
     ap.add_argument("--batch-window-ms", type=int, default=30)
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--engine", choices=["continuous", "window", "sd"],

@@ -19,13 +19,14 @@ import numpy as np
 
 from ..core import dtypes as dt
 from ..core.config import TextConfig
-from ..nn.layers import Embedding, LayerNorm, Linear, QuantLinear, RMSNorm, RotaryEmbedding
+from ..nn.layers import (Embedding, LayerNorm, Linear, QuantLinear,
+                         QuantLinearA8, RMSNorm, RotaryEmbedding)
 from ..ops.quantize_model import make_int4_linear
 from ..nn.module import ModuleList
 from ..ops import quant_matmul as qm
 from .transformer import MLP, Attention, CausalLM, DecoderBlock, _make_norm
 
-QuantMode = Optional[Literal["int8", "int4"]]
+QuantMode = Optional[Literal["int8", "int8-a8", "int4", "int4-mixed"]]
 
 
 class NameMap:
@@ -93,9 +94,10 @@ def make_linear(loader, prefix: str, out_f: int, in_f: int, dtype,
     else:
         w = load_tensor(loader, wname, (out_f, in_f))
 
-    if quant == "int8":
+    if quant in ("int8", "int8-a8"):
         qv, sc = qm.repack_float_to_int8(w)
-        return QuantLinear(jnp.asarray(qv), jnp.asarray(sc), bias)
+        cls = QuantLinearA8 if quant == "int8-a8" else QuantLinear
+        return cls(jnp.asarray(qv), jnp.asarray(sc), bias)
     if quant == "int4":
         packed, scales, zeros = qm.prepare_int4(*qm.repack_float_to_int4(w, 32))
         return make_int4_linear(packed, scales, zeros, bias, k=in_f,
@@ -221,9 +223,10 @@ def load_causal_lm(loader, cfg: TextConfig, dtype=jnp.bfloat16,
 def _maybe_quant_from_float(w: np.ndarray, dtype, quant: QuantMode):
     if quant == "int4-mixed":
         quant = "int4"
-    if quant == "int8":
+    if quant in ("int8", "int8-a8"):
         qv, sc = qm.repack_float_to_int8(w)
-        return QuantLinear(jnp.asarray(qv), jnp.asarray(sc), None)
+        cls = QuantLinearA8 if quant == "int8-a8" else QuantLinear
+        return cls(jnp.asarray(qv), jnp.asarray(sc), None)
     if quant == "int4":
         packed, scales, zeros = qm.prepare_int4(*qm.repack_float_to_int4(w, 32))
         return make_int4_linear(packed, scales, zeros, None, k=w.shape[-1],

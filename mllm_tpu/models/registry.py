@@ -137,7 +137,7 @@ def _mixtral_mlp_builder(cfg, dtype, quant=None):
         moe = MoEMLP(router, jnp.asarray(np.stack(g), dtype), jnp.asarray(np.stack(u), dtype),
                      jnp.asarray(np.stack(dn), dtype), cfg.num_experts_per_tok,
                      cfg.moe_norm_topk_prob, cfg.hidden_act)
-        if quant in ("int8", "int4", "int4-mixed"):
+        if quant in ("int8", "int8-a8", "int4", "int4-mixed"):
             from ..ops.quantize_model import quantize_model
 
             moe = quantize_model(moe, "int4" if quant == "int4-mixed" else quant,

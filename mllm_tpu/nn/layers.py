@@ -121,6 +121,30 @@ class QuantLinear(Module):
         return y.astype(x.dtype)
 
 
+class QuantLinearA8(QuantLinear):
+    """QuantLinear that quantizes ACTIVATIONS too when the call is
+    prefill-shaped (W8A8, the reference's QNN-NPU prefill scheme).
+
+    Dispatch is static per trace: the flattened row count m is a trace-time
+    constant, so prefill programs (m >= 16) compile the s8 x s8 double-rate
+    MXU dot while decode programs (m = batch <= 8) keep the weight-only
+    bf16 x int8 dot — decode is HBM-bound, activation quant buys nothing
+    there.  Mirrors the reference's NPU-prefill / CPU-decode split
+    (demo_qwen_npu.cpp:33-110) as one pytree instead of two backends."""
+
+    def __call__(self, x):
+        from ..ops.quant_matmul import int8_matmul, int8_matmul_a8
+
+        m = int(np.prod(x.shape[:-1]))
+        if m >= 16:
+            y = int8_matmul_a8(x, self.qweight_t, self.scales)
+        else:
+            y = int8_matmul(x, self.qweight_t, self.scales)
+        if self.bias is not None:
+            y = y + self.bias
+        return y.astype(x.dtype)
+
+
 class Int4Linear(Module):
     """Linear over int4 group-quantized weight (canonical planar layout).
 

@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..nn.layers import Embedding, Int4Linear, Int4LinearXLA, Linear, QuantLinear
+from ..nn.layers import (Embedding, Int4Linear, Int4LinearXLA, Linear,
+                         QuantLinear, QuantLinearA8)
 from ..nn.module import Module
 from . import quant_matmul as qm
 
@@ -155,9 +156,10 @@ def _quant_linear(lin: Linear, mode: str, min_size: int, on_device: bool):
         # n-axis path has no custom-call boundary so int4 wins at any size
         mode = "int8"
     if on_device or lin.weight.ndim > 2:  # stacked layers always quantize on-device
-        if mode == "int8":
+        if mode in ("int8", "int8-a8"):
             qv, sc = _q8_device(lin.weight)
-            return QuantLinear(qv, sc, lin.bias)
+            cls = QuantLinearA8 if mode == "int8-a8" else QuantLinear
+            return cls(qv, sc, lin.bias)
         if qm.int4_impl() == "xla":
             packed_n, scales = _q4n_device(lin.weight)
             return Int4LinearXLA(packed_n, scales, None, 32, lin.bias)
@@ -165,9 +167,10 @@ def _quant_linear(lin: Linear, mode: str, min_size: int, on_device: bool):
         packed, scales, _ = qm.prepare_int4(packed, scales, 32)
         return Int4Linear(packed, scales, 32, None, lin.bias)  # symmetric
     w = np.asarray(lin.weight, np.float32)
-    if mode == "int8":
+    if mode in ("int8", "int8-a8"):
         qv, sc = qm.repack_float_to_int8(w)
-        return QuantLinear(jnp.asarray(qv), jnp.asarray(sc), lin.bias)
+        cls = QuantLinearA8 if mode == "int8-a8" else QuantLinear
+        return cls(jnp.asarray(qv), jnp.asarray(sc), lin.bias)
     packed, scales, zeros = qm.prepare_int4(*qm.repack_float_to_int4(w, 32), group=32)
     return make_int4_linear(packed, scales, zeros, lin.bias, k=w.shape[-1],
                             symmetric=True)
@@ -329,7 +332,7 @@ def fuse_projections(model):
     return walk(model)
 
 
-def quantize_model(model, mode: Literal["int8", "int4"] = "int8",
+def quantize_model(model, mode: Literal["int8", "int8-a8", "int4"] = "int8",
                    min_size: int = 1 << 16, quant_embed_head: bool = True,
                    on_device: bool = False, attn_quant: str | None = None):
     """Return a copy of `model` with big Linears quantized.
