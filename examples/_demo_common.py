@@ -20,7 +20,8 @@ def std_parser(description: str, image: bool = False, default_prompt: str = None
     ap.add_argument("-m", "--model", required=True, help="model directory")
     ap.add_argument("-l", "--limits", type=int, default=2048,
                     help="KV cache limit (reference cmdline 'limits')")
-    ap.add_argument("-q", "--quant", choices=["int8", "int4", "int4-mixed"], default=None)
+    ap.add_argument("-q", "--quant",
+                    choices=["int8", "int8-a8", "int4", "int4-mixed"], default=None)
     if image:
         ap.add_argument("-i", "--image", required=True)
     if default_prompt is not None:

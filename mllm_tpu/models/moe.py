@@ -396,10 +396,13 @@ def load_moe_mlp(loader, prefix: str, cfg: TextConfig, dtype=jnp.bfloat16,
             sgate = jnp.asarray(loader.load(prefix + shared_gate_name + ".weight", (1, d)), dtype)
     moe = MoEMLP(router, w_gate, w_up, w_down, cfg.num_experts_per_tok,
                  cfg.moe_norm_topk_prob, cfg.hidden_act, shared, sgate)
-    if quant in ("int8", "int4"):
+    if quant in ("int8", "int8-a8", "int4"):
         from ..ops.quantize_model import quantize_model
 
         # min_size=1: quant here is an explicit per-model request and the
-        # expert stacks are the dominant weights — no size gate
-        moe = quantize_model(moe, quant, min_size=1, quant_embed_head=False)
+        # expert stacks are the dominant weights — no size gate.  "int8-a8"
+        # maps the expert stacks to plain int8 (ragged expert dots have no
+        # A8 path; the dense attn/shared projections get A8 elsewhere).
+        moe = quantize_model(moe, "int8" if quant == "int8-a8" else quant,
+                             min_size=1, quant_embed_head=False)
     return moe

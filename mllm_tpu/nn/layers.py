@@ -136,7 +136,11 @@ class QuantLinearA8(QuantLinear):
         from ..ops.quant_matmul import int8_matmul, int8_matmul_a8
 
         m = int(np.prod(x.shape[:-1]))
-        if m >= 16:
+        # prefill-shaped = many tokens, not many decode slots: a [B, 1, D]
+        # decode step with B >= 16 must keep the weight-only dot (decode is
+        # HBM-bound; activation quant would change numerics for zero gain)
+        seq = x.shape[-2] if x.ndim >= 3 else m
+        if m >= 16 and seq > 1:
             y = int8_matmul_a8(x, self.qweight_t, self.scales)
         else:
             y = int8_matmul(x, self.qweight_t, self.scales)

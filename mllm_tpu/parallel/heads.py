@@ -107,7 +107,7 @@ def _map_linear(lin, index, hd: int, *, rows: bool):
         qw = _take_heads(lin.qweight_t, index, hd, 1 if rows else 0)
         sc = _take_heads(lin.scales, index, hd, 0) if rows else lin.scales
         b = _take_heads(lin.bias, index, hd, 0) if (rows and lin.bias is not None) else lin.bias
-        return QuantLinear(qw, sc, b)
+        return type(lin)(qw, sc, b)  # preserves QuantLinearA8 (same fields)
     if isinstance(lin, Int4LinearXLA):
         # n-axis int4 is head-sliceable: out channels are packed 2-per-byte
         # along the LAST axis (head blocks = hd/2 bytes, hd is even), and

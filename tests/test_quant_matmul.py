@@ -249,3 +249,51 @@ def test_int4_embed_head(monkeypatch):
     ids = jnp.asarray(np.random.default_rng(3).integers(0, 128, (1, 6)), jnp.int32)
     logits, _ = q(ids, q.init_cache(1, 16, jnp.float32))
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_int8_matmul_a8_accuracy():
+    """W8A8 path matches the f32 dot within W8A8 tolerance (ADVICE r4)."""
+    from mllm_tpu.ops.quant_matmul import int8_matmul_a8, repack_float_to_int8
+
+    M, K, N = 32, 128, 64
+    x = _w(M, K, 5) * 0.5
+    w = _w(N, K, 6)
+    qt, sc = repack_float_to_int8(w)
+    ref = x @ (qt.astype(np.float32) * sc[None, :])  # dequantized-weight oracle
+    got = np.asarray(int8_matmul_a8(jnp.asarray(x), jnp.asarray(qt), jnp.asarray(sc)))
+    rms = np.sqrt(np.mean((got - ref) ** 2)) / np.sqrt(np.mean(ref**2))
+    assert rms < 0.01  # activation-quant error only
+
+
+def test_int8_matmul_a8_zero_rows():
+    from mllm_tpu.ops.quant_matmul import int8_matmul_a8, repack_float_to_int8
+
+    K, N = 64, 32
+    x = np.zeros((17, K), np.float32)
+    qt, sc = repack_float_to_int8(_w(N, K, 7))
+    got = np.asarray(int8_matmul_a8(jnp.asarray(x), jnp.asarray(qt), jnp.asarray(sc)))
+    assert np.all(got == 0) and got.shape == (17, N)
+
+
+def test_quant_linear_a8_dispatch(monkeypatch):
+    """QuantLinearA8 keeps the weight-only dot at decode shapes — including
+    batch >= 16 decode steps [B, 1, D] — and takes the A8 dot at prefill."""
+    import mllm_tpu.ops.quant_matmul as qm
+    from mllm_tpu.nn.layers import QuantLinearA8
+    from mllm_tpu.ops.quant_matmul import repack_float_to_int8
+
+    calls = []
+    real_a8, real_w8 = qm.int8_matmul_a8, qm.int8_matmul
+    monkeypatch.setattr(qm, "int8_matmul_a8",
+                        lambda *a, **k: calls.append("a8") or real_a8(*a, **k))
+    monkeypatch.setattr(qm, "int8_matmul",
+                        lambda *a, **k: calls.append("w8") or real_w8(*a, **k))
+    K, N = 64, 32
+    qt, sc = repack_float_to_int8(_w(N, K, 8))
+    lin = QuantLinearA8(jnp.asarray(qt), jnp.asarray(sc), None)
+
+    lin(jnp.ones((2, 1, K)))       # decode b2
+    lin(jnp.ones((32, 1, K)))      # decode b32: MUST stay weight-only
+    lin(jnp.ones((1, 128, K)))     # prefill
+    lin(jnp.ones((64, K)))         # 2-D token stack (vision tower): A8
+    assert calls == ["w8", "w8", "a8", "a8"]
