@@ -2,12 +2,17 @@
 (/root/reference/mllm/Module.cpp:25-61 Module::profiling and
  examples/mllm_benchmark.cpp): load time, prefill tok/s, TTFT, decode tok/s.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints a compact JSON summary line {"metric", "value", "unit",
+"vs_baseline", "rows": {...}} to stdout after EVERY completed row (last
+line = freshest full record, small enough for a log tail), full per-row
+JSON to stderr, and the complete record to BENCH_DETAIL.json.  Rows run in
+budgeted child processes (cheap rows first, shared model builds, load
+retry) so one relay stall cannot erase the run — see GROUPS/main below.
 
 Headline: aggregate decode tok/s of the Qwen2-VL-2B language model, int8
-weights, batch 8 (BASELINE.md north star: >= 2000 tok/s on one v5e chip;
-measured 2696 tok/s, B=32 reaches 5746).  `--config` selects other configs
-(see CONFIGS); `--all` runs everything.
+weights (BASELINE.md north star: >= 2000 tok/s on one v5e chip; b32
+measured 6450).  `--config` selects one config in-process; `--all` runs
+everything; `--rows a,b` is the child-process protocol.
 
 Note: np.asarray is the device-sync point (block_until_ready is unreliable
 through the axon remote relay — see .claude/skills/verify/SKILL.md).
@@ -15,7 +20,11 @@ through the axon remote relay — see .claude/skills/verify/SKILL.md).
 
 import argparse
 import json
+import os
+import queue
+import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
@@ -134,6 +143,53 @@ def _roofline(cfg: TextConfig, quant, batch: int, kv_dtype,
     return out
 
 
+def _phase(config: str, stage: str):
+    """Progress marker (stderr): lets the parent orchestrator report WHERE a
+    timed-out config died (load vs compile vs measure) from JSON alone —
+    round-4's load_s 1711 was undiagnosable without a rerun."""
+    print(json.dumps({"config": config, "phase": stage}), file=sys.stderr, flush=True)
+
+
+_MODEL_CACHE: dict = {}
+
+
+def get_model(cfg: TextConfig, quant, stacked: bool = False, *,
+              row: str = "", cacheable: bool = True):
+    """build_model + the round-5 robustness contract:
+
+    - SHARED BUILDS: rows in one bench process that share geometry+quant
+      reuse the built model (round 4 rebuilt the same flagship three times
+      and the third build's relay stall ate the driver's wall clock).
+    - LOAD RETRY: a build that takes >120 s is rebuilt once — the compile is
+      persistently cached, so a clean retry separates "relay weather" from
+      "framework regression" and recovers an honest load_s.
+    - TELEMETRY: every row records load_s, load_s_first, load_retries, and
+      load_shared so a pathological load is diagnosable from the row alone.
+
+    Returns (model, meta dict to merge into the bench row)."""
+    key = (id(cfg), quant, stacked, os.environ.get("MLLM_INT4_IMPL", ""))
+    if cacheable and key in _MODEL_CACHE:
+        model, meta = _MODEL_CACHE[key]
+        return model, dict(meta, load_shared=True, load_s=0.0)
+    if row:
+        _phase(row, "load")
+    t0 = time.perf_counter()
+    model = build_model(cfg, quant, stacked)
+    t = time.perf_counter() - t0
+    meta = {"load_s_first": round(t, 2), "load_retries": 0}
+    if t > 120.0:
+        if row:
+            _phase(row, "load-retry")
+        t0 = time.perf_counter()
+        model = build_model(cfg, quant, stacked)
+        t = time.perf_counter() - t0
+        meta["load_retries"] = 1
+    meta["load_s"] = round(t, 2)
+    if cacheable:
+        _MODEL_CACHE[key] = (model, meta)
+    return model, dict(meta)
+
+
 def model_builder(cfg: TextConfig, quant, stacked: bool = False):
     """Traceable builder (key, inv_freq) -> model for use inside ONE jit
     program (see build_model); lets callers compose bigger single-program
@@ -226,6 +282,7 @@ def bench_image_prefill() -> dict:
 
     from mllm_tpu.nn.layers import rope_inv_freq
 
+    _phase("qwen2vl-2b-image-prefill", "load")
     t0 = time.perf_counter()
     tcfg = dataclasses.replace(QWEN2VL_2B_LM, max_position_embeddings=4096)
     vcfg = Qwen2VLVisionConfig()
@@ -334,8 +391,10 @@ def bench_image_prefill() -> dict:
         np.asarray(tok)
         return time.perf_counter() - t0
 
+    _phase("qwen2vl-2b-image-prefill", "compile")
     t_compile = run()  # compile
     run_rgb()
+    _phase("qwen2vl-2b-image-prefill", "measure")
     # Official number = MEDIAN of 9.  Worst-of-N through the axon relay
     # measures tunnel weather, not the framework: the wire itself is
     # ~40 ms RTT + ~90 ms/MB with occasional 0.5-50 s stalls (measured:
@@ -437,6 +496,7 @@ def bench_clip() -> dict:
     score program: encode 1 image + 8 texts -> logits_per_image."""
     from mllm_tpu.models.clip import CLIPConfig, CLIPModel
 
+    _phase("clip-vitb-scoring", "load")
     t0 = time.perf_counter()
     cfg = CLIPConfig()  # ViT-B/32 vision + 512-wide text (HF defaults)
     model = jax.jit(lambda k: CLIPModel.init(k, cfg, jnp.bfloat16))(
@@ -451,9 +511,11 @@ def bench_clip() -> dict:
     pixel = jnp.asarray(rng.standard_normal((1, 3, 224, 224)), jnp.bfloat16)
 
     score = jax.jit(lambda m, i, p: m(i, p))
+    _phase("clip-vitb-scoring", "compile")
     t0 = time.perf_counter()
     np.asarray(score(model, ids_j, pixel))
     t_compile = time.perf_counter() - t0
+    _phase("clip-vitb-scoring", "measure")
     best = 1e9
     for _ in range(5):
         t0 = time.perf_counter()
@@ -474,6 +536,7 @@ def bench_imagebind() -> dict:
     clips -> vision_x_text + vision_x_audio)."""
     from mllm_tpu.models.imagebind import ImageBindConfig, ImageBindModel
 
+    _phase("imagebind-trimodal", "load")
     t0 = time.perf_counter()
     cfg = ImageBindConfig()  # huge geometry (~1B params)
     model = jax.jit(lambda k: ImageBindModel.init(k, cfg, jnp.bfloat16))(
@@ -492,9 +555,11 @@ def bench_imagebind() -> dict:
     args = (jnp.asarray(ids), jnp.asarray(eot),
             jnp.asarray(patches, jnp.bfloat16), jnp.asarray(fbanks, jnp.bfloat16))
     score = jax.jit(lambda m, i, e, p, f: m(i, e, p, f))
+    _phase("imagebind-trimodal", "compile")
     t0 = time.perf_counter()
     np.asarray(score(model, *args)[0])
     t_compile = time.perf_counter() - t0
+    _phase("imagebind-trimodal", "measure")
     best = 1e9
     for _ in range(5):
         t0 = time.perf_counter()
@@ -528,9 +593,8 @@ def bench_engine(variant: str = "base") -> dict:
     from mllm_tpu.generation.engine import ContinuousEngine, collect
 
     quant = "int4-mega" if variant == "int4mega" else "int8"
-    t0 = time.perf_counter()
-    model = build_model(QWEN2VL_2B_LM, quant)
-    t_load = time.perf_counter() - t0
+    name = "qwen2vl-2b-engine-8slot" + ("" if variant == "base" else f"-{variant}")
+    model, meta = get_model(QWEN2VL_2B_LM, quant, row=name)
 
     kw = {}
     if variant == "prefix":
@@ -562,13 +626,14 @@ def bench_engine(variant: str = "base") -> dict:
         total = sum(len(collect(q, timeout=1)) for q in qs)
         return total, dt
 
+    _phase(name, "compile")
     run_round(8, 33)  # compile admit + window programs
+    _phase(name, "measure")
     total, dt = run_round(8, 256)
-    name = "qwen2vl-2b-engine-8slot" + ("" if variant == "base" else f"-{variant}")
     out = {
         "config": name,
         "batch": 8,
-        "load_s": round(t_load, 2),
+        **meta,
         "window": eng.window,
         "decode_tps": round(total / dt, 1),
         "tokens": total,
@@ -580,23 +645,38 @@ def bench_engine(variant: str = "base") -> dict:
     return out
 
 
-def bench_sd() -> dict:
+def bench_sd(natural: bool = False) -> dict:
     """Speculative decoding vs plain greedy (round-3 verdict #5: SD had no
     perf record).  Uses the fully-compiled SD loop — on-device prompt-lookup
     drafting inside one lax.while_loop (generation/speculative.py), the
     TPU-native replacement for the reference's host SuffixAutomaton loop
-    (modeling_qwen_sd.hpp:270-385).  Workload: a repetitive prompt (the
-    reference demos SD on exactly this regime); both paths produce identical
-    greedy tokens, so the speedup is pure drafting win."""
+    (modeling_qwen_sd.hpp:270-385).  Both paths produce identical greedy
+    tokens, so the speedup is pure drafting win.
+
+    Workloads (round-4 verdict #5: the repetitive headline needs an honest
+    companion):
+      natural=False: 16-token pattern repeated 8x — the repetitive regime
+        the reference demos SD on (acceptance ~100%, the headline number).
+      natural=True : Zipf-distributed token stream (natural-language-like
+        frequency tail, few exact n-gram repeats) with a shorter draft —
+        prompt-lookup acceptance collapses here; the row records how SD
+        behaves when drafting is hard, acceptance% and all."""
     from mllm_tpu.generation.speculative import speculative_generate_compiled
 
-    t0 = time.perf_counter()
-    model = build_model(QWEN2VL_2B_LM, "int8")
-    t_load = time.perf_counter() - t0
+    name = "qwen2vl-2b-sd" + ("-natural" if natural else "")
+    model, meta = get_model(QWEN2VL_2B_LM, "int8", row=name)
 
     rng = np.random.default_rng(0)
-    base = rng.integers(0, QWEN2VL_2B_LM.vocab_size, 16, dtype=np.int32)
-    ids = np.tile(base, PROMPT_LEN // 16)[None, :]  # repetitive 128-tok prompt
+    if natural:
+        # Zipf(1.3) over an 8k-id slice: token frequencies with a natural-
+        # language-like head/tail split, virtually no repeated trigrams
+        ids = (np.minimum(rng.zipf(1.3, size=PROMPT_LEN), 8192) - 1).astype(
+            np.int32)[None, :]
+        max_draft = 4  # adaptive: short drafts when acceptance is low
+    else:
+        base = rng.integers(0, QWEN2VL_2B_LM.vocab_size, 16, dtype=np.int32)
+        ids = np.tile(base, PROMPT_LEN // 16)[None, :]  # repetitive 128-tok
+        max_draft = 8
     true_len = ids.shape[1]
     padded = jnp.asarray(ids)
     scfg = SamplingConfig(max_new_tokens=DECODE_TOKENS, temperature=0.0)
@@ -611,11 +691,13 @@ def bench_sd() -> dict:
         cache = model.init_cache(1, MAX_LEN, jnp.bfloat16)
         toks, n, steps, drafted, accepted = speculative_generate_compiled(
             model, padded, cache, true_len, DECODE_TOKENS,
-            eos_token_id=-7, max_draft=8, ngram=3)
+            eos_token_id=-7, max_draft=max_draft, ngram=3)
         return np.asarray(toks), n, steps, drafted, accepted
 
+    _phase(name, "compile")
     g_toks = run_greedy()  # compile both programs
     s_out = run_sd()
+    _phase(name, "measure")
     t_greedy = min(_timeit(run_greedy) for _ in range(3))
     t_sd = 1e9
     for _ in range(3):
@@ -626,9 +708,11 @@ def bench_sd() -> dict:
     drafted, accepted = int(drafted), int(accepted)
     lossless = bool(np.array_equal(toks[:n], g_toks[:n]))
     return {
-        "config": "qwen2vl-2b-sd",
+        "config": name,
         "batch": 1,
-        "load_s": round(t_load, 2),
+        **meta,
+        "workload": "zipf-1.3-natural" if natural else "repetitive-16x8",
+        "max_draft": max_draft,
         "tokens": n,
         "verify_steps": steps,
         "drafted": drafted,
@@ -641,8 +725,9 @@ def bench_sd() -> dict:
         "lossless": lossless,  # SD tokens == greedy tokens (must be True)
         "protocol": "both timings are whole generations (prefill + 128 new "
                     "tokens, min-of-3, one device sync each) of IDENTICAL "
-                    "greedy outputs; workload is a 16-token pattern repeated "
-                    "8x (the repetitive regime the reference demos SD on)",
+                    "greedy outputs; workload per the 'workload' field "
+                    "(repetitive = the regime the reference demos SD on; "
+                    "natural = Zipf token stream, honest low-acceptance row)",
     }
 
 
@@ -652,14 +737,13 @@ def bench_config(name: str) -> dict:
         # A/B both int4 implementations (n-axis native-XLA graph vs Pallas
         # group-partial kernel) and report the winner — the right impl is a
         # hardware/stack property, not a config property
-        import os
-
         results = []
         for impl, q in (("xla", "int4"), ("pallas", "int4"),
                         ("pallas", "int4-mixed"), ("pallas", "int4-mega")):
             os.environ["MLLM_INT4_IMPL"] = impl
             try:
-                r = _bench_config_body(name, cfg, q, batch, *rest)
+                r = _bench_config_body(name, cfg, q, batch, *rest,
+                                       cacheable=False)
                 r["int4_impl"] = impl if q == "int4" else impl + q[4:]
                 results.append(r)
             except ValueError as e:  # megakernel contract (e.g. head_dim)
@@ -676,11 +760,11 @@ def bench_config(name: str) -> dict:
     return _bench_config_body(name, cfg, quant, batch, *rest)
 
 
-def _bench_config_body(name: str, cfg, quant, batch, *rest) -> dict:
+def _bench_config_body(name: str, cfg, quant, batch, *rest,
+                       cacheable: bool = True) -> dict:
     kv_dtype = rest[0] if rest else "bf16"
-    t0 = time.perf_counter()
-    model = build_model(cfg, quant)
-    t_load = time.perf_counter() - t0
+    model, meta = get_model(cfg, quant, row=name, cacheable=cacheable)
+    _phase(name, "compile")
 
     ids = np.random.randint(0, cfg.vocab_size, (batch, PROMPT_LEN)).astype(np.int32)
     padded = jnp.asarray(ids)
@@ -698,6 +782,7 @@ def _bench_config_body(name: str, cfg, quant, batch, *rest) -> dict:
     cache = model.init_cache(batch, MAX_LEN, jnp.bfloat16, kv_dtype=kv_dtype)
     tok0, cache2 = prefill_tok(model, cache, padded)
     np.asarray(tok0)
+    _phase(name, "measure")
     # median of 5 (one relay dispatch + token-ids fetch each) — same
     # robustness protocol as the image-prefill bench; per-sample relay RTT
     # is reported separately so hardware TTFT is separable from the tunnel
@@ -767,7 +852,7 @@ def _bench_config_body(name: str, cfg, quant, batch, *rest) -> dict:
     return {
         "config": name,
         "batch": batch,
-        "load_s": round(t_load, 2),
+        **meta,
         "compile_s": round(t_compile, 1),
         "kv": kv_dtype,
         "ttft_s": round(ttft, 4),
@@ -788,72 +873,266 @@ def _timeit(fn):
     return time.perf_counter() - t0
 
 
-def main():
+# ---------------------------------------------------------------------------
+# Orchestration (round-4 verdict #1: the harness must be engineered for relay
+# stalls).  The default run is a PARENT that executes groups of rows in child
+# processes: each group has a wall-clock budget (a stalled load kills one
+# group, not the run), rows within a group share model builds, and after
+# EVERY row the parent flushes a compact multi-row summary line to stdout —
+# so a driver timeout (rc:124) still leaves a parseable record in the tail.
+# Full row details stream to stderr and to BENCH_DETAIL.json.
+# ---------------------------------------------------------------------------
+
+DEFAULT_NAMES = [
+    # cheap rows first: a late stall can no longer erase the whole record
+    "clip-vitb-scoring", "qwen2moe-0.8b-bf16-b8", "tinyllama-1.1b-int4",
+    "imagebind-trimodal",
+    "qwen2vl-2b-int8-b8", "qwen2vl-2b-int8a8-b8", "qwen2vl-2b-int8-b32",
+    "qwen2vl-2b-sd", "qwen2vl-2b-sd-natural",
+    "qwen2vl-2b-engine-8slot", "qwen2vl-2b-engine-8slot-prefix",
+    "qwen2vl-2b-engine-8slot-paged",
+    "qwen2vl-2b-int4", "qwen2vl-2b-engine-8slot-int4mega",
+    "qwen2vl-2b-image-prefill",
+]
+
+# (group name, rows, wall-clock budget seconds).  Rows in one group run in
+# ONE child process and share model builds via get_model's cache; budgets
+# assume a warm persistent compile cache (bench.py is run during the build
+# round; the driver rerun hits the cache).
+GROUPS = [
+    ("cheap", ["clip-vitb-scoring", "qwen2moe-0.8b-bf16-b8"], 420),
+    ("tinyllama", ["tinyllama-1.1b-int4"], 420),
+    ("imagebind", ["imagebind-trimodal"], 300),
+    ("flagship-int8", ["qwen2vl-2b-int8-b8", "qwen2vl-2b-int8a8-b8",
+                       "qwen2vl-2b-int8-b32", "qwen2vl-2b-sd",
+                       "qwen2vl-2b-sd-natural", "qwen2vl-2b-engine-8slot",
+                       "qwen2vl-2b-engine-8slot-prefix",
+                       "qwen2vl-2b-engine-8slot-paged"], 1080),
+    ("int4", ["qwen2vl-2b-int4", "qwen2vl-2b-engine-8slot-int4mega"], 540),
+    ("image-prefill", ["qwen2vl-2b-image-prefill"], 360),
+]
+
+
+def run_row(n: str) -> dict:
+    if n == "qwen2vl-2b-image-prefill":
+        return bench_image_prefill()
+    if n.startswith("qwen2vl-2b-engine-8slot"):
+        v = n.removeprefix("qwen2vl-2b-engine-8slot").lstrip("-") or "base"
+        return bench_engine(v)
+    if n == "qwen2vl-2b-sd":
+        return bench_sd()
+    if n == "qwen2vl-2b-sd-natural":
+        return bench_sd(natural=True)
+    if n == "clip-vitb-scoring":
+        return bench_clip()
+    if n == "imagebind-trimodal":
+        return bench_imagebind()
+    return bench_config(n)
+
+
+def _compact_row(d: dict) -> dict:
+    """<=60-char digest per row: the incremental summary must fit the
+    driver's ~2000-char tail with all rows present."""
+    if "error" in d:
+        return {"err": str(d["error"])[:40]}
+    if d.get("timeout"):
+        return {"timeout": d.get("phase", "?")}
+    if d.get("skipped"):
+        return {"skip": str(d["skipped"])[:30]}
+    if "sd_tps" in d:
+        return {"tps": d["sd_tps"], "acc": d.get("acceptance_pct"),
+                "x": d.get("speedup_vs_greedy")}
+    if "decode_tps" in d:
+        c = {"tps": d["decode_tps"]}
+        if "prefill_mfu_pct" in d:
+            c["mfu"] = d["prefill_mfu_pct"]
+        if "decode_hbm_bw_pct" in d:
+            c["bw"] = d["decode_hbm_bw_pct"]
+        return c
+    if "image_prefill_ms" in d:
+        return {"ms": d["image_prefill_ms"],
+                "hw_ms": d.get("image_prefill_hw_est_ms")}
+    if "score_ms" in d:
+        return {"ms": d["score_ms"]}
+    return {"ok": 1}
+
+
+def _summary(details: list, total: int) -> dict:
+    decodes = [d for d in details if d.get("decode_tps")]
+    head = max(decodes, key=lambda d: d["decode_tps"]) if decodes else {}
+    return {
+        "note": "synthetic on-device weights; parity vs HF/reference in tests/",
+        "metric": f"decode_tok_s_{head.get('config', 'none').replace('-', '_')}",
+        "value": head.get("decode_tps", 0.0),
+        "unit": "tok/s",
+        # north star: Qwen2-VL-2B decode 2000 tok/s (BASELINE.md; the
+        # reference publishes no absolute numbers)
+        "vs_baseline": round(head.get("decode_tps", 0.0) / 2000.0, 3),
+        "rows_done": sum(1 for d in details
+                         if not (d.get("timeout") or d.get("skipped")
+                                 or "error" in d)),
+        "rows_total": total,
+        "rows": {d.get("config", "?"): _compact_row(d) for d in details},
+        "detail_file": "BENCH_DETAIL.json",
+    }
+
+
+def _run_child_group(rows, budget_s, details, flush):
+    """Run `rows` in a child bench process with a hard wall-clock budget.
+
+    The child prints one full JSON row per line on stdout; phase markers
+    {"config","phase"} on stderr.  On budget breach the child is killed (by
+    PID — never by pattern) and un-received rows are recorded with the last
+    phase seen, so the record says WHERE the config died."""
+    phases: dict = {}
+    received: set = set()
+    cmd = [sys.executable, os.path.abspath(__file__), "--rows", ",".join(rows)]
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                            text=True, bufsize=1)
+    q: queue.Queue = queue.Queue()
+
+    def rd_out():
+        for line in proc.stdout:
+            q.put(line)
+        q.put(None)
+
+    def rd_err():
+        for line in proc.stderr:
+            sys.stderr.write(line)
+            sys.stderr.flush()
+            try:
+                j = json.loads(line)
+                if isinstance(j, dict) and "phase" in j and "config" in j:
+                    phases[j["config"]] = j["phase"]
+            except ValueError:
+                pass
+
+    threading.Thread(target=rd_out, daemon=True).start()
+    threading.Thread(target=rd_err, daemon=True).start()
+    deadline = time.monotonic() + budget_s
+    timed_out = False
+    while True:
+        try:
+            line = q.get(timeout=max(0.1, min(5.0, deadline - time.monotonic())))
+        except queue.Empty:
+            if time.monotonic() >= deadline:
+                timed_out = True
+                proc.kill()
+                break
+            continue
+        if line is None:
+            break
+        try:
+            row = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(row, dict) and "config" in row:
+            received.add(row["config"])
+            details.append(row)
+            flush(row)
+    try:
+        proc.wait(timeout=15)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+    for r in rows:
+        if r not in received:
+            row = {"config": r, "phase": phases.get(r, "not-started"),
+                   "group_budget_s": budget_s}
+            if timed_out:
+                row["timeout"] = True
+            else:
+                row["error"] = f"child exited rc={proc.returncode} without row"
+            details.append(row)
+            flush(row)
+
+
+def _child_main(rows):
+    """--rows mode: run each row in-process (shared model cache), print one
+    full JSON row per line to stdout."""
     from mllm_tpu.utils.runtime import enable_compilation_cache
 
-    # force=True: bench programs are TPU executables (the CPU machine-feature
-    # mismatch the opt-in protects against cannot occur), and a warm cache
-    # turns the ~78 s cold model-build compile into seconds on driver reruns
     enable_compilation_cache(force=jax.default_backend() == "tpu")
+    for n in rows:
+        _phase(n, "start")
+        try:
+            row = run_row(n)
+        except Exception as e:  # keep the group alive across configs
+            row = {"config": n, "error": str(e)[:200]}
+        print(json.dumps(row), flush=True)
+
+
+def main():
     all_names = list(CONFIGS) + [
         "qwen2vl-2b-image-prefill", "qwen2vl-2b-engine-8slot",
         "qwen2vl-2b-engine-8slot-int4mega", "qwen2vl-2b-engine-8slot-prefix",
         "qwen2vl-2b-engine-8slot-paged", "qwen2vl-2b-sd",
-        "clip-vitb-scoring", "imagebind-trimodal"]
+        "qwen2vl-2b-sd-natural", "clip-vitb-scoring", "imagebind-trimodal"]
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", default=None, choices=all_names)
-    ap.add_argument("--all", action="store_true")
+    ap.add_argument("--config", default=None, choices=all_names,
+                    help="run ONE config in-process (debug)")
+    ap.add_argument("--rows", default=None,
+                    help="child mode: comma-separated rows, full JSON per line")
+    ap.add_argument("--all", action="store_true",
+                    help="orchestrate every known row (grouped)")
+    ap.add_argument("--budget", type=float,
+                    default=float(os.environ.get("MLLM_BENCH_BUDGET", 3000)),
+                    help="total wall-clock budget (s) across groups")
     args = ap.parse_args()
 
-    if args.all:
-        names = all_names
-    elif args.config:
-        names = [args.config]
-    else:  # default driver run: decode headline(s) + image-prefill + int4 +
-        # engine feature rows + SD + BASELINE configs 2/3/5 (tinyllama-int4,
-        # CLIP scoring, MoE routing, ImageBind) — feature regressions visible
-        names = ["qwen2vl-2b-int8-b32", "qwen2vl-2b-int8-b8",
-                 "qwen2vl-2b-image-prefill", "qwen2vl-2b-int4",
-                 "qwen2vl-2b-engine-8slot", "qwen2vl-2b-engine-8slot-int4mega",
-                 "qwen2vl-2b-engine-8slot-prefix", "qwen2vl-2b-sd",
-                 "tinyllama-1.1b-int4", "clip-vitb-scoring",
-                 "imagebind-trimodal", "qwen2moe-0.8b-bf16-b8"]
-    details = []
-    for n in names:
-        try:
-            if n == "qwen2vl-2b-image-prefill":
-                details.append(bench_image_prefill())
-            elif n.startswith("qwen2vl-2b-engine-8slot"):
-                v = n.removeprefix("qwen2vl-2b-engine-8slot").lstrip("-") or "base"
-                details.append(bench_engine(v))
-            elif n == "qwen2vl-2b-sd":
-                details.append(bench_sd())
-            elif n == "clip-vitb-scoring":
-                details.append(bench_clip())
-            elif n == "imagebind-trimodal":
-                details.append(bench_imagebind())
-            else:
-                details.append(bench_config(n))
-            print(json.dumps(details[-1]), file=sys.stderr)
-        except Exception as e:  # keep the harness alive across configs
-            print(json.dumps({"config": n, "error": str(e)[:200]}), file=sys.stderr)
+    if args.rows:
+        _child_main(args.rows.split(","))
+        return
+    if args.config:
+        from mllm_tpu.utils.runtime import enable_compilation_cache
 
-    decodes = [d for d in details if d.get("decode_tps")]
-    head = max(decodes, key=lambda d: d["decode_tps"]) if decodes else {}
-    result = {
-        "note": "synthetic on-device weights (no checkpoints in bench env); "
-                "token-for-token parity vs HF oracles is covered in tests/",
-        "metric": f"decode_tok_s_{head.get('config', 'none').replace('-', '_')}",
-        "value": head.get("decode_tps", 0.0),
-        "unit": "tok/s",
-        # reference publishes no absolute numbers (BASELINE.md); the north star
-        # for Qwen2-VL-2B decode is 2000 tok/s — report against that bar.
-        # Weights are synthetic (no real checkpoints in the bench env) —
-        # parity vs HF is covered by tests/test_hf_parity.py at small scale.
-        "vs_baseline": round(head.get("decode_tps", 0.0) / 2000.0, 3),
-        "detail": details,
-    }
-    print(json.dumps(result))
+        enable_compilation_cache(force=jax.default_backend() == "tpu")
+        row = run_row(args.config)
+        print(json.dumps(row, indent=None), file=sys.stderr)
+        print(json.dumps(_summary([row], 1)))
+        return
+
+    groups = GROUPS
+    if os.environ.get("MLLM_BENCH_GROUPS"):  # debug/driver filter
+        sel = set(os.environ["MLLM_BENCH_GROUPS"].split(","))
+        groups = [g for g in GROUPS if g[0] in sel]
+    if args.all:
+        known = {r for _, rows, _ in GROUPS for r in rows}
+        extra = [n for n in all_names if n not in known]
+        if extra:
+            groups = GROUPS + [("extra", extra, 600)]
+    total = sum(len(rows) for _, rows, _ in groups)
+    details: list = []
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    t_start = time.monotonic()
+
+    def flush(row):
+        # full row -> stderr; compact multi-row aggregate -> stdout; full
+        # record -> BENCH_DETAIL.json.  Every one of these happens after
+        # EVERY row: a timeout at any point leaves a parseable record.
+        print(json.dumps(row), file=sys.stderr, flush=True)
+        print(json.dumps(_summary(details, total)), flush=True)
+        try:
+            with open(detail_path, "w") as f:
+                json.dump({"rows": details,
+                           "elapsed_s": round(time.monotonic() - t_start, 1)},
+                          f, indent=1)
+        except OSError:
+            pass
+
+    for gname, rows, budget in groups:
+        left = args.budget - (time.monotonic() - t_start)
+        if left < 60:
+            for r in rows:
+                row = {"config": r, "skipped": "total budget exhausted"}
+                details.append(row)
+                flush(row)
+            continue
+        print(json.dumps({"group": gname, "budget_s": min(budget, left)}),
+              file=sys.stderr, flush=True)
+        _run_child_group(rows, min(budget, left), details, flush)
+
+    print(json.dumps(_summary(details, total)), flush=True)
 
 
 if __name__ == "__main__":
