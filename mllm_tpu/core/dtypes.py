@@ -544,31 +544,125 @@ def quant_q2_0(x: np.ndarray) -> np.ndarray:
     return out.reshape(-1)
 
 
+def _search_affine_groups(g: np.ndarray, nmax: int, weights: np.ndarray,
+                          rmin: float, rdelta: float, nstep: int,
+                          use_mad: bool):
+    """Weighted affine scale/min search over N groups at once — the
+    vectorized equivalent of ggml's make_qkx2_quants (reference
+    /root/reference/mllm/backends/cpu/third_party/ggml/QuantizeQ2.cpp:86-160,
+    QuantizeQ4.cpp:99): for each candidate step size, quantize, solve the
+    2x2 weighted least-squares for (scale, min), and keep the candidate
+    with the lowest weighted error (MAD or squared).
+
+    g: [N, n] group values; weights: [N, n] >= 0.
+    Returns (scale [N] >= 0-ish, neg_min [N] >= 0).  The caller re-derives
+    the quant levels from the STORED (6/4-bit) scales, exactly like the
+    reference writers do."""
+    w = weights
+    sum_w = w.sum(1)
+    sum_x = (w * g).sum(1)
+    minv = np.minimum(g.min(1), 0.0)
+    rng = g.max(1) - minv
+    degenerate = rng <= 0
+    rng_safe = np.where(degenerate, 1.0, rng)
+
+    def err_of(scale, mn, L):
+        diff = scale[:, None] * L + mn[:, None] - g
+        e = np.abs(diff) if use_mad else diff * diff
+        return (w * e).sum(1)
+
+    iscale0 = nmax / rng_safe
+    L0 = np.clip(np.round(iscale0[:, None] * (g - minv[:, None])), 0, nmax)
+    best_scale = 1.0 / iscale0
+    best_min = minv.copy()
+    best_err = err_of(best_scale, best_min, L0)
+    for step in range(nstep + 1):
+        iscale = (rmin + rdelta * step + nmax) / rng_safe
+        L = np.clip(np.round(iscale[:, None] * (g - minv[:, None])), 0, nmax)
+        sum_l = (w * L).sum(1)
+        sum_l2 = (w * L * L).sum(1)
+        sum_xl = (w * L * g).sum(1)
+        D = sum_w * sum_l2 - sum_l * sum_l
+        ok = D > 0
+        D_safe = np.where(ok, D, 1.0)
+        this_scale = (sum_w * sum_xl - sum_x * sum_l) / D_safe
+        this_min = (sum_l2 * sum_x - sum_l * sum_xl) / D_safe
+        pos = this_min > 0
+        sl2_safe = np.where(sum_l2 > 0, sum_l2, 1.0)
+        this_scale = np.where(pos, sum_xl / sl2_safe, this_scale)
+        this_min = np.where(pos, 0.0, this_min)
+        err = err_of(this_scale, this_min, L)
+        upd = ok & (err < best_err)
+        best_scale = np.where(upd, this_scale, best_scale)
+        best_min = np.where(upd, this_min, best_min)
+        best_err = np.where(upd, err, best_err)
+    best_scale = np.where(degenerate, 0.0, best_scale)
+    best_min = np.where(degenerate, minv, best_min)
+    return best_scale, -best_min
+
+
+def _search_sym_groups(g: np.ndarray, nmax: int) -> np.ndarray:
+    """Weighted symmetric scale search over N groups — vectorized
+    counterpart of ggml's make_qx_quants / make_q3_quants scale refinement
+    (reference Quantize.hpp:182-249, QuantizeQ3.cpp:35-96): scan step sizes
+    around -nmax/max with x^2 importance weights and keep the candidate
+    maximizing the weighted-least-squares objective sum(w*x*l)^2/sum(w*l^2)
+    (equivalently: minimizing weighted residual after the optimal rescale).
+
+    Returns the SIGNED per-group scale [N]; quant levels are re-derived by
+    the caller from the stored sub-scales."""
+    w = g * g
+    ai = np.abs(g).argmax(1)
+    mx = g[np.arange(len(g)), ai]  # signed value at the abs max
+    degenerate = np.abs(mx) < 1e-30
+    mx_safe = np.where(degenerate, 1.0, mx)
+    best_scale = np.zeros(len(g))
+    best_obj = np.zeros(len(g))
+    for step in range(-9, 10):
+        iscale = -(nmax + 0.1 * step) / mx_safe
+        L = np.clip(np.round(iscale[:, None] * g), -nmax, nmax - 1)
+        sumlx = (w * g * L).sum(1)
+        suml2 = (w * L * L).sum(1)
+        s2 = np.where(suml2 > 0, suml2, 1.0)
+        obj = sumlx * sumlx / s2
+        upd = (suml2 > 0) & (obj > best_obj)
+        best_scale = np.where(upd, sumlx / s2, best_scale)
+        best_obj = np.where(upd, obj, best_obj)
+    return np.where(degenerate, 0.0, best_scale)
+
+
 def quant_q4_k(x: np.ndarray) -> np.ndarray:
     """Quantize float array (multiple of 256) to ggml Q4_K super-blocks.
 
-    Simplified (no ggml's iterative scale search): per 32-group affine
-    quantization with 6-bit sub-scales/mins — same container layout, slightly
-    lower SNR than ggml's optimizer.
+    Full-quality writer: per-32-group weighted affine scale search
+    (av+|x| importance weights, 21 candidate steps — the make_qkx2_quants
+    recipe, QuantizeQ4.cpp:196-260), then 6-bit super-scale storage and
+    level recompute from the STORED fp16 scales, matching the reference
+    writer's structure.
     """
     x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, QK_K)
     nb = x.shape[0]
     g = x.reshape(nb, 8, 32)
-    gmin = np.minimum(g.min(axis=2), 0.0)  # [nb, 8]
-    gmax = np.maximum(g.max(axis=2), 0.0)
-    scale = (gmax - gmin) / 15.0  # per-group scale
-    neg_min = -gmin  # >= 0
-    d = scale.max(axis=1) / 63.0  # super scale for 6-bit sub-scales
-    dmin = neg_min.max(axis=1) / 63.0
+    gf = g.reshape(nb * 8, 32)
+    av = np.sqrt((gf * gf).mean(1, keepdims=True))
+    scale_g, neg_min_g = _search_affine_groups(
+        gf, 15, av + np.abs(gf), rmin=-1.0, rdelta=0.1, nstep=20, use_mad=False)
+    scale = scale_g.reshape(nb, 8)
+    neg_min = neg_min_g.reshape(nb, 8)
+    d = np.maximum(scale.max(axis=1), 0.0) / 63.0  # super scale, 6-bit subs
+    dmin = np.maximum(neg_min.max(axis=1), 0.0) / 63.0
     d_safe = np.where(d > 0, d, 1.0)
     dmin_safe = np.where(dmin > 0, dmin, 1.0)
     ls = np.clip(np.round(scale / d_safe[:, None]), 0, 63).astype(np.uint8)  # [nb, 8]
     lm = np.clip(np.round(neg_min / dmin_safe[:, None]), 0, 63).astype(np.uint8)
-    # effective dequant params
+    # effective dequant params from the STORED fp16 super scales
+    d = d.astype(np.float16).astype(np.float32)
+    dmin = dmin.astype(np.float16).astype(np.float32)
     eff_scale = d[:, None] * ls.astype(np.float32)
     eff_min = dmin[:, None] * lm.astype(np.float32)
     es = np.where(eff_scale > 0, eff_scale, 1.0)
     q = np.clip(np.round((g + eff_min[:, :, None]) / es[:, :, None]), 0, 15).astype(np.uint8)
+    q = np.where(eff_scale[:, :, None] > 0, q, np.uint8(0))
 
     out = np.zeros((nb, 144), dtype=np.uint8)
     out[:, 0:2] = d.astype(np.float16)[:, None].view(np.uint8)
@@ -591,19 +685,26 @@ def quant_q4_k(x: np.ndarray) -> np.ndarray:
 def quant_q6_k(x: np.ndarray) -> np.ndarray:
     """Quantize float array (multiple of 256) to ggml Q6_K super-blocks.
 
-    Per-16-group symmetric int6 with int8 sub-scales (simplified search).
+    Full-quality writer: per-16-group weighted symmetric scale search
+    (make_qx_quants recipe, rmse_type=1 — Quantize.hpp:182, used by
+    QuantizeQ6.cpp:44), int8 sub-scales against the signed max-|scale|
+    group, levels recomputed from the stored fp16 super scale.
     """
     x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, QK_K)
     nb = x.shape[0]
     g = x.reshape(nb, 16, 16)
-    amax = np.abs(g).max(axis=2)  # [nb, 16]
-    gscale = amax / 31.0
-    d = gscale.max(axis=1) / 127.0  # fp16 super scale
-    d_safe = np.where(d > 0, d, 1.0)
-    sc = np.clip(np.round(gscale / d_safe[:, None]), -128, 127).astype(np.int8)
+    scales = _search_sym_groups(g.reshape(nb * 16, 16), 32).reshape(nb, 16)
+    ai = np.abs(scales).argmax(axis=1)
+    max_scale = scales[np.arange(nb), ai]  # signed value at abs max
+    nz = np.abs(max_scale) > 0
+    iscale = np.where(nz, -128.0 / np.where(max_scale != 0, max_scale, 1.0), 0.0)
+    d = np.where(nz, 1.0 / np.where(iscale != 0, iscale, 1.0), 0.0)
+    sc = np.minimum(127, np.round(iscale[:, None] * scales)).astype(np.int8)
+    d = d.astype(np.float16).astype(np.float32)  # stored fp16
     eff = d[:, None] * sc.astype(np.float32)
     es = np.where(eff != 0, eff, 1.0)
-    q = np.clip(np.round(g / es[:, :, None]), -32, 31).astype(np.int8) + 32  # 0..63
+    q = np.clip(np.round(g / es[:, :, None]), -32, 31).astype(np.int8)
+    q = np.where(eff[:, :, None] != 0, q, np.int8(0)) + 32  # 0..63
     q = q.reshape(nb, 256).astype(np.uint8)
 
     out = np.zeros((nb, 210), dtype=np.uint8)
@@ -651,31 +752,34 @@ def quant_q8_k(x: np.ndarray) -> np.ndarray:
 def quant_q2_k(x: np.ndarray) -> np.ndarray:
     """Quantize float array (multiple of 256) to ggml Q2_K super-blocks.
 
-    Simplified (no ggml make_qkx2_quants search — same precedent as
-    quant_q4_k): per-16-group affine quant with 4-bit sub-scales/mins,
-    identical container layout to dequant_q2_k / QuantizeQ2.cpp.
+    Full-quality writer: per-16-group weighted affine scale search with
+    MAD objective and |x| importance weights (the make_qkx2_quants recipe,
+    QuantizeQ2.cpp:86-179), 4-bit sub-scales/mins, levels recomputed from
+    the stored fp16 super scales; identical container layout to
+    dequant_q2_k / QuantizeQ2.cpp.
     """
     x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, QK_K)
     nb = x.shape[0]
     g = x.reshape(nb, 16, 16)
-    gmin = np.minimum(g.min(axis=2), 0.0)  # [nb, 16]
-    gmax = np.maximum(g.max(axis=2), 0.0)
-    scale = (gmax - gmin) / 3.0  # q in 0..3
-    neg_min = -gmin
-    d = scale.max(axis=1) / 15.0  # 4-bit sub-scales
-    dmin = neg_min.max(axis=1) / 15.0
-    # round the super scales through fp16 first so sub-scale rounding sees
-    # the stored values (they are stored as f16 in the block)
-    d = d.astype(np.float16).astype(np.float32)
-    dmin = dmin.astype(np.float16).astype(np.float32)
+    gf = g.reshape(nb * 16, 16)
+    scale_g, neg_min_g = _search_affine_groups(
+        gf, 3, np.abs(gf), rmin=-0.5, rdelta=0.1, nstep=15, use_mad=True)
+    scale = scale_g.reshape(nb, 16)
+    neg_min = neg_min_g.reshape(nb, 16)
+    d = np.maximum(scale.max(axis=1), 0.0) / 15.0  # 4-bit sub-scales
+    dmin = np.maximum(neg_min.max(axis=1), 0.0) / 15.0
     d_safe = np.where(d > 0, d, 1.0)
     dmin_safe = np.where(dmin > 0, dmin, 1.0)
     ls = np.clip(np.round(scale / d_safe[:, None]), 0, 15).astype(np.uint8)  # [nb, 16]
     lm = np.clip(np.round(neg_min / dmin_safe[:, None]), 0, 15).astype(np.uint8)
+    # levels from the STORED fp16 super scales (reference writer structure)
+    d = d.astype(np.float16).astype(np.float32)
+    dmin = dmin.astype(np.float16).astype(np.float32)
     eff_scale = d[:, None] * ls.astype(np.float32)
     eff_min = dmin[:, None] * lm.astype(np.float32)
     es = np.where(eff_scale > 0, eff_scale, 1.0)
     q = np.clip(np.round((g + eff_min[:, :, None]) / es[:, :, None]), 0, 3).astype(np.uint8)
+    q = np.where(eff_scale[:, :, None] > 0, q, np.uint8(0))
 
     out = np.zeros((nb, 84), dtype=np.uint8)
     out[:, 0:16] = ls | (lm << 4)  # scales: low nibble = scale, high = min
@@ -696,22 +800,27 @@ def quant_q2_k(x: np.ndarray) -> np.ndarray:
 def quant_q3_k(x: np.ndarray) -> np.ndarray:
     """Quantize float array (multiple of 256) to ggml Q3_K super-blocks.
 
-    Simplified (no ggml make_q3_quants search): per-16-group symmetric int3
-    (q in -4..3) with 6-bit signed sub-scales, identical container layout to
-    dequant_q3_k / QuantizeQ3.cpp.
+    Full-quality writer: per-16-group weighted symmetric scale search
+    (make_q3_quants recipe with x^2 importance weights, QuantizeQ3.cpp:
+    35-109), 6-bit signed sub-scales against the signed max-|scale| group,
+    levels recomputed from the stored fp16 super scale; identical container
+    layout to dequant_q3_k / QuantizeQ3.cpp.
     """
     x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, QK_K)
     nb = x.shape[0]
     g = x.reshape(nb, 16, 16)
-    amax = np.abs(g).max(axis=2)  # [nb, 16]
-    gscale = amax / 4.0  # q range -4..3
-    d = gscale.max(axis=1) / 31.0  # 6-bit signed sub-scales (use 0..31)
-    d = d.astype(np.float16).astype(np.float32)
-    d_safe = np.where(d > 0, d, 1.0)
-    aux = np.clip(np.round(gscale / d_safe[:, None]), -32, 31).astype(np.int8)  # [nb, 16]
+    scales = _search_sym_groups(g.reshape(nb * 16, 16), 4).reshape(nb, 16)
+    ai = np.abs(scales).argmax(axis=1)
+    max_scale = scales[np.arange(nb), ai]  # signed value at abs max
+    nz = np.abs(max_scale) > 0
+    iscale = np.where(nz, -32.0 / np.where(max_scale != 0, max_scale, 1.0), 0.0)
+    aux = np.clip(np.round(iscale[:, None] * scales), -32, 31).astype(np.int8)
+    d = np.where(nz, 1.0 / np.where(iscale != 0, iscale, 1.0), 0.0)
+    d = d.astype(np.float16).astype(np.float32)  # stored fp16
     eff = d[:, None] * aux.astype(np.float32)
     es = np.where(eff != 0, eff, 1.0)
     q = np.clip(np.round(g / es[:, :, None]), -4, 3).astype(np.int8)  # [nb,16,16]
+    q = np.where(eff[:, :, None] != 0, q, np.int8(0))
     q256 = (q.reshape(nb, 256) + 4).astype(np.uint8)  # 0..7
 
     out = np.zeros((nb, 110), dtype=np.uint8)

@@ -200,3 +200,111 @@ def test_q8_k_matches_reference_semantics():
     assert qs[0] == -128 and qs[1] == 64 and qs[2] == 32
     bsums = raw[260:292].view(np.int16)
     assert bsums[0] == -128 + 64 + 32
+
+
+# ---------------------------------------------------------------------------
+# k-quant scale search quality (round-4 verdict #7): the writers must match
+# ggml's iterative search, not the earlier simplified per-group fits.
+# Scalar oracles below follow the reference algorithms step by step
+# (QuantizeQ2.cpp:86 make_qkx2_quants, Quantize.hpp:182 make_qx_quants).
+# ---------------------------------------------------------------------------
+
+
+def _scalar_qkx2(x, nmax, weights, rmin, rdelta, nstep, use_mad):
+    mn, mx = min(x.min(), 0.0), x.max()
+    if mx == mn:
+        return 0.0, -min(x.min(), 0.0)
+    sum_w, sum_x = weights.sum(), float((weights * x).sum())
+    best_scale, best_min = (mx - mn) / nmax, mn
+    L = np.clip(np.round((x - mn) * nmax / (mx - mn)), 0, nmax)
+    diff = best_scale * L + best_min - x
+    best_err = float((weights * (np.abs(diff) if use_mad else diff * diff)).sum())
+    for s in range(nstep + 1):
+        iscale = (rmin + rdelta * s + nmax) / (mx - mn)
+        L = np.clip(np.round(iscale * (x - mn)), 0, nmax)
+        sl, sl2, sxl = float((weights * L).sum()), float((weights * L * L).sum()), float((weights * L * x).sum())
+        D = sum_w * sl2 - sl * sl
+        if D <= 0:
+            continue
+        ts, tm = (sum_w * sxl - sum_x * sl) / D, (sl2 * sum_x - sl * sxl) / D
+        if tm > 0:
+            tm, ts = 0.0, sxl / sl2
+        diff = ts * L + tm - x
+        err = float((weights * (np.abs(diff) if use_mad else diff * diff)).sum())
+        if err < best_err:
+            best_err, best_scale, best_min = err, ts, tm
+    return best_scale, -best_min
+
+
+def _affine_err(x, w, scale, neg_min, nmax, use_mad):
+    es = scale if scale != 0 else 1.0
+    L = np.clip(np.round((x + neg_min) / es), 0, nmax)
+    diff = scale * L - neg_min - x
+    return float((w * (np.abs(diff) if use_mad else diff * diff)).sum())
+
+
+def test_affine_search_matches_scalar_oracle():
+    from mllm_tpu.core.dtypes import _search_affine_groups
+
+    rng = np.random.default_rng(0)
+    g = rng.standard_normal((64, 32)).astype(np.float32)
+    g[3] = 0.0                    # degenerate group
+    g[5] = np.abs(g[5])           # all-positive (min clipped to 0)
+    w = np.sqrt((g * g).mean(1, keepdims=True)) + np.abs(g)
+    sc, nm = _search_affine_groups(g, 15, w, -1.0, 0.1, 20, use_mad=False)
+    for i in range(g.shape[0]):
+        s_ref, m_ref = _scalar_qkx2(g[i], 15, w[i], -1.0, 0.1, 20, False)
+        e_v = _affine_err(g[i], w[i], sc[i], nm[i], 15, False)
+        e_s = _affine_err(g[i], w[i], s_ref, m_ref, 15, False)
+        assert e_v <= e_s * 1.001 + 1e-12, (i, e_v, e_s)
+
+
+def _scalar_qx(x, nmax):
+    amax_i = int(np.abs(x).argmax())
+    mx = float(x[amax_i])
+    if abs(mx) < 1e-30:
+        return 0.0
+    w = x * x
+    best_scale, best_obj = 0.0, 0.0
+    for s in range(-9, 10):
+        iscale = -(nmax + 0.1 * s) / mx
+        L = np.clip(np.round(iscale * x), -nmax, nmax - 1)
+        sumlx, suml2 = float((w * x * L).sum()), float((w * L * L).sum())
+        if suml2 > 0 and sumlx * sumlx / suml2 > best_obj:
+            best_obj, best_scale = sumlx * sumlx / suml2, sumlx / suml2
+    return best_scale
+
+
+def test_sym_search_matches_scalar_oracle():
+    from mllm_tpu.core.dtypes import _search_sym_groups
+
+    rng = np.random.default_rng(1)
+    g = rng.standard_normal((64, 16)).astype(np.float32)
+    g[7] = 0.0
+    sc = _search_sym_groups(g, 32)
+    for i in range(g.shape[0]):
+        s_ref = _scalar_qx(g[i], 32)
+        # f32 vectorized sums vs f64 python sums can tie-break a candidate
+        # differently; the scales still agree to ~1e-3
+        np.testing.assert_allclose(sc[i], s_ref, rtol=5e-3, atol=1e-7)
+
+
+def test_kquant_writers_full_quality():
+    """Round-trip relative MSE of the searched writers on N(0,1) weights —
+    thresholds sit at ggml-writer quality (the simplified round-2 fits were
+    ~1.2-2x worse and fail these bounds)."""
+    from mllm_tpu.core import dtypes as dt
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(256 * 64).astype(np.float32)
+
+    def rel_mse(qfn, dqfn):
+        y = dqfn(qfn(x), x.size)
+        return float(((y - x) ** 2).mean() / (x * x).mean())
+
+    # measured: searched 0.00513 / 0.000305 / 0.0879 / 0.0235 vs the old
+    # simplified fits' 0.00611 / 0.000367 / 0.1077 / 0.0333 (1.19-1.42x)
+    assert rel_mse(dt.quant_q4_k, dt.dequant_q4_k) < 5.5e-3
+    assert rel_mse(dt.quant_q6_k, dt.dequant_q6_k) < 3.3e-4
+    assert rel_mse(dt.quant_q2_k, dt.dequant_q2_k) < 9.2e-2
+    assert rel_mse(dt.quant_q3_k, dt.dequant_q3_k) < 2.5e-2
