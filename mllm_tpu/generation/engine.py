@@ -293,7 +293,7 @@ class ContinuousEngine:
                  prompt_bucket: int = 128, eos_token_id=None,
                  kv_dtype=jnp.bfloat16, start_thread: bool = True,
                  decode_window: int = 8, pipeline: bool = False,
-                 prefix_cache: int = 0, paged: int = 0):
+                 prefix_cache: int = 0, paged: int = 0, mesh=None):
         cfg = getattr(model.cfg, "text", model.cfg)  # VL models nest the LM config
         self.model = model
         self.slots = slots
@@ -336,14 +336,33 @@ class ContinuousEngine:
             self.cache = SlotKVCache.init(
                 cfg.num_hidden_layers, slots, max_len, cfg.num_key_value_heads,
                 cfg.head_dim_, kv_dtype)
+        # tensor-parallel serving: `model` must already be head-padded
+        # (parallel/heads.pad_heads_for_tp) and sharded (shard_model) over
+        # `mesh`; the slot cache shards its kv-head axis to match and the
+        # scheduler state replicates.  The admit/window programs are the
+        # SAME jitted functions — GSPMD inserts the tp collectives from the
+        # operand shardings.  Greedy-exact vs the single-chip engine
+        # (tests/test_parallel.py::test_engine_tp_matches_single_chip).
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+
+            from ..parallel.sharding import shard_slot_cache
+
+            self.cache = shard_slot_cache(self.cache, mesh)
+            self._repl = NamedSharding(mesh, _P())
         e = eos_token_id if eos_token_id is not None else cfg.eos_token_id
         self.eos = set(e) if isinstance(e, (tuple, list, set)) else {e}
         self._eos_arr = jnp.asarray(sorted(self.eos) or [-9999], jnp.int32)
+        if mesh is not None:
+            self._eos_arr = jax.device_put(self._eos_arr, self._repl)
         self.pending: queue.Queue = queue.Queue()
         self.req: list[Optional[_Request]] = [None] * slots
         self.emitted = [0] * slots
         self.cur = np.zeros(slots, np.int32)
         self._state = SchedState.init(slots)  # device-resident between windows
+        if mesh is not None:
+            self._state = jax.device_put(self._state, self._repl)
         self._first: dict = {}  # slot -> pending first-token device scalar
         self.pipeline = pipeline
         self._inflight = None  # previous window's (out, firsts, gens) pack

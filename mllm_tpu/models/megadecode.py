@@ -288,9 +288,10 @@ class MegaDecodeLM(Module):
         if type(cache) not in (KVCache, SlotKVCache):
             return False
         shp = inputs_embeds.shape if inputs_embeds is not None else input_ids.shape
-        # b=1 rides the m=1 kernel; 2..16 the batched one (VMEM scratch and
-        # the per-slot attention grid both grow with b — 16 is comfortable)
-        if shp[1] != 1 or not (1 <= shp[0] <= 16) or shp[0] != cache.k.shape[1]:
+        # b=1 rides the m=1 kernel; 2..32 the batched one (slot-grouped
+        # attention keeps the grid at b/gs steps/layer; VMEM scratch rows
+        # grow ~linear in b and stay small next to the weight blocks)
+        if shp[1] != 1 or not (1 <= shp[0] <= 32) or shp[0] != cache.k.shape[1]:
             return False
         if pad_lens is not None:
             return False

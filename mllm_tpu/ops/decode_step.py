@@ -435,11 +435,11 @@ def _mega_kernel_b(
     qkvb_ref,   # VMEM (1, 1, n_qkv) f32
     op_ref,     # VMEM (1, n_q/2, d) u8
     os_ref,     # VMEM (1, n_q/G, d) f32
-    gp_ref,     # VMEM (1, d/2, BF) u8         idx (l, 0, max(j-1-b, 0))
+    gp_ref,     # VMEM (1, d/2, BF) u8         idx (l, 0, max(j-1-ngrp, 0))
     gs_ref,     # VMEM (1, d/G, BF) f32
     up_ref,     # VMEM (1, d/2, BF) u8
     us_ref,     # VMEM (1, d/G, BF) f32
-    dp_ref,     # VMEM (1, BF/2, d) u8         idx (l, max(j-1-b, 0), 0)
+    dp_ref,     # VMEM (1, BF/2, d) u8         idx (l, max(j-1-ngrp, 0), 0)
     ds_ref,     # VMEM (1, BF/G, d) f32
     n1_ref,     # VMEM (1, 1, d) f32           idx (l, 0, 0)
     n2_ref,     # VMEM (1, 1, d) f32
@@ -455,7 +455,7 @@ def _mega_kernel_b(
     attn_o,     # scratch VMEM (b, n_q) f32 — attention outputs per slot
     knew_s,     # scratch VMEM (b, hkv*hd) f32 — 2D copy for per-slot reads
     vnew_s,     # scratch VMEM (b, hkv*hd) f32
-    k_buf,      # scratch VMEM (2, Hkv, BK, hd) cache dtype
+    k_buf,      # scratch VMEM (2, gs, Hkv, BK, hd) cache dtype
     v_buf,
     sems,       # DMA semaphores (2, 2)
     *,
@@ -466,6 +466,7 @@ def _mega_kernel_b(
     eps: float,
     rm: float,
     b: int,
+    gs: int,
     h: int,
     hkv: int,
     hd: int,
@@ -473,15 +474,27 @@ def _mega_kernel_b(
     s_max: int,
     nf: int,
 ):
-    """Batched (m = b <= ~8) variant of _mega_kernel: grid (L, 1 + b + nf).
+    """Batched variant of _mega_kernel: grid (L, 1 + b/gs + nf), b <= 32.
 
-    j = 0        : norm1 + int4 qkv projection + RoPE for ALL b rows
-                   (weights stream once, all rows ride the same fetch);
-    j in [1, b]  : online-softmax attention for slot j-1 over ITS cache
-                   entry (per-slot double-buffered HBM DMA, per-slot pos);
-                   the LAST slot step also runs the int4 o-projection +
-                   residual + norm2 for all rows;
-    j > b        : gated-MLP ff-slabs at m = b (same math as _mega_kernel).
+    j = 0            : norm1 + int4 qkv projection + RoPE for ALL b rows
+                       (weights stream once, all rows ride the same fetch);
+    j in [1, b/gs]   : online-softmax attention for slot GROUP j-1 — gs
+                       slots per grid step, ONE (gs, Hkv, BK, hd) DMA per KV
+                       block covering the whole group, and a prefetch CHAIN
+                       over the layer's flat (group, block) fetch sequence
+                       (fetch t+1 issued while computing fetch t, across
+                       group/grid-step boundaries) so DMA latency is paid
+                       once per layer, not once per slot.  Scores ride one
+                       (gq, hd) x (hd, BK) dot per (slot, kv-head) — the
+                       GQA group batches onto the MXU instead of gq scalar-
+                       row dots.  The LAST group step also runs the int4
+                       o-projection + residual + norm2 for all rows;
+    j > b/gs         : gated-MLP ff-slabs at m = b (same math as _mega_kernel).
+
+    The block count nb = cdiv(max_i pos_i, bk) is GLOBAL: short slots read
+    (masked) blocks up to the longest slot's length.  Lockstep decode (the
+    bench loop) wastes nothing; a mixed-length engine window pays bounded
+    overfetch for fewer, larger DMAs.
 
     RoPE here is elementwise (x * [c,c] + (x @ P) * [-s,s] with P the
     half-swap permutation) rather than the m=1 kernel's per-position
@@ -492,6 +505,45 @@ def _mega_kernel_b(
     j = pl.program_id(1)
     gq = h // hkv
     n_q = h * hd
+    ngrp = b // gs
+
+    # global block count (max over per-slot positions, scalar SMEM reads)
+    maxpos = scal_ref[0, 0]
+    for _si in range(1, b):
+        maxpos = jnp.maximum(maxpos, scal_ref[0, _si])
+    nb = pl.cdiv(maxpos, bk)
+    total_fetches = ngrp * nb
+
+    def _dma_start(blk):
+        # clamped final block (decode_attention.py trick): min in 128-row
+        # units so Mosaic proves tile-divisibility
+        return jnp.minimum(blk * (bk // 128), (s_max - bk) // 128) * 128
+
+    def _fetch(t):
+        """Start the t-th KV fetch of this layer: group t//nb, block t%nb,
+        into the parity-t buffers (one DMA covers all gs slots)."""
+        g_t = jax.lax.div(t, nb)
+        i_t = jax.lax.rem(t, nb)
+        par = jax.lax.rem(t, 2)
+        start = _dma_start(i_t)
+        pltpu.make_async_copy(
+            k_hbm.at[l, pl.ds(g_t * gs, gs), :, pl.ds(start, bk), :],
+            k_buf.at[par], sems.at[0, par]).start()
+        pltpu.make_async_copy(
+            v_hbm.at[l, pl.ds(g_t * gs, gs), :, pl.ds(start, bk), :],
+            v_buf.at[par], sems.at[1, par]).start()
+
+    def _wait(t):
+        par = jax.lax.rem(t, 2)
+        g_t = jax.lax.div(t, nb)
+        i_t = jax.lax.rem(t, nb)
+        start = _dma_start(i_t)
+        pltpu.make_async_copy(
+            k_hbm.at[l, pl.ds(g_t * gs, gs), :, pl.ds(start, bk), :],
+            k_buf.at[par], sems.at[0, par]).wait()
+        pltpu.make_async_copy(
+            v_hbm.at[l, pl.ds(g_t * gs, gs), :, pl.ds(start, bk), :],
+            v_buf.at[par], sems.at[1, par]).wait()
 
     @pl.when(jnp.logical_and(l == 0, j == 0))
     def _seed():
@@ -499,6 +551,11 @@ def _mega_kernel_b(
 
     @pl.when(j == 0)
     def _qkv_rope():
+        # head of the layer's KV prefetch chain rides under the qkv compute
+        @pl.when(total_fetches > 0)
+        def _head():
+            _fetch(jnp.int32(0))
+
         x = x_res[:]  # (b, d) f32
         hin = _rms(x, n1_ref[0], eps).astype(jnp.bfloat16)
         qkv = _gdot_sym(hin, qkvp_ref, qkvs_ref, group_a) + qkvb_ref[0]
@@ -525,106 +582,100 @@ def _mega_kernel_b(
         knew_ref[0] = jnp.stack(k_rows, axis=1)  # (b, hkv, hd)
         vnew_ref[0] = jnp.stack(v_rows, axis=1)
 
-    @pl.when(jnp.logical_and(j > 0, j <= b))
-    def _attention_slot():
-        slot = j - 1
-        pos = scal_ref[0, slot]
-        kv_start = scal_ref[1, slot]
+    @pl.when(jnp.logical_and(j > 0, j <= ngrp))
+    def _attention_group():
+        g = j - 1
+        base_t = g * nb
 
-        # Mosaic can't vector-load a dynamic unaligned sublane row; select
-        # the slot's row with a one-hot mask-reduce over the b sublanes
-        # (b x n_q VPU multiply-add — trivial next to the KV stream)
-        sel = (jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0) == slot)
-        selq = jnp.sum(jnp.where(sel, qrope[:], 0.0), axis=0, keepdims=True)
-        selk = jnp.sum(jnp.where(sel, knew_s[:], 0.0), axis=0, keepdims=True)
-        selv = jnp.sum(jnp.where(sel, vnew_s[:], 0.0), axis=0, keepdims=True)
-        q_rows = [selq[:, qi * hd : (qi + 1) * hd] for qi in range(h)]
-        k_rows = [selk[:, hh * hd : (hh + 1) * hd] for hh in range(hkv)]
-        v_rows = [selv[:, hh * hd : (hh + 1) * hd] for hh in range(hkv)]
+        # per-slot q/k/v of the CURRENT token: Mosaic can't vector-load a
+        # dynamic unaligned sublane row, so select with a one-hot
+        # mask-reduce over the b sublanes, then view as (h|hkv, hd)
+        q_mats, k_cur, v_cur, sels = [], [], [], []
+        for si in range(gs):
+            slot = g * gs + si
+            sel = (jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0) == slot)
+            sels.append(sel)
+            selq = jnp.sum(jnp.where(sel, qrope[:], 0.0), axis=0, keepdims=True)
+            selk = jnp.sum(jnp.where(sel, knew_s[:], 0.0), axis=0, keepdims=True)
+            selv = jnp.sum(jnp.where(sel, vnew_s[:], 0.0), axis=0, keepdims=True)
+            q_mats.append(jnp.reshape(selq, (h, hd)))      # row qi = head qi
+            k_cur.append(jnp.reshape(selk, (hkv, hd)))
+            v_cur.append(jnp.reshape(selv, (hkv, hd)))
 
-        # online softmax per q head, initialized with the CURRENT token
+        # online softmax per (slot, kv-head), q rows batched over the GQA
+        # group; initialized with the CURRENT token (never in the cache)
         m_st, l_st, a_st = [], [], []
-        for qi in range(h):
-            s0 = jnp.sum(q_rows[qi] * k_rows[qi // gq], axis=1, keepdims=True)
-            m_st.append(s0)
-            l_st.append(jnp.ones((1, 1), jnp.float32))
-            a_st.append(v_rows[qi // gq])
-
-        n_blocks = pl.cdiv(pos, bk)
-
-        def _dma_start(blk):
-            return jnp.minimum(blk * (bk // 128), (s_max - bk) // 128) * 128
-
-        def k_dma(dslot, blk):
-            return pltpu.make_async_copy(
-                k_hbm.at[l, slot, :, pl.ds(_dma_start(blk), bk), :],
-                k_buf.at[dslot], sems.at[0, dslot])
-
-        def v_dma(dslot, blk):
-            return pltpu.make_async_copy(
-                v_hbm.at[l, slot, :, pl.ds(_dma_start(blk), bk), :],
-                v_buf.at[dslot], sems.at[1, dslot])
-
-        @pl.when(n_blocks > 0)
-        def _first():
-            k_dma(0, 0).start()
-            v_dma(0, 0).start()
+        for si in range(gs):
+            for hh in range(hkv):
+                qg = q_mats[si][hh * gq : (hh + 1) * gq, :]      # (gq, hd)
+                kh = k_cur[si][hh : hh + 1, :]                    # (1, hd)
+                vh = v_cur[si][hh : hh + 1, :]
+                s0 = jnp.sum(qg * kh, axis=1, keepdims=True)      # (gq, 1)
+                m_st.append(s0)
+                l_st.append(jnp.ones((gq, 1), jnp.float32))
+                a_st.append(jnp.broadcast_to(vh, (gq, hd)) * jnp.ones((gq, 1), jnp.float32))
 
         def body(i, carry):
             ms, ls, accs = carry
-            dslot = jax.lax.rem(i, 2)
-            nxt = jax.lax.rem(i + 1, 2)
+            t = base_t + i
+            par = jax.lax.rem(t, 2)
 
-            @pl.when(i + 1 < n_blocks)
-            def _prefetch():
-                k_dma(nxt, i + 1).start()
-                v_dma(nxt, i + 1).start()
+            @pl.when(t + 1 < total_fetches)
+            def _prefetch_next():
+                _fetch(t + 1)
 
-            k_dma(dslot, i).wait()
-            v_dma(dslot, i).wait()
+            _wait(t)
 
             k_pos = _dma_start(i) + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
-            ok = jnp.logical_and(k_pos < pos, k_pos >= kv_start)
-            ok = jnp.logical_and(ok, k_pos >= i * bk)  # clamped-tail re-mask
+            tail_ok = k_pos >= i * bk  # clamped-tail re-mask
 
             ms2, ls2, accs2 = [], [], []
-            for qi in range(h):
-                hh = qi // gq
-                kb = k_buf[dslot, hh]  # (BK, hd)
-                vb = v_buf[dslot, hh]
-                s = jax.lax.dot_general(
-                    q_rows[qi].astype(kb.dtype), kb, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # (1, BK)
-                s = jnp.where(ok, s, NEG_INF)
-                m_cur = jnp.max(s, axis=1, keepdims=True)
-                m_new = jnp.maximum(ms[qi], m_cur)
-                p = jnp.exp(s - m_new)
-                alpha = jnp.exp(ms[qi] - m_new)
-                ls2.append(ls[qi] * alpha + jnp.sum(p, axis=1, keepdims=True))
-                accs2.append(accs[qi] * alpha + jax.lax.dot_general(
-                    p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32))
-                ms2.append(m_new)
+            for si in range(gs):
+                slot = g * gs + si
+                pos = scal_ref[0, slot]
+                kv_start = scal_ref[1, slot]
+                ok = jnp.logical_and(k_pos < pos, k_pos >= kv_start)
+                ok = jnp.logical_and(ok, tail_ok)
+                for hh in range(hkv):
+                    st = si * hkv + hh
+                    kb = k_buf[par, si, hh]  # (BK, hd)
+                    vb = v_buf[par, si, hh]
+                    qg = q_mats[si][hh * gq : (hh + 1) * gq, :]
+                    s = jax.lax.dot_general(
+                        qg.astype(kb.dtype), kb, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (gq, BK)
+                    s = jnp.where(ok, s, NEG_INF)
+                    m_cur = jnp.max(s, axis=1, keepdims=True)
+                    m_new = jnp.maximum(ms[st], m_cur)
+                    p = jnp.exp(s - m_new)
+                    alpha = jnp.exp(ms[st] - m_new)
+                    ls2.append(ls[st] * alpha + jnp.sum(p, axis=1, keepdims=True))
+                    accs2.append(accs[st] * alpha + jax.lax.dot_general(
+                        p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32))
+                    ms2.append(m_new)
             return ms2, ls2, accs2
 
-        m_st, l_st, a_st = jax.lax.fori_loop(0, n_blocks, body, (m_st, l_st, a_st))
+        m_st, l_st, a_st = jax.lax.fori_loop(0, nb, body, (m_st, l_st, a_st))
 
-        outs = [a_st[qi] / l_st[qi] for qi in range(h)]
-        row = jnp.concatenate(outs, axis=1)  # (1, n_q)
-        # masked merge instead of a dynamic-row store (same Mosaic rule)
-        attn_o[:] = jnp.where(sel, jnp.broadcast_to(row, (b, row.shape[1])),
-                              attn_o[:])
+        for si in range(gs):
+            outs = [a_st[si * hkv + hh] / l_st[si * hkv + hh]
+                    for hh in range(hkv)]  # (gq, hd) each
+            row = jnp.reshape(jnp.concatenate(outs, axis=0), (1, n_q))
+            # masked merge instead of a dynamic-row store (same Mosaic rule)
+            attn_o[:] = jnp.where(sels[si],
+                                  jnp.broadcast_to(row, (b, n_q)), attn_o[:])
 
-        @pl.when(j == b)
+        @pl.when(j == ngrp)
         def _oproj():
             o = _gdot_sym(attn_o[:].astype(jnp.bfloat16), op_ref, os_ref, group_a)
             xr = x_res[:] + (o if rm == 1.0 else o * rm)
             x_res[:] = xr
             xm[:] = _rms(xr, n2_ref[0], eps).astype(jnp.bfloat16)
 
-    @pl.when(j > b)
+    @pl.when(j > ngrp)
     def _mlp_slab():
-        jj = j - 1 - b
+        jj = j - 1 - ngrp
 
         @pl.when(jj == 0)
         def _():
@@ -667,11 +718,12 @@ def fused_decode_step_batched(
     group_a: int = 64,
     group_d: int = 32,
     block_f: int = 640,
-    block_k: int = 512,
+    block_k: int | None = None,
+    slot_group: int | None = None,
     kv_start=None,       # [b] int32 or None
     interpret: bool = False,
 ):
-    """Batched whole-trunk decode step (b slots, one Pallas launch).
+    """Batched whole-trunk decode step (b <= 32 slots, one Pallas launch).
 
     Same weight operands/layouts as fused_decode_step; each slot attends
     to its OWN cache entry at its OWN position.  Returns (y [b, d] f32,
@@ -683,7 +735,15 @@ def fused_decode_step_batched(
     2,722 tok/s).  Here the whole int4 weight stream (~1.05 GB at flagship
     size) is fetched ONCE per step and serves all b rows, so the step cost
     approaches (weights + b * KV) / HBM-BW — the same speed-of-light
-    formulation that made m=1 int4 win."""
+    formulation that made m=1 int4 win.
+
+    slot_group (round-4 verdict #3, the b=32 extension): gs slots share one
+    attention grid step and one KV DMA per block, so the attention phase is
+    b/gs grid steps instead of b and its DMA chain is latency-exposed once
+    per layer instead of once per slot.  Default: largest of 4/2/1 dividing
+    b.  block_k defaults to 256 for grouped attention (VMEM: the paired
+    k/v group buffers cost 2*2*gs*hkv*bk*hd*2 bytes next to ~10 MB of
+    double-buffered weight blocks) and 512 for gs=1."""
     L, khalf_d, n_qkv = qkv_ops[0].shape
     d = 2 * khalf_d
     ff = gate_ops[0].shape[2]
@@ -691,8 +751,13 @@ def fused_decode_step_batched(
     n_q = h * hd
     s_max = k_cache.shape[3]
     b = x.shape[0]
+    gs = slot_group or next(g for g in (4, 2, 1) if b % g == 0)
+    if block_k is None:
+        block_k = 256 if gs > 1 else 512
+    ngrp = b // gs
     assert x.shape == (b, d), x.shape
     assert k_cache.shape[1] == b, (k_cache.shape, b)
+    assert b <= 32 and b % gs == 0, (b, gs)
     assert hd == 128 and n_qkv == (h + 2 * hkv) * hd
     assert ff % block_f == 0 and s_max % 128 == 0
     assert block_f % (8 * group_d) == 0, (block_f, group_d)
@@ -722,13 +787,13 @@ def fused_decode_step_batched(
 
     kernel = functools.partial(
         _mega_kernel_b, group_a=group_a, group_d=group_d, act=_ACT[act],
-        scale=float(scale), eps=float(eps), rm=float(rm), b=b, h=h, hkv=hkv,
-        hd=hd, bk=bk, s_max=s_max, nf=nf)
+        scale=float(scale), eps=float(eps), rm=float(rm), b=b, gs=gs, h=h,
+        hkv=hkv, hd=hd, bk=bk, s_max=s_max, nf=nf)
 
     lconst = lambda l, j: (l, 0, 0)
     full2 = lambda l, j: (0, 0)
-    gmap = lambda l, j: (l, 0, jnp.maximum(j - 1 - b, 0))
-    dmap = lambda l, j: (l, jnp.maximum(j - 1 - b, 0), 0)
+    gmap = lambda l, j: (l, 0, jnp.maximum(j - 1 - ngrp, 0))
+    dmap = lambda l, j: (l, jnp.maximum(j - 1 - ngrp, 0), 0)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -770,7 +835,7 @@ def fused_decode_step_batched(
 
     y, k_new, v_new = pl.pallas_call(
         kernel,
-        grid=(L, 1 + b + nf),
+        grid=(L, 1 + ngrp + nf),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -782,8 +847,8 @@ def fused_decode_step_batched(
             pltpu.VMEM((b, n_q), jnp.float32),
             pltpu.VMEM((b, hkv * hd), jnp.float32),
             pltpu.VMEM((b, hkv * hd), jnp.float32),
-            pltpu.VMEM((2, hkv, bk, hd), k_cache.dtype),
-            pltpu.VMEM((2, hkv, bk, hd), v_cache.dtype),
+            pltpu.VMEM((2, gs, hkv, bk, hd), k_cache.dtype),
+            pltpu.VMEM((2, gs, hkv, bk, hd), v_cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,

@@ -106,6 +106,23 @@ def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
     )
 
 
+def shard_slot_cache(cache, mesh: Mesh):
+    """Shard a SlotKVCache (or quant/paged variant) for tensor parallelism:
+    KV heads (axis 2 of the 5-D [L, B, Hkv, S, hd] leaves) split over 'tp',
+    per-slot write heads and block tables replicated.  Composes the serving
+    engine with tp: each device holds its kv-head shard of every slot, so
+    admits/window decodes write device-locally and GSPMD inserts the o/down
+    all-reduces from the model's megatron specs."""
+    def sh(a):
+        if getattr(a, "ndim", 0) == 5:
+            spec = _validate_spec(P(None, None, "tp", None, None), a.shape, mesh)
+        else:
+            spec = P()
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    return jax.tree.map(sh, cache)
+
+
 def shard_batch(x, mesh: Mesh):
     spec = _validate_spec(P("dp"), x.shape, mesh)
     return jax.device_put(x, NamedSharding(mesh, spec))

@@ -193,3 +193,49 @@ def test_per_slot_megakernel_matches_base(mega):
             np.asarray(cm.v[:, s, :, pl, :], np.float32),
             np.asarray(cb.v[:, s, :, pl, :], np.float32), rtol=0.05, atol=0.05)
     assert np.asarray(cm.pos).tolist() == [p + 1 for p in plens]
+
+
+def test_grouped_attention_multiblock_chain(mega):
+    """b=4 (slot group gs=4) with VERY different per-slot lengths and
+    block_k=128: exercises the cross-group DMA prefetch chain with nb > 1
+    and the global-max block count's masking for short slots."""
+    import jax.numpy as jnp
+
+    from mllm_tpu.kv.cache import SlotKVCache
+    from mllm_tpu.ops.decode_step import fused_decode_step_batched
+
+    b, plens = 4, [5, 200, 130, 70]
+    rs = np.random.RandomState(5)
+    sc = SlotKVCache.init(CFG.num_hidden_layers, b, 256,
+                          CFG.num_key_value_heads, 128, jnp.bfloat16)
+    k, v = sc.k, sc.v
+    for s, pl in enumerate(plens):
+        ids = jnp.asarray(rs.randint(0, 512, (1, pl)))
+        _, c1 = _prefill(mega.base, ids, mega.init_cache(1, 256))
+        k = k.at[:, s, :, :pl, :].set(c1.k[:, 0, :, :pl, :])
+        v = v.at[:, s, :, :pl, :].set(c1.v[:, 0, :, :pl, :])
+    sc = SlotKVCache(k, v, jnp.asarray(np.asarray(plens, np.int32)))
+
+    tok = jnp.asarray(rs.randint(0, 512, (b, 1)))
+    lb, _ = mega.base(tok, sc, last_only=True)
+
+    cfg = mega.cfg
+    x = mega.base.embed_tokens(tok)
+    pos_vec = jnp.asarray(np.asarray(plens, np.int32))
+    sin = jnp.take(mega.base.rope.sin, pos_vec, axis=0)
+    cos = jnp.take(mega.base.rope.cos, pos_vec, axis=0)
+    y, k_new, v_new = fused_decode_step_batched(
+        x[:, 0, :], pos_vec, sin, cos, mega.qkv_ops, mega.o_ops,
+        mega.gate_ops, mega.up_ops, mega.down_ops, mega.norm1_w,
+        mega.norm2_w, sc.k, sc.v,
+        n_heads=cfg.num_attention_heads, n_kv_heads=cfg.num_key_value_heads,
+        head_dim=cfg.head_dim_, act=cfg.hidden_act, eps=cfg.rms_norm_eps,
+        block_f=mega.block_f, group_a=mega.group_a,
+        block_k=128, slot_group=4, interpret=True)
+    hidden = mega.base.norm(y[:, None].astype(x.dtype))
+    lm = mega.base.logits(hidden)
+    np.testing.assert_allclose(np.asarray(lm[:, 0], np.float32),
+                               np.asarray(lb[:, 0], np.float32),
+                               rtol=0.05, atol=0.05)
+    assert (np.argmax(np.asarray(lm[:, 0], np.float32), -1).tolist()
+            == np.argmax(np.asarray(lb[:, 0], np.float32), -1).tolist())

@@ -498,3 +498,46 @@ def test_sharded_lora_finetune(cpu8):
     assert "tp" in str(w.sharding.spec)
     np.testing.assert_array_equal(
         np.asarray(w), np.asarray(lora.blocks[0].attn.q_proj.weight))
+
+
+def test_engine_tp_matches_single_chip():
+    """Sharded serving (round-4 verdict #8): the continuous-batching engine's
+    admit+window programs run over a tp mesh (head-padded + sharded model,
+    kv-head-sharded SlotKVCache) and produce the SAME greedy tokens as the
+    single-chip engine."""
+    import jax.numpy as jnp
+
+    from mllm_tpu.core.config import TextConfig
+    from mllm_tpu.generation.engine import ContinuousEngine, collect
+    from mllm_tpu.models.transformer import CausalLM
+    from mllm_tpu.parallel.heads import pad_heads_for_tp
+    from mllm_tpu.parallel.sharding import make_mesh, shard_model
+
+    cfg = TextConfig(
+        vocab_size=97, hidden_size=96, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=6, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=256, eos_token_id=-9,
+    )
+    model = CausalLM.init(jax.random.PRNGKey(5), cfg)
+    prompts = [np.arange(5, dtype=np.int32) % 97,
+               (np.arange(9, dtype=np.int32) * 3) % 97]
+
+    def run(eng):
+        qs = [eng.submit(p, 5) for p in prompts]
+        for _ in range(20):
+            eng.step()
+        return [collect(q, timeout=5) for q in qs]
+
+    base = ContinuousEngine(model, slots=2, max_len=64, prompt_bucket=16,
+                            kv_dtype=jnp.float32, start_thread=False,
+                            decode_window=4)
+    want = run(base)
+
+    tp = 4
+    mesh = make_mesh(dp=1, tp=tp)
+    pm = shard_model(pad_heads_for_tp(model, tp), mesh)
+    eng_tp = ContinuousEngine(pm, slots=2, max_len=64, prompt_bucket=16,
+                              kv_dtype=jnp.float32, start_thread=False,
+                              decode_window=4, mesh=mesh)
+    got = run(eng_tp)
+    assert got == want and all(len(g) == 5 for g in got)
