@@ -707,6 +707,50 @@ def bench_sd(natural: bool = False) -> dict:
     n, steps = int(n), int(steps)
     drafted, accepted = int(drafted), int(accepted)
     lossless = bool(np.array_equal(toks[:n], g_toks[:n]))
+    extra = {}
+    if natural:
+        # HONESTY FIELDS (round-4 verdict #5).  A random-weight bench model
+        # drifts into a short cycle on ANY prompt, and prompt-lookup drafts
+        # a cycle perfectly — so the e2e acceptance above says more about
+        # the synthetic model than about drafting.  Report (a) the detected
+        # generation-cycle period, and (b) TEACHER-FORCED acceptance of the
+        # same prompt-lookup draft rule against a genuinely non-repetitive
+        # Zipf stream — what acceptance would be if the model's output were
+        # natural-text-like.
+        gen = [int(t) for t in toks[:n]]
+        tail = gen[-48:]
+        loop_p = 0
+        for p in range(1, 17):
+            if len(tail) >= 2 * p and all(tail[i] == tail[i + p]
+                                          for i in range(len(tail) - p)):
+                loop_p = p
+                break
+        stream = [int(t) for t in
+                  (np.minimum(rng.zipf(1.3, size=512), 8192) - 1)]
+        tf_drafted = tf_accepted = 0
+        ngram = 3
+        for t in range(ngram, len(stream) - 1):
+            key = tuple(stream[t - ngram:t])
+            src = -1
+            for j in range(t - ngram - 1, -1, -1):
+                if tuple(stream[j:j + ngram]) == key:
+                    src = j + ngram
+                    break
+            if src < 0:
+                continue
+            k = 0
+            lim = min(max_draft, len(stream) - t)
+            while k < lim and stream[src + k] == stream[t + k]:
+                k += 1
+            tf_drafted += lim
+            tf_accepted += k
+        extra = {
+            "gen_loop_period": loop_p,
+            "teacher_forced_drafted": tf_drafted,
+            "teacher_forced_accepted": tf_accepted,
+            "teacher_forced_acceptance_pct":
+                round(100 * tf_accepted / max(tf_drafted, 1), 1),
+        }
     return {
         "config": name,
         "batch": 1,
@@ -723,11 +767,15 @@ def bench_sd(natural: bool = False) -> dict:
         "greedy_tps": round(n / t_greedy, 1),
         "speedup_vs_greedy": round(t_greedy / t_sd, 2),
         "lossless": lossless,  # SD tokens == greedy tokens (must be True)
+        **extra,
         "protocol": "both timings are whole generations (prefill + 128 new "
                     "tokens, min-of-3, one device sync each) of IDENTICAL "
                     "greedy outputs; workload per the 'workload' field "
-                    "(repetitive = the regime the reference demos SD on; "
-                    "natural = Zipf token stream, honest low-acceptance row)",
+                    "(repetitive = the regime the reference demos SD on). "
+                    "The natural row's e2e acceptance reflects the synthetic "
+                    "model's generation cycling (gen_loop_period) — "
+                    "teacher_forced_acceptance_pct is the honest drafting "
+                    "number on non-repetitive text",
     }
 
 
@@ -940,8 +988,11 @@ def _compact_row(d: dict) -> dict:
     if d.get("skipped"):
         return {"skip": str(d["skipped"])[:30]}
     if "sd_tps" in d:
-        return {"tps": d["sd_tps"], "acc": d.get("acceptance_pct"),
-                "x": d.get("speedup_vs_greedy")}
+        c = {"tps": d["sd_tps"], "acc": d.get("acceptance_pct"),
+             "x": d.get("speedup_vs_greedy")}
+        if "teacher_forced_acceptance_pct" in d:
+            c["tf_acc"] = d["teacher_forced_acceptance_pct"]
+        return c
     if "decode_tps" in d:
         c = {"tps": d["decode_tps"]}
         if "prefill_mfu_pct" in d:
