@@ -65,3 +65,49 @@ def test_reference_parity(golden):
         f"diverged at step "
         f"{next(i for i, (a, b) in enumerate(zip(res['output_ids'], golden['output_ids'])) if a != b)}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Second family (round-4 verdict #6): TinyLlama — sentencepiece-score BPE
+# (byte fallback, no merges) + GQA geometry + untied head, vs the
+# out-of-tree parity_tinyllama.cpp reference build.  Recorded ids in
+# tests/goldens/reference_tinyllama.json (49 input + 32 output).
+# ---------------------------------------------------------------------------
+
+GOLDEN_TL = os.path.join(os.path.dirname(__file__), "goldens",
+                         "reference_tinyllama.json")
+VOCAB_TL = "/root/reference/vocab/tinyllama_vocab.mllm"
+
+
+@pytest.fixture(scope="module")
+def golden_tl():
+    with open(GOLDEN_TL) as f:
+        return json.load(f)
+
+
+@pytest.mark.skipif(not os.path.exists(VOCAB_TL),
+                    reason="reference vocab assets absent")
+def test_tinyllama_tokenizer_matches_reference(golden_tl):
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from reference_parity import tinyllama_chat_ids
+
+    assert tinyllama_chat_ids(VOCAB_TL) == golden_tl["input_ids"]
+
+
+@pytest.mark.skipif(os.environ.get("MLLM_RUN_PARITY") != "1",
+                    reason="set MLLM_RUN_PARITY=1 (needs the 4.4 GB fixture "
+                           "checkpoint + minutes of 1-core f32 decode)")
+def test_tinyllama_reference_parity(golden_tl):
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from reference_parity import gen_checkpoint_tinyllama, run_local_tinyllama
+
+    ckpt = os.environ.get("MLLM_PARITY_CKPT_TL", "/root/parity_ckpt_tl")
+    if not os.path.exists(os.path.join(ckpt, "model.safetensors")):
+        gen_checkpoint_tinyllama(ckpt)
+    got = run_local_tinyllama(ckpt, VOCAB_TL)
+    assert got["input_ids"] == golden_tl["input_ids"]
+    assert got["output_ids"] == golden_tl["output_ids"]
