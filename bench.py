@@ -779,6 +779,68 @@ def bench_sd(natural: bool = False) -> dict:
     }
 
 
+def bench_b32_ab() -> dict:
+    """b=32 batched decode A/B (round-4 verdict #3): the slot-grouped int4
+    whole-trunk megakernel (ops/decode_step.py grid (L, 1 + b/gs + nf))
+    vs the int8 XLA per-op path, same geometry, same 32-slot lockstep
+    workload.  The row reports BOTH, crowns the winner as decode_tps, and
+    rooflines the winner's byte stream."""
+    import functools
+
+    batch = 32
+
+    @functools.partial(jax.jit, static_argnames=("steps",), donate_argnames=("cache",))
+    def decode_loop(m, cache, tok, steps):
+        def body(i, state):
+            tok, cache = state
+            logits, cache = _decode_step_inner(m, cache, tok)
+            return jnp.argmax(logits, -1).astype(jnp.int32), cache
+
+        return jax.lax.fori_loop(0, steps, body, (tok, cache))
+
+    def measure(model):
+        ids = np.random.randint(0, QWEN2VL_2B_LM.vocab_size,
+                                (batch, PROMPT_LEN)).astype(np.int32)
+        cache = model.init_cache(batch, MAX_LEN, jnp.bfloat16)
+        logits, cache = _prefill(model, cache, jnp.asarray(ids), PROMPT_LEN)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        tok, cache = decode_loop(model, cache, tok, DECODE_TOKENS)  # compile
+        np.asarray(tok)
+        dt = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            tok, cache = decode_loop(model, cache, tok, DECODE_TOKENS)
+            np.asarray(tok)
+            dt = min(dt, time.perf_counter() - t0)
+        return batch * DECODE_TOKENS / dt
+
+    name = "qwen2vl-2b-b32-ab"
+    model_mega, meta_mega = get_model(QWEN2VL_2B_LM, "int4-mega", row=name)
+    _phase(name, "measure-int4mega")
+    mega_tps = measure(model_mega)
+    del model_mega
+    model_int8, meta_int8 = get_model(QWEN2VL_2B_LM, "int8", row=name)
+    _phase(name, "measure-int8xla")
+    xla_tps = measure(model_int8)
+    del model_int8
+    winner = "int4-mega" if mega_tps >= xla_tps else "int8-xla"
+    wtps = max(mega_tps, xla_tps)
+    return {
+        "config": name,
+        "batch": batch,
+        "load_s": round(meta_mega.get("load_s", 0) + meta_int8.get("load_s", 0), 2),
+        "load_retries": (meta_mega.get("load_retries", 0)
+                         + meta_int8.get("load_retries", 0)),
+        "decode_tps": round(wtps, 1),
+        "decode_impl": winner,
+        "decode_tps_int4mega": round(mega_tps, 1),
+        "decode_tps_int8xla": round(xla_tps, 1),
+        **_roofline(QWEN2VL_2B_LM,
+                    "int4-mega" if winner == "int4-mega" else "int8",
+                    batch, "bf16", wtps, 0.0),
+    }
+
+
 def bench_config(name: str) -> dict:
     cfg, quant, batch, *rest = CONFIGS[name]
     if quant == "int4":
@@ -939,7 +1001,8 @@ DEFAULT_NAMES = [
     "qwen2vl-2b-sd", "qwen2vl-2b-sd-natural",
     "qwen2vl-2b-engine-8slot", "qwen2vl-2b-engine-8slot-prefix",
     "qwen2vl-2b-engine-8slot-paged",
-    "qwen2vl-2b-int4", "qwen2vl-2b-engine-8slot-int4mega",
+    "qwen2vl-2b-int4", "qwen2vl-2b-b32-ab",
+    "qwen2vl-2b-engine-8slot-int4mega",
     "qwen2vl-2b-image-prefill",
 ]
 
@@ -956,7 +1019,8 @@ GROUPS = [
                        "qwen2vl-2b-sd-natural", "qwen2vl-2b-engine-8slot",
                        "qwen2vl-2b-engine-8slot-prefix",
                        "qwen2vl-2b-engine-8slot-paged"], 1080),
-    ("int4", ["qwen2vl-2b-int4", "qwen2vl-2b-engine-8slot-int4mega"], 540),
+    ("int4", ["qwen2vl-2b-int4", "qwen2vl-2b-b32-ab",
+              "qwen2vl-2b-engine-8slot-int4mega"], 720),
     ("image-prefill", ["qwen2vl-2b-image-prefill"], 360),
 ]
 
@@ -971,6 +1035,8 @@ def run_row(n: str) -> dict:
         return bench_sd()
     if n == "qwen2vl-2b-sd-natural":
         return bench_sd(natural=True)
+    if n == "qwen2vl-2b-b32-ab":
+        return bench_b32_ab()
     if n == "clip-vitb-scoring":
         return bench_clip()
     if n == "imagebind-trimodal":
@@ -995,6 +1061,8 @@ def _compact_row(d: dict) -> dict:
         return c
     if "decode_tps" in d:
         c = {"tps": d["decode_tps"]}
+        if "decode_impl" in d:
+            c["impl"] = d["decode_impl"]
         if "prefill_mfu_pct" in d:
             c["mfu"] = d["prefill_mfu_pct"]
         if "decode_hbm_bw_pct" in d:
@@ -1117,7 +1185,8 @@ def main():
         "qwen2vl-2b-image-prefill", "qwen2vl-2b-engine-8slot",
         "qwen2vl-2b-engine-8slot-int4mega", "qwen2vl-2b-engine-8slot-prefix",
         "qwen2vl-2b-engine-8slot-paged", "qwen2vl-2b-sd",
-        "qwen2vl-2b-sd-natural", "clip-vitb-scoring", "imagebind-trimodal"]
+        "qwen2vl-2b-sd-natural", "qwen2vl-2b-b32-ab",
+        "clip-vitb-scoring", "imagebind-trimodal"]
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default=None, choices=all_names,
                     help="run ONE config in-process (debug)")

@@ -589,7 +589,9 @@ def _mega_kernel_b(
 
         # per-slot q/k/v of the CURRENT token: Mosaic can't vector-load a
         # dynamic unaligned sublane row, so select with a one-hot
-        # mask-reduce over the b sublanes, then view as (h|hkv, hd)
+        # mask-reduce over the b sublanes.  The (gq, hd) per-kv-head q
+        # matrices are built by sublane-CONCATENATING lane slices (a lane-
+        # dim-splitting reshape is an unsupported Mosaic shape cast).
         q_mats, k_cur, v_cur, sels = [], [], [], []
         for si in range(gs):
             slot = g * gs + si
@@ -598,18 +600,20 @@ def _mega_kernel_b(
             selq = jnp.sum(jnp.where(sel, qrope[:], 0.0), axis=0, keepdims=True)
             selk = jnp.sum(jnp.where(sel, knew_s[:], 0.0), axis=0, keepdims=True)
             selv = jnp.sum(jnp.where(sel, vnew_s[:], 0.0), axis=0, keepdims=True)
-            q_mats.append(jnp.reshape(selq, (h, hd)))      # row qi = head qi
-            k_cur.append(jnp.reshape(selk, (hkv, hd)))
-            v_cur.append(jnp.reshape(selv, (hkv, hd)))
+            q_mats.append([jnp.concatenate(
+                [selq[:, (hh * gq + t) * hd : (hh * gq + t + 1) * hd]
+                 for t in range(gq)], axis=0) for hh in range(hkv)])  # (gq, hd)
+            k_cur.append([selk[:, hh * hd : (hh + 1) * hd] for hh in range(hkv)])
+            v_cur.append([selv[:, hh * hd : (hh + 1) * hd] for hh in range(hkv)])
 
         # online softmax per (slot, kv-head), q rows batched over the GQA
         # group; initialized with the CURRENT token (never in the cache)
         m_st, l_st, a_st = [], [], []
         for si in range(gs):
             for hh in range(hkv):
-                qg = q_mats[si][hh * gq : (hh + 1) * gq, :]      # (gq, hd)
-                kh = k_cur[si][hh : hh + 1, :]                    # (1, hd)
-                vh = v_cur[si][hh : hh + 1, :]
+                qg = q_mats[si][hh]                               # (gq, hd)
+                kh = k_cur[si][hh]                                # (1, hd)
+                vh = v_cur[si][hh]
                 s0 = jnp.sum(qg * kh, axis=1, keepdims=True)      # (gq, 1)
                 m_st.append(s0)
                 l_st.append(jnp.ones((gq, 1), jnp.float32))
@@ -640,7 +644,7 @@ def _mega_kernel_b(
                     st = si * hkv + hh
                     kb = k_buf[par, si, hh]  # (BK, hd)
                     vb = v_buf[par, si, hh]
-                    qg = q_mats[si][hh * gq : (hh + 1) * gq, :]
+                    qg = q_mats[si][hh]
                     s = jax.lax.dot_general(
                         qg.astype(kb.dtype), kb, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)  # (gq, BK)
@@ -659,12 +663,23 @@ def _mega_kernel_b(
         m_st, l_st, a_st = jax.lax.fori_loop(0, nb, body, (m_st, l_st, a_st))
 
         for si in range(gs):
-            outs = [a_st[si * hkv + hh] / l_st[si * hkv + hh]
-                    for hh in range(hkv)]  # (gq, hd) each
-            row = jnp.reshape(jnp.concatenate(outs, axis=0), (1, n_q))
-            # masked merge instead of a dynamic-row store (same Mosaic rule)
-            attn_o[:] = jnp.where(sels[si],
-                                  jnp.broadcast_to(row, (b, n_q)), attn_o[:])
+            # scatter the (gq, hd) outs back into this slot's attn_o lanes
+            # head by head.  Row extraction rides a one-hot (1, gq) dot —
+            # dots normalize vector layouts, where slicing/reshaping a
+            # sublane-offset row is an unsupported Mosaic shape cast.
+            for hh in range(hkv):
+                o = a_st[si * hkv + hh] / l_st[si * hkv + hh]  # (gq, hd)
+                for t in range(gq):
+                    qi = hh * gq + t
+                    eh = (jax.lax.broadcasted_iota(jnp.int32, (1, gq), 1)
+                          == t).astype(jnp.float32)
+                    row_t = jax.lax.dot_general(
+                        eh, o, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (1, hd) clean
+                    sl = slice(qi * hd, (qi + 1) * hd)
+                    attn_o[:, sl] = jnp.where(
+                        sels[si], jnp.broadcast_to(row_t, (b, hd)),
+                        attn_o[:, sl])
 
         @pl.when(j == ngrp)
         def _oproj():
@@ -751,7 +766,16 @@ def fused_decode_step_batched(
     n_q = h * hd
     s_max = k_cache.shape[3]
     b = x.shape[0]
-    gs = slot_group or next(g for g in (4, 2, 1) if b % g == 0)
+    # measured on v5e (flagship geometry, ctx 192): b=8 prefers gs=4
+    # (6,112 tok/s vs 5,802 at gs=8); b=32 prefers gs=8 (15,656 vs 14,925
+    # at gs=4) — bigger groups amortize more DMA latency once the
+    # attention phase dominates the grid
+    if slot_group:
+        gs = slot_group
+    elif b > 16 and b % 8 == 0:
+        gs = 8
+    else:
+        gs = next(g for g in (4, 2, 1) if b % g == 0)
     if block_k is None:
         block_k = 256 if gs > 1 else 512
     ngrp = b // gs
@@ -851,6 +875,12 @@ def fused_decode_step_batched(
             pltpu.VMEM((2, gs, hkv, bk, hd), v_cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
+        # b=32 needs ~18 MB of scoped VMEM (double-buffered weight blocks
+        # ~10 MB + per-row scratch + grouped KV buffers); v5e has 128 MB
+        # physical VMEM and the default 16 MB scoped limit is just a
+        # compiler conservatism — raise it for the large-batch grids
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )(scal, x.astype(jnp.float32), P, cos_ext, sin_ext,
       qkv_ops[0], qkv_ops[1], qkvb, o_ops[0], o_ops[1],
