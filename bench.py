@@ -798,6 +798,8 @@ def bench_b32_ab() -> dict:
 
         return jax.lax.fori_loop(0, steps, body, (tok, cache))
 
+    from mllm_tpu.kv.cache import KVCache
+
     def measure(model):
         ids = np.random.randint(0, QWEN2VL_2B_LM.vocab_size,
                                 (batch, PROMPT_LEN)).astype(np.int32)
@@ -808,6 +810,12 @@ def bench_b32_ab() -> dict:
         np.asarray(tok)
         dt = 1e9
         for _ in range(2):
+            # protocol: each timed round decodes DECODE_TOKENS after a
+            # PROMPT_LEN prompt — rewind the write head so every round runs
+            # ctx 128->256 like a fresh generation (letting pos keep
+            # growing ran later rounds at up to 4x the stated context and
+            # understated tok/s vs the roofline's mean-ctx model)
+            cache = KVCache(cache.k, cache.v, jnp.asarray(PROMPT_LEN))
             t0 = time.perf_counter()
             tok, cache = decode_loop(model, cache, tok, DECODE_TOKENS)
             np.asarray(tok)
@@ -941,6 +949,11 @@ def _bench_config_body(name: str, cfg, quant, batch, *rest,
         t_compile = time.perf_counter() - t0
         dt = 1e9
         for _ in range(2):
+            # rewind the write head so every timed round decodes at the
+            # protocol's ctx (PROMPT_LEN..PROMPT_LEN+DECODE_TOKENS) — the
+            # roofline's mean-ctx model assumes exactly that; letting pos
+            # keep growing ran later rounds at up to 4x the stated context
+            cache = cache.with_pos(PROMPT_LEN)
             t0 = time.perf_counter()
             tok, cache = decode_loop(model, cache, tok, DECODE_TOKENS)
             np.asarray(tok)

@@ -769,7 +769,16 @@ def fused_decode_step_batched(
     # measured on v5e (flagship geometry, ctx 192): b=8 prefers gs=4
     # (6,112 tok/s vs 5,802 at gs=8); b=32 prefers gs=8 (15,656 vs 14,925
     # at gs=4) — bigger groups amortize more DMA latency once the
-    # attention phase dominates the grid
+    # attention phase dominates the grid.  MLLM_MEGA_GS / MLLM_MEGA_BK env
+    # knobs override for tuning (same precedent as MLLM_INT4_IMPL).
+    import os as _os
+
+    env_gs = int(_os.environ.get("MLLM_MEGA_GS", 0))
+    env_bk = int(_os.environ.get("MLLM_MEGA_BK", 0))
+    if env_bk and block_k is None:
+        block_k = env_bk
+    if env_gs and slot_group is None and b % env_gs == 0:
+        slot_group = env_gs
     if slot_group:
         gs = slot_group
     elif b > 16 and b % 8 == 0:
