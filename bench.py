@@ -76,6 +76,9 @@ CONFIGS = {
     "qwen2vl-2b-int8-kvq8-b8": (QWEN2VL_2B_LM, "int8", 8, "int8"),
     "qwen2vl-2b-int4": (QWEN2VL_2B_LM, "int4", 1),
     "qwen2vl-2b-int4-b8": (QWEN2VL_2B_LM, "int4", 8),
+    # slot-grouped whole-trunk megakernel at the serving batch (the b=32
+    # story's A/B lives in qwen2vl-2b-b32-ab; this is the b=8 lockstep row)
+    "qwen2vl-2b-int4mega-b8": (QWEN2VL_2B_LM, "int4-mega", 8),
     "qwen2vl-2b-bf16": (QWEN2VL_2B_LM, None, 1),
     "qwen1.5-0.5b-bf16": (QWEN15_05B, None, 1),
     "tinyllama-1.1b-int4": (TINYLLAMA, "int4", 1),
@@ -1014,7 +1017,7 @@ DEFAULT_NAMES = [
     "qwen2vl-2b-sd", "qwen2vl-2b-sd-natural",
     "qwen2vl-2b-engine-8slot", "qwen2vl-2b-engine-8slot-prefix",
     "qwen2vl-2b-engine-8slot-paged",
-    "qwen2vl-2b-int4", "qwen2vl-2b-b32-ab",
+    "qwen2vl-2b-int4", "qwen2vl-2b-int4mega-b8", "qwen2vl-2b-b32-ab",
     "qwen2vl-2b-engine-8slot-int4mega",
     "qwen2vl-2b-image-prefill",
 ]
@@ -1032,8 +1035,9 @@ GROUPS = [
                        "qwen2vl-2b-sd-natural", "qwen2vl-2b-engine-8slot",
                        "qwen2vl-2b-engine-8slot-prefix",
                        "qwen2vl-2b-engine-8slot-paged"], 1080),
-    ("int4", ["qwen2vl-2b-int4", "qwen2vl-2b-b32-ab",
-              "qwen2vl-2b-engine-8slot-int4mega"], 720),
+    ("int4", ["qwen2vl-2b-int4", "qwen2vl-2b-int4mega-b8",
+              "qwen2vl-2b-b32-ab",
+              "qwen2vl-2b-engine-8slot-int4mega"], 780),
     ("image-prefill", ["qwen2vl-2b-image-prefill"], 360),
 ]
 
