@@ -158,7 +158,7 @@ class MegaDecodeLM(Module):
                    block_f_cap: int = 1280, interpret: bool = False,
                    quant_head: bool = True,
                    scale_dtype=jnp.bfloat16,
-                   group_a: int = 64) -> "MegaDecodeLM":
+                   group_a: int = 128) -> "MegaDecodeLM":
         """Quantize a float CausalLM once into (a) megakernel operand stacks
         and (b) an int4 `base` model sharing the same values (prefill +
         oracle).  Raises ValueError when the config is outside the kernel's
@@ -171,13 +171,15 @@ class MegaDecodeLM(Module):
         The oracle `base` uses the SAME cast scales, so kernel-vs-base
         parity is unaffected.
 
-        group_a: quantization group for qkv/o/gate/up (the kernel is
-        dot-issue bound at m=1; G=64 halves the column-projection dot count
-        — see ops/decode_step.fused_decode_step).  The `base` oracle
-        consumes the SAME group-64-quantized values with each scale row
-        repeated into group-32 layout, so its group-32 kernels stay exact.
-        Falls back to 32 when the geometry can't satisfy Mosaic's 8-row
-        scale-block rule at 64."""
+        group_a: quantization group for qkv/o/gate/up.  The kernel is
+        dot-ISSUE bound (small per-group dots), so bigger groups cut the
+        dot count AND deepen each dot's MXU contraction: G=128 measured
+        +8% at b=1 (1407 vs 1518 us/step) and +6% at b=32 (2408 vs 2558)
+        over G=64, neutral at b=8 — and is AWQ-standard granularity.  The
+        `base` oracle consumes the SAME quantized values with each scale
+        row repeated into group-32 layout, so its group-32 kernels stay
+        exact.  Halves when the packed K-halves aren't divisible;
+        MLLM_MEGA_GROUP env overrides for tuning."""
         if getattr(model, "stacked_blocks", None) is None:
             model = model.stack()
         blk = getattr(model, "stacked_blocks", None)
@@ -194,12 +196,16 @@ class MegaDecodeLM(Module):
         if block_f is None:
             raise ValueError("no ff block size divides intermediate_size")
 
+        import os as _os
+
+        group_a = int(_os.environ.get("MLLM_MEGA_GROUP", group_a))
         d = cfg.hidden_size
         n_q = cfg.num_attention_heads * cfg.head_dim_
-        while group_a > 32 and (
-                (d // 2) % group_a or (n_q // 2) % group_a
-                or (d // group_a) % 8 or (n_q // group_a) % 8):
-            group_a //= 2  # kernel scale-block geometry unsatisfiable at 64
+        # the kernel's scale BlockSpecs cover the FULL [K/G] sublane extent
+        # (Mosaic's full-dim exemption), so the only geometry requirement is
+        # divisibility of both packed K-halves by the group
+        while group_a > 32 and ((d // 2) % group_a or (n_q // 2) % group_a):
+            group_a //= 2
 
         def q4_e8(w):  # float [L, N, K] -> (packed_e8 [L, K/2, N], scales)
             p, s = _q4_device(w, group_a)

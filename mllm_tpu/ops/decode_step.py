@@ -349,7 +349,8 @@ def fused_decode_step(
     # of 8 (or the full array dim)
     assert block_f % (8 * group_d) == 0, (block_f, group_d)
     assert khalf_d % group_a == 0 and (n_q // 2) % group_a == 0
-    assert (d // group_a) % 8 == 0 and (n_q // group_a) % 8 == 0
+    # scale BlockSpecs cover the full [K/G] sublane extent (Mosaic full-dim
+    # exemption), so ng need not be a multiple of 8
     if scale is None:
         scale = hd**-0.5
     bk = min(block_k, s_max)
@@ -795,7 +796,8 @@ def fused_decode_step_batched(
     assert ff % block_f == 0 and s_max % 128 == 0
     assert block_f % (8 * group_d) == 0, (block_f, group_d)
     assert khalf_d % group_a == 0 and (n_q // 2) % group_a == 0
-    assert (d // group_a) % 8 == 0 and (n_q // group_a) % 8 == 0
+    # scale BlockSpecs cover the full [K/G] sublane extent (Mosaic full-dim
+    # exemption), so ng need not be a multiple of 8
     if scale is None:
         scale = hd**-0.5
     bk = min(block_k, s_max)
