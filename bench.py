@@ -1271,8 +1271,11 @@ def main():
             groups = GROUPS + [("extra", extra, 600)]
     total = sum(len(rows) for _, rows, _ in groups)
     details: list = []
+    # a group-filtered debug run must not clobber the full official record
+    suffix = ("_" + os.environ["MLLM_BENCH_GROUPS"].replace(",", "_")
+              if os.environ.get("MLLM_BENCH_GROUPS") else "")
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
+                               f"BENCH_DETAIL{suffix}.json")
     t_start = time.monotonic()
 
     def flush(row):
