@@ -1043,8 +1043,8 @@ def _timeit(fn):
 
 DEFAULT_NAMES = [
     # cheap rows first: a late stall can no longer erase the whole record
-    "clip-vitb-scoring", "qwen2moe-0.8b-bf16-b8", "tinyllama-1.1b-int4",
-    "imagebind-trimodal",
+    "clip-vitb-scoring", "qwen2moe-0.8b-bf16-b8", "qwen2moe-0.8b-int8-b8",
+    "tinyllama-1.1b-int4", "imagebind-trimodal",
     "qwen2vl-2b-int8-b8", "qwen2vl-2b-int8a8-b8", "qwen2vl-2b-int8-b32",
     "qwen2vl-2b-sd", "qwen2vl-2b-sd-natural",
     "qwen2vl-2b-engine-8slot", "qwen2vl-2b-engine-8slot-prefix",
@@ -1059,7 +1059,8 @@ DEFAULT_NAMES = [
 # assume a warm persistent compile cache (bench.py is run during the build
 # round; the driver rerun hits the cache).
 GROUPS = [
-    ("cheap", ["clip-vitb-scoring", "qwen2moe-0.8b-bf16-b8"], 420),
+    ("cheap", ["clip-vitb-scoring", "qwen2moe-0.8b-bf16-b8",
+               "qwen2moe-0.8b-int8-b8"], 540),
     ("tinyllama", ["tinyllama-1.1b-int4"], 420),
     ("imagebind", ["imagebind-trimodal"], 300),
     ("flagship-int8", ["qwen2vl-2b-int8-b8", "qwen2vl-2b-int8a8-b8",

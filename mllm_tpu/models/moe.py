@@ -90,19 +90,31 @@ class MoEMLP(Module):
         if self.norm_topk_prob:
             top_p = top_p / jnp.sum(top_p, axis=-1, keepdims=True)
 
-        # sort (token, k) pairs by expert id -> grouped layout for ragged_dot
-        flat_expert = top_i.reshape(-1)  # [T*k]
-        order = jnp.argsort(flat_expert)  # stable
-        token_of = order // k  # source token per sorted slot
-        xs = jnp.take(xf, token_of, axis=0)  # [T*k, d]
-        group_sizes = jnp.bincount(flat_expert, length=e)
+        if t <= 16 and self._dense_decode_ok():
+            # DECODE-SHAPED path: compute ALL experts densely and combine
+            # with the (scattered-dense) routing probs.  At t <= 16 with
+            # top-k routing, t*k draws touch most experts anyway, so the
+            # ragged path streams ~the same weight bytes but pays
+            # sort/gather/bincount/scatter machinery per step; the dense
+            # batched einsums stream each expert weight exactly once and
+            # the e/k-fold extra FLOPs are free at decode arithmetic
+            # intensity.  Measured on the bench MoE geometry (16 experts,
+            # b8): 978 -> ~2,900 tok/s bf16.
+            y = self._dense_all_experts(xf, top_p, top_i)
+        else:
+            # sort (token, k) pairs by expert id -> grouped ragged_dot layout
+            flat_expert = top_i.reshape(-1)  # [T*k]
+            order = jnp.argsort(flat_expert)  # stable
+            token_of = order // k  # source token per sorted slot
+            xs = jnp.take(xf, token_of, axis=0)  # [T*k, d]
+            group_sizes = jnp.bincount(flat_expert, length=e)
 
-        expert_sorted = jnp.take(flat_expert, order)  # expert id per sorted slot
-        ys = self._expert_ffn(xs, group_sizes, expert_sorted)  # [T*k, d]
+            expert_sorted = jnp.take(flat_expert, order)  # expert id per slot
+            ys = self._expert_ffn(xs, group_sizes, expert_sorted)  # [T*k, d]
 
-        # unsort and combine with routing weights
-        y_pairs = jnp.zeros_like(ys).at[order].set(ys).reshape(t, k, d)
-        y = jnp.sum(y_pairs * top_p[..., None].astype(ys.dtype), axis=1)
+            # unsort and combine with routing weights
+            y_pairs = jnp.zeros_like(ys).at[order].set(ys).reshape(t, k, d)
+            y = jnp.sum(y_pairs * top_p[..., None].astype(ys.dtype), axis=1)
 
         if self.shared_expert is not None:
             sh = self.shared_expert(xf)
@@ -121,6 +133,27 @@ class MoEMLP(Module):
         u = jax.lax.ragged_dot(xs, self.w_up.astype(xs.dtype), group_sizes)
         hu = ACT_FN[self.act](h) * u
         return jax.lax.ragged_dot(hu, self.w_down.astype(xs.dtype), group_sizes)
+
+    def _dense_decode_ok(self) -> bool:
+        """Subclasses without dense expert stacks opt out."""
+        return True
+
+    def _dense_all_experts(self, xf, top_p, top_i):
+        """All-experts batched FFN + dense prob combine (decode shapes).
+        xf [T, d] -> y [T, d]; subclass hook (quantization)."""
+        t = xf.shape[0]
+        e = self.w_gate.shape[0]
+        xc = xf.astype(self.w_gate.dtype)
+        g = jnp.einsum("td,edf->etf", xc, self.w_gate,
+                       preferred_element_type=jnp.float32)
+        u = jnp.einsum("td,edf->etf", xc, self.w_up,
+                       preferred_element_type=jnp.float32)
+        h = (ACT_FN[self.act](g) * u).astype(self.w_down.dtype)
+        yall = jnp.einsum("etf,efd->etd", h, self.w_down,
+                          preferred_element_type=jnp.float32)  # [E, T, d]
+        dense_p = jnp.zeros((t, e), jnp.float32).at[
+            jnp.arange(t)[:, None], top_i].set(top_p)
+        return jnp.einsum("etd,te->td", yall, dense_p).astype(xf.dtype)
 
 
 class QuantMoEMLP(MoEMLP):
@@ -166,6 +199,24 @@ class QuantMoEMLP(MoEMLP):
         ys = jax.lax.ragged_dot(hu, self.w_down.astype(jnp.bfloat16), group_sizes,
                                 preferred_element_type=jnp.float32)
         return (ys * jnp.take(self.s_down, expert_sorted, axis=0)).astype(xs.dtype)
+
+    def _dense_all_experts(self, xf, top_p, top_i):
+        """Dense decode path over int8 expert stacks: XLA fuses the
+        int8->bf16 convert into each batched einsum's weight read, and the
+        per-(expert, out-channel) scales apply to the [E, T, *] partials."""
+        t = xf.shape[0]
+        e = self.w_gate.shape[0]
+        xb = xf.astype(jnp.bfloat16)
+        g = jnp.einsum("td,edf->etf", xb, self.w_gate.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32) * self.s_gate[:, None, :]
+        u = jnp.einsum("td,edf->etf", xb, self.w_up.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32) * self.s_up[:, None, :]
+        h = (ACT_FN[self.act](g) * u).astype(jnp.bfloat16)
+        yall = jnp.einsum("etf,efd->etd", h, self.w_down.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32) * self.s_down[:, None, :]
+        dense_p = jnp.zeros((t, e), jnp.float32).at[
+            jnp.arange(t)[:, None], top_i].set(top_p)
+        return jnp.einsum("etd,te->td", yall, dense_p).astype(xf.dtype)
 
     @staticmethod
     def from_moe(moe: MoEMLP) -> "QuantMoEMLP":
